@@ -1,0 +1,134 @@
+"""Spatial pandas UDFs (Arrow-batched; SURVEY.md §2.3 'UDF surface')."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from spandex_spark import cells as _cells
+from spandex_spark import geom as _geom
+
+
+@pandas_udf(T.LongType())
+def _cell_of(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
+    out = _cells.cell_of(lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+                         int(level.iloc[0]))
+    return pd.Series(out)
+
+
+def cell_of_udf(lon, lat, level: int):
+    """Column expression: quadkey cell id of (lon, lat) at ``level``."""
+    return _cell_of(lon, lat, F.lit(level))
+
+
+@pandas_udf(T.LongType())
+def _cell_parent(cell: pd.Series, level: pd.Series) -> pd.Series:
+    return pd.Series(_cells.parent(cell.to_numpy(np.int64), int(level.iloc[0])))
+
+
+def cell_parent_udf(cell, level: int):
+    return _cell_parent(cell, F.lit(level))
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def _cover_cells(xs: pd.Series, ys: pd.Series, level: pd.Series) -> pd.Series:
+    lvl = int(level.iloc[0])
+    out = []
+    for x_arr, y_arr in zip(xs, ys):
+        c = _cells.cover_polygon(np.asarray(x_arr, np.float64),
+                                 np.asarray(y_arr, np.float64), lvl)
+        out.append(c.tolist())
+    return pd.Series(out)
+
+
+def cover_cells_udf(geom_col, level: int):
+    """Covering cells of each polygon (exterior ring) at ``level``.
+    E2 in SURVEY.md §2.2; replaces the GiST index build at load time."""
+    return _cover_cells(geom_col["xs"], geom_col["ys"], F.lit(level))
+
+
+@pandas_udf(T.BooleanType())
+def _pip(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series,
+         poly_id: pd.Series) -> pd.Series:
+    """Exact PIP refine over candidate pairs: vectorizes per distinct polygon
+    in the Arrow batch (geom.pip_pairs), never per row."""
+    ids = poly_id.to_numpy(np.int64)
+    polys: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for i in range(len(ids)):
+        pid = ids[i]
+        if pid not in polys:
+            polys[pid] = (np.asarray(xs.iloc[i], np.float64),
+                          np.asarray(ys.iloc[i], np.float64))
+    out = _geom.pip_pairs(lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+                          ids, polys)
+    return pd.Series(out)
+
+
+def pip_refine(lon, lat, geom_col, poly_id):
+    """Exact ST_Contains analog (spandex/spatialtoolz.py::tag refine phase)."""
+    return _pip(lon, lat, geom_col["xs"], geom_col["ys"], poly_id)
+
+
+@pandas_udf(T.DoubleType())
+def _haversine(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series,
+               lat2: pd.Series) -> pd.Series:
+    return pd.Series(_geom.haversine_m(lon1.to_numpy(np.float64),
+                                       lat1.to_numpy(np.float64),
+                                       lon2.to_numpy(np.float64),
+                                       lat2.to_numpy(np.float64)))
+
+
+def haversine_udf(lon1, lat1, lon2, lat2):
+    return _haversine(lon1, lat1, lon2, lat2)
+
+
+_MERC_TYPE = T.StructType([T.StructField("x", T.DoubleType()),
+                           T.StructField("y", T.DoubleType())])
+
+
+@pandas_udf(_MERC_TYPE)
+def _webmercator(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    x, y = _geom.lonlat_to_webmercator(lon.to_numpy(np.float64),
+                                       lat.to_numpy(np.float64))
+    return pd.DataFrame({"x": x, "y": y})
+
+
+def webmercator_udf(lon, lat):
+    """ST_Transform(4326→3857) analog (spandex/spatialtoolz.py::reproject)."""
+    return _webmercator(lon, lat)
+
+
+@pandas_udf(T.BooleanType())
+def _geom_is_valid(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    out = np.fromiter(
+        (_geom.polygon_is_valid(np.asarray(x, np.float64), np.asarray(y, np.float64))
+         for x, y in zip(xs, ys)), dtype=bool, count=len(xs))
+    return pd.Series(out)
+
+
+def geom_is_valid_udf(geom_col):
+    """ST_IsValid analog (spandex/spatialtoolz.py::invalid_geometry_check)."""
+    return _geom_is_valid(geom_col["xs"], geom_col["ys"])
+
+
+_PT_TYPE = T.StructType([T.StructField("x", T.DoubleType()),
+                         T.StructField("y", T.DoubleType())])
+
+
+@pandas_udf(_PT_TYPE)
+def _centroid(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+    cx = np.empty(len(xs))
+    cy = np.empty(len(xs))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        cx[i], cy[i] = _geom.centroid(np.asarray(x, np.float64),
+                                      np.asarray(y, np.float64))
+    return pd.DataFrame({"x": cx, "y": cy})
+
+
+def centroid_udf(geom_col):
+    """ST_Centroid analog (used by spandex/spatialtoolz.py::tag for
+    point-in-poly of polygon targets)."""
+    return _centroid(geom_col["xs"], geom_col["ys"])

@@ -1,0 +1,50 @@
+"""Geotagger (E4, SURVEY.md §2.2): webtext pages → points.
+
+Deterministic, fully JVM-side extraction (regexp + broadcast gazetteer
+join — zero Python). Invariant (BASELINE.json:15): ``text`` bytes flow
+through untouched; geotagging only READS text; every input row appears in
+the output exactly once, rows with no geo signal keep NULL lon/lat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# "geo: <lat>, <lon>" decimal token (FIXTURES.md §1 embeds lat first)
+GEO_TOKEN_RE = r"geo:\s*(-?\d+\.\d+)\s*,\s*(-?\d+\.\d+)"
+PLACE_RE = r"\b(ville\d\d)\b"
+
+
+def geotag(pages: DataFrame, gazetteer: DataFrame | None = None,
+           text_col: str = "text", id_col: str = "url") -> DataFrame:
+    """Extract one (lon, lat) per page.
+
+    Priority: explicit ``geo:`` token, else gazetteer place mention, else
+    NULL. Output: all input columns + ``lon, lat, tag_source``.
+    """
+    out = (pages
+           .withColumn("_glat", F.regexp_extract(F.col(text_col), GEO_TOKEN_RE, 1))
+           .withColumn("_glon", F.regexp_extract(F.col(text_col), GEO_TOKEN_RE, 2)))
+    if gazetteer is not None:
+        out = out.withColumn("_place", F.regexp_extract(F.col(text_col), PLACE_RE, 1))
+        gaz = F.broadcast(gazetteer.select(
+            F.col("place").alias("_place"),
+            F.col("lon").alias("_gaz_lon"),
+            F.col("lat").alias("_gaz_lat")))
+        out = out.join(gaz, "_place", "left")
+    else:
+        out = (out.withColumn("_gaz_lon", F.lit(None).cast("double"))
+                  .withColumn("_gaz_lat", F.lit(None).cast("double")))
+    has_tok = F.col("_glat") != ""
+    has_gaz = F.col("_gaz_lon").isNotNull()
+    out = (out
+           .withColumn("lon", F.when(has_tok, F.col("_glon").cast("double"))
+                               .otherwise(F.col("_gaz_lon")))
+           .withColumn("lat", F.when(has_tok, F.col("_glat").cast("double"))
+                               .otherwise(F.col("_gaz_lat")))
+           .withColumn("tag_source",
+                       F.when(has_tok, F.lit("token"))
+                        .when(has_gaz, F.lit("gazetteer"))
+                        .otherwise(F.lit(None).cast("string"))))
+    return out.drop("_glat", "_glon", "_place", "_gaz_lon", "_gaz_lat")

@@ -1,0 +1,190 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash (hamming buckets), n-gram Jaccard verification, and
+embedding-cosine near-dup. All Python crossings are Arrow-vectorized; the
+hot paths (shingling, hashing, banding, bucket joins) stay JVM-side where
+Spark has the built-in (sha2, hash, explode, groupBy).
+
+Scale notes (100 TB): exact dedup is one shuffle on a 32-byte digest;
+MinHash-LSH shuffles (band_id, band_hash) — bounded fan-out num_bands x
+rows — and candidate verification touches only bucket-colliding pairs,
+never the cross product. Mega-buckets (boilerplate pages) are capped by
+``max_bucket`` to bound the pair blow-up, the standard web-dedup guard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, *, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: one row per distinct text
+    with the canonical (minimum) id and the duplicate count."""
+    return (df
+            .withColumn("text_sha", F.sha2(F.col(text_col), 256))
+            .groupBy("text_sha")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingles, JVM-side: split → sliding windows via transform
+    over index array → concat."""
+    words = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+
+
+def minhash_signatures(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 128,
+                       shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """MinHash signature per document. Shingles are hashed JVM-side
+    (xxhash64); the num_hashes universal-hash mins are one numpy matrix op
+    per Arrow batch in a pandas UDF."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            x = np.asarray(h, dtype=np.int64).astype(np.uint64) % np.uint64(_MERSENNE)
+            # (a*x + b) mod p, per hash function — (H, S) broadcast
+            vals = (a.astype(np.uint64)[:, None] * x[None, :]
+                    + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=1).astype(np.int64).tolist()
+                       if x.shape[0] else [0] * a.shape[0])
+        return pd.Series(out)
+
+    sh = df.select(id_col, _shingles(F.col(text_col), shingle_n).alias("_sh"))
+    hashed = sh.withColumn(
+        "_h", F.transform(F.col("_sh"), lambda s: F.xxhash64(s))).drop("_sh")
+    return hashed.withColumn("signature", _minhash(F.col("_h"))).drop("_h")
+
+
+def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 128,
+                      bands: int = 32, shingle_n: int = 3, seed: int = 42,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash signatures,
+    with the estimated Jaccard (signature agreement rate) attached.
+    Returns (id_a, id_b, est_jaccard), id_a < id_b, each pair once."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col=text_col, id_col=id_col,
+                             num_hashes=num_hashes, shingle_n=shingle_n,
+                             seed=seed)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = (sig.withColumn("_band", F.explode(band_idx))
+              .withColumn("_bhash", F.xxhash64(
+                  F.col("_band"),
+                  F.slice("signature", F.col("_band") * rows_per_band + 1,
+                          rows_per_band).cast("string"))))
+    # cap runaway buckets (boilerplate mega-clusters)
+    w = Window.partitionBy("_band", "_bhash").orderBy(id_col)
+    capped = (banded.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_bucket))
+    lhs = capped.select(F.col("_band"), F.col("_bhash"),
+                        F.col(id_col).alias("id_a"),
+                        F.col("signature").alias("_sig_a"))
+    rhs = capped.select(F.col("_band"), F.col("_bhash"),
+                        F.col(id_col).alias("id_b"),
+                        F.col("signature").alias("_sig_b"))
+    pairs = (lhs.join(rhs, ["_band", "_bhash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    agree = F.zip_with("_sig_a", "_sig_b",
+                       lambda x, y: (x == y).cast("int"))
+    return (pairs.withColumn(
+        "est_jaccard", F.aggregate(agree, F.lit(0), lambda acc, v: acc + v)
+        / F.lit(float(num_hashes)))
+        .select("id_a", "id_b", "est_jaccard"))
+
+
+def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, *,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage after
+    LSH): |A ∩ B| / |A ∪ B| over distinct word n-grams, JVM-side set ops."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(_shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return joined.withColumn(
+        "jaccard", inter.cast("double") / union.cast("double")) \
+        .select("id_a", "id_b", "jaccard")
+
+
+def simhash_dedup(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", hamming_threshold: int = 3,
+                  n_tables: int = 4) -> DataFrame:
+    """64-bit SimHash near-dup pairs. Buckets by each of ``n_tables`` 16-bit
+    chunks (pigeonhole: any pair within hamming distance n_tables-1 of each
+    other collides in >=1 chunk); verifies hamming distance JVM-side via
+    bit_count(xor)."""
+
+    @pandas_udf(T.LongType())
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), np.int64)
+        for i, h in enumerate(hashes):
+            x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            if x.shape[0] == 0:
+                continue
+            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            for bit in np.flatnonzero(votes > 0):
+                val |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(val.astype(np.int64))
+        return pd.Series(out)
+
+    words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("_h"))
+    sim = hashed.withColumn("simhash", _simhash(F.col("_h"))).drop("_h")
+
+    chunk = [F.struct(F.lit(i).alias("t"),
+                      F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("c"))
+             for i in range(n_tables)]
+    buck = sim.withColumn("_b", F.explode(F.array(*chunk)))
+    lhs = buck.select(F.col("_b"), F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("_sa"))
+    rhs = buck.select(F.col("_b"), F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("_sb"))
+    pairs = (lhs.join(rhs, ["_b"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= hamming_threshold)
+            .select("id_a", "id_b", "hamming"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+    Brute-force (broadcast) pair scan — the LSH-bucketed scale path lives in
+    operators/similarity.py::ann_lsh."""
+    from spandex_spark.operators.similarity import cosine_expr
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,138 @@
+"""O3 — kNN nearest-feature join.
+
+Reference semantics: the PostGIS `<->` KNN-GiST order-by (nearest source
+feature per target geometry; spandex's nearest-feature helper). Two Spark
+strategies:
+
+* ``broadcast`` (feature side fits in memory — the spandex-typical shape:
+  POIs/stops vs parcels): broadcast cross join with the distance computed
+  by JVM built-ins (stays inside whole-stage codegen; zero Python), then
+  ``row_number() over (partition by query order by dist, id) <= k``.
+* ``cells`` (both sides large): grid ring expansion — join queries to
+  feature cells at ring r, grow r until every query holds >= k candidates
+  within a *verified* radius (kth distance <= r * min cell extent), union
+  rounds, then the same window top-k. Exact, shuffle-bounded, no cross
+  product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spandex_spark.functions.spatial import cell_of_udf, haversine_udf
+from spandex_spark import cells as _cells
+
+EARTH_RADIUS_M = 6_371_008.8
+
+
+def haversine_expr(lon1, lat1, lon2, lat2):
+    """Great-circle meters via JVM built-ins (codegen-friendly)."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    h = F.sin(dlat / 2) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon / 2) ** 2
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(h))
+
+
+def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
+             query_id_col: str, feature_id_col: str,
+             q_lon: str = "lon", q_lat: str = "lat",
+             f_lon: str = "lon", f_lat: str = "lat",
+             strategy: str = "broadcast", level: int = 7,
+             max_rings: int = 64) -> DataFrame:
+    """k nearest features per query point. Ties broken by (dist, feature_id).
+
+    Returns (query_id, rank, feature_id, dist_m).
+    """
+    q = queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat"))
+    f = features.select(F.col(feature_id_col).alias("_fid"),
+                        F.col(f_lon).alias("_flon"), F.col(f_lat).alias("_flat"))
+
+    if strategy == "broadcast":
+        cand = q.crossJoin(F.broadcast(f))
+    elif strategy == "cells":
+        cand = _ring_candidates(q, f, k=k, level=level, max_rings=max_rings)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    cand = cand.withColumn("dist_m", haversine_expr(
+        F.col("_qlon"), F.col("_qlat"), F.col("_flon"), F.col("_flat")))
+    w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_fid").asc())
+    out = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k))
+    return out.select(F.col("_qid").alias(query_id_col), "rank",
+                      F.col("_fid").alias(feature_id_col), "dist_m")
+
+
+def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
+                     max_rings: int) -> DataFrame:
+    """Grid ring expansion: candidates within Chebyshev cell-ring r of each
+    query, r grown until the kth-NN distance is provably covered."""
+    spark = q.sparkSession
+    fc = f.withColumn("_fcell", cell_of_udf(F.col("_flon"), F.col("_flat"), level))
+    qc = (q.withColumn("_qcell", cell_of_udf(F.col("_qlon"), F.col("_qlat"), level))
+          .persist())
+    # min ground extent of one cell (lat direction is constant; lon shrinks
+    # with cos(lat) — use lat extent, the safe lower bound of ring distance)
+    lat_extent_m = 180.0 / (1 << level) * 111_194.9
+    fc = fc.persist()
+
+    unresolved = qc
+    gathered = None
+    r = 0
+    while True:
+        ring_cells = _ring_cells_udf(F.col("_qcell"), F.lit(r))
+        cand_r = (unresolved.withColumn("_cell", F.explode(ring_cells))
+                  .join(fc.withColumnRenamed("_fcell", "_cell"), "_cell", "inner")
+                  .drop("_cell"))
+        gathered = cand_r if gathered is None else gathered.unionByName(cand_r)
+        # a query is resolved when it has >= k candidates whose kth distance
+        # is within the radius guaranteed covered by ring r
+        dist = haversine_expr(F.col("_qlon"), F.col("_qlat"),
+                              F.col("_flon"), F.col("_flat"))
+        covered_m = max(r, 0) * lat_extent_m
+        wk = Window.partitionBy("_qid").orderBy(dist.asc())
+        kth = (gathered.withColumn("_rn", F.row_number().over(wk))
+               .filter(F.col("_rn") == k)
+               .withColumn("_kd", dist)
+               .select("_qid", "_kd"))
+        resolved_ids = kth.filter(F.col("_kd") <= covered_m).select("_qid")
+        unresolved = unresolved.join(resolved_ids, "_qid", "left_anti").persist()
+        r += 1
+        if r > max_rings or unresolved.isEmpty():
+            break
+        gathered = gathered.persist()
+    qc.unpersist()
+    fc.unpersist()
+    return gathered.dropDuplicates(["_qid", "_fid"])
+
+
+from pyspark.sql import types as T  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def _ring_cells_udf(cell: pd.Series, ring: pd.Series) -> pd.Series:
+    """Cells at Chebyshev ring exactly r around each cell (r=0 → the cell)."""
+    r = int(ring.iloc[0])
+    carr = cell.to_numpy(np.int64)
+    lvl = int(_cells.cell_level(carr[:1])[0]) if carr.shape[0] else 0
+    n = 1 << lvl
+    gx, gy = _cells.cell_xy(carr)
+    out = []
+    if r == 0:
+        return pd.Series([[int(c)] for c in carr])
+    offsets = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+               if max(abs(dx), abs(dy)) == r]
+    dxs = np.array([o[0] for o in offsets])
+    dys = np.array([o[1] for o in offsets])
+    for i in range(carr.shape[0]):
+        xs = gx[i] + dxs
+        ys = gy[i] + dys
+        ok = (xs >= 0) & (xs < n) & (ys >= 0) & (ys < n)
+        out.append(_cells.xy_to_cell(xs[ok], ys[ok], lvl).tolist())
+    return pd.Series(out)

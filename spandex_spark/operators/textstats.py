@@ -1,0 +1,86 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Everything here is built-in pyspark.sql.functions (JVM, codegen) — no
+Python at all; these run per-row over 10^12 documents so staying inside
+whole-stage codegen is the entire design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def token_count(df: DataFrame, *, text_col: str = "text",
+                out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (BPE-ish regex variant in ``bpe_piece_count``)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    return df.withColumn(out_col, n.cast("long"))
+
+
+def bpe_piece_count(df: DataFrame, *, text_col: str = "text",
+                    out_col: str = "n_pieces") -> DataFrame:
+    """BPE-ish subword proxy: count word chunks + digit runs + punctuation
+    singles (regexp, JVM-side)."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"([A-Za-z]{1,8}|[0-9]+|[^\sA-Za-z0-9])"), 1)
+    return df.withColumn(out_col, F.size(pieces).cast("long"))
+
+
+def quality_score(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0, 1]; standard web-corpus filtering signals."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = F.split(F.trim(text), r"\s+")
+    n_words = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_stop = F.size(F.filter(
+        toks, lambda t: F.lower(t).isin(*_LANG_MARKERS["en"])))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+    mean_wlen = n_chars.cast("double") / F.greatest(n_words, F.lit(1))
+    score = (F.least(alpha_ratio * 1.25, F.lit(1.0)) * 0.5
+             + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+             + F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), 0.2).otherwise(0.0))
+    return (df.withColumn("n_chars_q", n_chars.cast("long"))
+            .withColumn("n_words", n_words.cast("long"))
+            .withColumn("alpha_ratio", alpha_ratio)
+            .withColumn("punct_ratio", punct_ratio)
+            .withColumn("stop_ratio", stop_ratio)
+            .withColumn("quality", score))
+
+
+def lang_id(df: DataFrame, *, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-count language heuristic: argmax of per-language marker hits
+    (deterministic tiebreak by language code)."""
+    toks = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"),
+                       lambda t: F.lower(t))
+    entries = []
+    for lang, words in sorted(_LANG_MARKERS.items()):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+        entries.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    return df.withColumn(
+        out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, *, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text (rolling-hash analog, JVM-side)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn(out_col, F.xxhash64(norm))

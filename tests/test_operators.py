@@ -1,0 +1,237 @@
+"""Operator tests vs constructed-exact fixtures (FIXTURES.md; SURVEY.md §5.2-2).
+
+These are the rebuild's analog of the reference's
+spandex/tests/test_spatialtoolz.py analytic-geometry assertions.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from spandex_spark import fixtures as fx
+from spandex_spark.geotag import geotag
+from spandex_spark.operators import (
+    tag_points, proportion_overlap, knn_join, zonal_stats,
+    scale_to_targets, invalid_geometry_check, duplicate_stacked_geometry_check,
+    reproject,
+)
+
+
+def load(spark, fixture_dir, name):
+    return spark.read.parquet(os.path.join(fixture_dir, f"{name}.parquet"))
+
+
+class TestGeotag:
+    def test_extraction_and_invariant(self, spark, fixture_dir):
+        pages = load(spark, fixture_dir, "pages")
+        gaz = load(spark, fixture_dir, "gazetteer")
+        tagged = geotag(pages, gaz)
+        rows = tagged.select("url", "lon", "lat", "tag_source", "text").collect()
+        assert len(rows) == pages.count()  # every row exactly once
+        by_source = {}
+        for r in rows:
+            by_source[r.tag_source] = by_source.get(r.tag_source, 0) + 1
+        n = len(rows)
+        assert by_source["token"] == n * 18 // 20
+        assert by_source["gazetteer"] == n // 20
+        assert by_source[None] == n // 20
+        # text byte-identity: sha2 unchanged through the pipeline
+        before = {r.url: r.h for r in
+                  pages.select("url", F.sha2("text", 256).alias("h")).collect()}
+        after = {r.url: r.h for r in
+                 tagged.select("url", F.sha2("text", 256).alias("h")).collect()}
+        assert before == after
+        # token rows: parse matches the embedded value
+        tok = [r for r in rows if r.tag_source == "token"]
+        for r in tok[:50]:
+            frag = r.text.split("geo: ")[1].split(" end")[0]
+            lat_s, lon_s = frag.split(", ")
+            assert float(lat_s) == pytest.approx(r.lat, abs=1e-9)
+            assert float(lon_s) == pytest.approx(r.lon, abs=1e-9)
+
+
+class TestTag:
+    def test_matches_closed_form_oracle(self, spark, fixture_dir):
+        pages = load(spark, fixture_dir, "pages")
+        gaz = load(spark, fixture_dir, "gazetteer")
+        zones = load(spark, fixture_dir, "zones")
+        pts = geotag(pages, gaz).filter(F.col("lon").isNotNull())
+        tagged = tag_points(pts, zones, poly_id_col="zone_id",
+                            point_id_col="url", level=9,
+                            poly_attr_cols=("zclass",))
+        got = {r.url: r.zone_id for r in tagged.collect()}
+        pdf = pts.select("url", "lon", "lat").toPandas()
+        want = fx.expected_tag(pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+        for url, w in zip(pdf["url"], want):
+            g = got[url]
+            assert (g if g is not None else -1) == w, url
+
+    def test_points_without_zone_keep_null(self, spark, fixture_dir):
+        zones = load(spark, fixture_dir, "zones")
+        pts = spark.createDataFrame(
+            [("a", 50.0, 50.0), ("b", 0.5, 0.5)], ["url", "lon", "lat"])
+        out = {r.url: r.zone_id for r in
+               tag_points(pts, zones, poly_id_col="zone_id",
+                          point_id_col="url").collect()}
+        assert out["a"] is None
+        assert out["b"] == (0 + 10) * 20 + 10 + 0  # floor closed form: (10)*20+10
+
+
+class TestOverlay:
+    def test_parcel_fractions(self, spark, fixture_dir):
+        zones = load(spark, fixture_dir, "zones")
+        parcels = load(spark, fixture_dir, "parcels")
+        pairs = proportion_overlap(parcels, zones, target_id_col="parcel_id",
+                                   overlay_id_col="zone_id", keep_pairs=True)
+        got = {(r.parcel_id, r.zone_id): r.ix_area for r in pairs.collect()}
+        # closed-form rectangle-intersection oracle over every (parcel, zone)
+        want = {}
+        ppdf = pq.read_table(
+            os.path.join(fixture_dir, "parcels.parquet")).to_pydict()
+        for pid, g in zip(ppdf["parcel_id"], ppdf["geom"]):
+            bx = g["bbox"]
+            for col in range(int(np.floor(bx["minx"] + 10)), int(np.ceil(bx["maxx"] + 10))):
+                for row in range(int(np.floor(bx["miny"] + 10)), int(np.ceil(bx["maxy"] + 10))):
+                    zx0, zy0 = col - 10.0, row - 10.0
+                    w = min(bx["maxx"], zx0 + 1) - max(bx["minx"], zx0)
+                    h = min(bx["maxy"], zy0 + 1) - max(bx["miny"], zy0)
+                    if w > 0 and h > 0:
+                        want[(pid, row * 20 + col)] = w * h
+        assert set(got) == set(want)
+        for key, area in want.items():
+            assert got[key] == pytest.approx(area, abs=1e-12)
+        # interior parcels straddle exactly 4 zones at 0.25 fraction each
+        from collections import Counter
+        per_parcel = Counter(pid for pid, _ in got)
+        # parcel (row 21, col 21) spans [0.75,1.25]^2 → straddles 4 zones
+        assert per_parcel[(21 * 40) + 21] == 4
+
+    def test_zone_coverage_fraction(self, spark, fixture_dir):
+        zones = load(spark, fixture_dir, "zones")
+        parcels = load(spark, fixture_dir, "parcels")
+        out = proportion_overlap(zones, parcels, target_id_col="zone_id",
+                                 overlay_id_col="parcel_id").toPandas()
+        # interior zones are fully covered by the shifted parcel grid
+        interior = out[(out.zone_id // 20 > 0) & (out.zone_id // 20 < 19)
+                       & (out.zone_id % 20 > 0) & (out.zone_id % 20 < 19)]
+        assert np.allclose(interior["proportion_overlap"], 1.0, atol=1e-9)
+        # corner zone (0): covered except the 0.25-wide strip on two sides:
+        # covered area = 1 - (0.25 + 0.25 - 0.0625) = 0.5625
+        z0 = out[out.zone_id == 0]["proportion_overlap"].iloc[0]
+        assert z0 == pytest.approx(0.5625)
+
+
+class TestKnn:
+    def test_broadcast_matches_bruteforce(self, spark, fixture_dir):
+        poi = load(spark, fixture_dir, "poi")
+        gaz = load(spark, fixture_dir, "gazetteer")
+        q = gaz.select(F.col("place").alias("qid"), "lon", "lat")
+        for k in (1, 3):
+            got = knn_join(q, poi, k=k, query_id_col="qid",
+                           feature_id_col="poi_id").collect()
+            gpdf = gaz.toPandas()
+            ppdf = poi.toPandas()
+            want = fx.expected_knn(gpdf["lon"].to_numpy(), gpdf["lat"].to_numpy(),
+                                   ppdf["lon"].to_numpy(), ppdf["lat"].to_numpy(),
+                                   ppdf["poi_id"].to_numpy(), k)
+            want_map = {(f"ville{qi:02d}" if False else gpdf['place'].iloc[qi], rank): pid
+                        for qi, rank, pid, _ in want}
+            assert len(got) == len(want)
+            for r in got:
+                assert want_map[(r.qid, r.rank)] == r.poi_id
+
+    def test_cells_strategy_matches_broadcast(self, spark, fixture_dir):
+        poi = load(spark, fixture_dir, "poi")
+        gaz = load(spark, fixture_dir, "gazetteer")
+        q = gaz.select(F.col("place").alias("qid"), "lon", "lat")
+        a = {(r.qid, r.rank): r.poi_id for r in
+             knn_join(q, poi, k=2, query_id_col="qid", feature_id_col="poi_id",
+                      strategy="broadcast").collect()}
+        b = {(r.qid, r.rank): r.poi_id for r in
+             knn_join(q, poi, k=2, query_id_col="qid", feature_id_col="poi_id",
+                      strategy="cells", level=6).collect()}
+        assert a == b
+
+
+class TestZonal:
+    def test_matches_numpy_oracle(self, spark, fixture_dir):
+        tiles = load(spark, fixture_dir, "raster_tiles")
+        zones = load(spark, fixture_dir, "zones")
+        got = zonal_stats(tiles, zones).toPandas().set_index("zone_id").sort_index()
+        # numpy oracle: all pixel centers, closed-form zone assignment
+        t = pq.read_table(os.path.join(fixture_dir, "raster_tiles.parquet")).to_pydict()
+        lons, lats, vals = [], [], []
+        for i in range(len(t["tile_id"])):
+            nx, ny, res = t["nx"][i], t["ny"][i], t["res"][i]
+            px = t["x0"][i] + (np.arange(nx) + 0.5) * res
+            py = t["y0"][i] + (np.arange(ny) + 0.5) * res
+            lon, lat = np.meshgrid(px, py)
+            lons.append(lon.ravel())
+            lats.append(lat.ravel())
+            vals.append(np.asarray(t["values"][i]))
+        lon = np.concatenate(lons)
+        lat = np.concatenate(lats)
+        v = np.concatenate(vals)
+        zid = fx.expected_tag(lon, lat)
+        for z in [0, 57, 399, 210]:
+            m = zid == z
+            assert got.loc[z, "px_count"] == m.sum()
+            assert got.loc[z, "px_sum"] == pytest.approx(v[m].sum(), rel=1e-12)
+            assert got.loc[z, "px_min"] == pytest.approx(v[m].min())
+            assert got.loc[z, "px_max"] == pytest.approx(v[m].max())
+            assert got.loc[z, "px_mean"] == pytest.approx(v[m].mean())
+        assert int(got["px_count"].sum()) == lon.shape[0]
+
+
+class TestScaling:
+    def test_factor_exactly_1_1(self, spark, fixture_dir):
+        parcels = load(spark, fixture_dir, "parcels").withColumn(
+            "zclass", F.concat(F.lit("c"), (F.col("parcel_id") % 4).cast("string")))
+        current = parcels.groupBy("zclass").agg(F.sum("land_value").alias("s")).collect()
+        targets = spark.createDataFrame(
+            [(r.zclass, r.s * 1.1) for r in current], ["zclass", "target"])
+        out = scale_to_targets(parcels, "land_value", targets, segment_col="zclass")
+        pdf = out.toPandas()
+        assert np.allclose(pdf["land_value_scaled"], pdf["land_value"] * 1.1)
+
+    def test_mean_metric_and_missing_segment(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 30.0), ("b", 5.0)], ["seg", "v"])
+        targets = spark.createDataFrame([("a", 40.0)], ["seg", "target"])
+        out = {(r.seg, r.v): r.v_scaled for r in
+               scale_to_targets(df, "v", targets, segment_col="seg",
+                                metric="mean").collect()}
+        assert out[("a", 10.0)] == pytest.approx(20.0)  # mean 20 → target 40 → ×2
+        assert out[("b", 5.0)] == pytest.approx(5.0)    # no target → unchanged
+
+
+class TestValidation:
+    def test_invalid_and_duplicates(self, spark):
+        def g(xs, ys):
+            return {"kind": 3, "xs": xs, "ys": ys,
+                    "ring_offsets": [0, len(xs)],
+                    "bbox": {"minx": min(xs), "miny": min(ys),
+                             "maxx": max(xs), "maxy": max(ys)}}
+        rows = [
+            (1, g([0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])),   # valid
+            (2, g([0.0, 1.0, 0.0, 1.0], [0.0, 1.0, 1.0, 0.0])),   # bowtie
+            (3, g([0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])),   # dup of 1
+        ]
+        df = spark.createDataFrame(rows, "id long, geom struct<kind:tinyint, xs:array<double>, ys:array<double>, ring_offsets:array<int>, bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        bad = invalid_geometry_check(df, "id").collect()
+        assert [r.id for r in bad] == [2]
+        dups = duplicate_stacked_geometry_check(df, "id").collect()
+        assert len(dups) == 1 and sorted(dups[0].ids) == [1, 3]
+
+
+class TestReproject:
+    def test_roundtrip_vs_kernel(self, spark, fixture_dir):
+        poi = load(spark, fixture_dir, "poi").limit(50)
+        out = reproject(poi).toPandas()
+        from spandex_spark import geom as _geom
+        x, y = _geom.lonlat_to_webmercator(out["lon"].to_numpy(), out["lat"].to_numpy())
+        np.testing.assert_allclose(out["x"], x)
+        np.testing.assert_allclose(out["y"], y)
