@@ -41,9 +41,12 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
              q_lon: str = "lon", q_lat: str = "lat",
              f_lon: str = "lon", f_lat: str = "lat",
              strategy: str = "broadcast", level: int = 7,
-             max_rings: int = 64) -> DataFrame:
+             max_rings: int = 64, metric: str = "haversine") -> DataFrame:
     """k nearest features per query point. Ties broken by (dist, feature_id).
 
+    ``metric``: 'haversine' (meters, great-circle — the default) or
+    'planar' (squared lon/lat degrees — exact FP-reproducible arithmetic,
+    used where results must be bit-comparable to an external SQL oracle).
     Returns (query_id, rank, feature_id, dist_m).
     """
     q = queries.select(F.col(query_id_col).alias("_qid"),
@@ -58,8 +61,16 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    cand = cand.withColumn("dist_m", haversine_expr(
-        F.col("_qlon"), F.col("_qlat"), F.col("_flon"), F.col("_flat")))
+    if metric == "haversine":
+        dist = haversine_expr(F.col("_qlon"), F.col("_qlat"),
+                              F.col("_flon"), F.col("_flat"))
+    elif metric == "planar":
+        dx = F.col("_flon") - F.col("_qlon")
+        dy = F.col("_flat") - F.col("_qlat")
+        dist = dx * dx + dy * dy
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    cand = cand.withColumn("dist_m", dist)
     w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_fid").asc())
     out = (cand.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k))

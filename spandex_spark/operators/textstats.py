@@ -79,8 +79,10 @@ def lang_id(df: DataFrame, *, text_col: str = "text",
 
 
 def fingerprint(df: DataFrame, *, text_col: str = "text",
-                out_col: str = "fingerprint") -> DataFrame:
-    """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
-    lowercased text (rolling-hash analog, JVM-side)."""
+                out_col: str = "fingerprint", algo: str = "xxhash64") -> DataFrame:
+    """Document fingerprint of the whitespace-normalized, lowercased text
+    (rolling-hash analog, JVM-side). ``algo``: 'xxhash64' (engine-native,
+    64-bit) or 'md5' (hex string, reproducible by external SQL engines)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return df.withColumn(out_col, F.xxhash64(norm))
+    fp = F.xxhash64(norm) if algo == "xxhash64" else F.md5(norm)
+    return df.withColumn(out_col, fp)

@@ -1,0 +1,3 @@
+from spandex_spark.sources.grids import (  # noqa: F401
+    derived_points, zones_df, parcels_df, gazetteer_grid_df, raster_tiles_df,
+)

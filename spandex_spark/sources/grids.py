@@ -1,0 +1,96 @@
+"""Deterministic in-Spark layer builders (zones / parcels / gazetteer grid /
+raster tiles / derived points).
+
+All closed-form and built entirely from ``spark.range`` + JVM expressions
+(no Python, no external data), so an external SQL engine (the driver's
+DuckDB oracle) can reproduce them bit-for-bit from the same arithmetic.
+These mirror the FIXTURES.md layers; the parquet fixture generators in
+fixtures.py produce the same shapes for pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def geom_struct(x0, y0, x1, y1):
+    """Axis-aligned-rectangle geometry struct (SoA encoding, SURVEY.md §1.2)."""
+    return F.struct(
+        F.lit(3).cast("tinyint").alias("kind"),
+        F.array(x0, x1, x1, x0).alias("xs"),
+        F.array(y0, y0, y1, y1).alias("ys"),
+        F.array(F.lit(0), F.lit(4)).alias("ring_offsets"),
+        F.struct(x0.alias("minx"), y0.alias("miny"),
+                 x1.alias("maxx"), y1.alias("maxy")).alias("bbox"),
+    )
+
+
+def derived_points(df: DataFrame, key_col: str) -> DataFrame:
+    """Deterministic point per row: lon/lat on a 0.01-degree lattice in the
+    ±10-degree world window, derived from an integer key by exact integer
+    arithmetic (reproducible in any SQL engine):
+    lon = ((key*7919) % 2000)/100 - 10, lat = ((key*104729) % 2000)/100 - 10.
+    """
+    k = F.col(key_col).cast("long")
+    return (df
+            .withColumn("lon", ((k * 7919) % 2000) / F.lit(100.0) - 10.0)
+            .withColumn("lat", ((k * 104729) % 2000) / F.lit(100.0) - 10.0))
+
+
+def zones_df(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §3: 20x20 grid of 1-degree squares over the window."""
+    z = spark.range(400).select(F.col("id").alias("zone_id"))
+    col = F.col("zone_id") % 20
+    row = (F.col("zone_id") - col) / 20
+    x0 = (col - 10).cast("double")
+    y0 = (row - 10).cast("double")
+    return z.select(
+        "zone_id",
+        geom_struct(x0, y0, x0 + 1.0, y0 + 1.0).alias("geom"),
+        F.element_at(F.array(F.lit("res"), F.lit("com"), F.lit("ind"), F.lit("open")),
+                     (F.col("zone_id") % 4 + 1).cast("int")).alias("zclass"))
+
+
+def parcels_df(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §4: 40x40 grid of 0.5-degree squares shifted (0.25, 0.25),
+    clipped to the window."""
+    p = spark.range(1600).select(F.col("id").alias("parcel_id"))
+    col = F.col("parcel_id") % 40
+    row = (F.col("parcel_id") - col) / 40
+    x0 = -10.0 + 0.25 + 0.5 * col.cast("double")
+    y0 = -10.0 + 0.25 + 0.5 * row.cast("double")
+    x1 = F.least(x0 + 0.5, F.lit(10.0))
+    y1 = F.least(y0 + 0.5, F.lit(10.0))
+    return p.select(
+        "parcel_id", geom_struct(x0, y0, x1, y1).alias("geom"),
+        (1000.0 + (F.col("parcel_id") % 17).cast("double") * 37.5).alias("land_value"))
+
+
+def gazetteer_grid_df(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §2: 32 synthetic places on a fixed grid."""
+    g = spark.range(32).select(F.col("id").alias("k"))
+    return g.select(
+        F.format_string("ville%02d", F.col("k")).alias("place"),
+        (-8.0 + (F.col("k") % 8).cast("double")).alias("lon"),
+        (-8.0 + 2.0 * F.floor(F.col("k") / 8).cast("double")).alias("lat"),
+        F.col("k").alias("poi_k"))
+
+
+def raster_tiles_df(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §6: 8x8 tiles x 50x50 px, res 0.05 deg,
+    v = sin(lon_c) + cos(lat_c) — values built JVM-side via transform()."""
+    t = spark.range(64).select(F.col("id").alias("tile_id"))
+    tx = F.col("tile_id") % 8
+    ty = (F.col("tile_id") - tx) / 8
+    x0 = (-10.0 + tx.cast("double") * 2.5)
+    y0 = (-10.0 + ty.cast("double") * 2.5)
+    res = F.lit(0.05)
+    # row-major pixel index p: row = p div 50, col = p mod 50
+    values = F.transform(
+        F.sequence(F.lit(0), F.lit(2499)),
+        lambda p: F.sin(x0 + ((p % 50).cast("double") + 0.5) * res)
+        + F.cos(y0 + (F.floor(p / 50).cast("double") + 0.5) * res))
+    return t.select("tile_id", x0.alias("x0"), y0.alias("y0"),
+                    res.alias("res"), F.lit(50).alias("nx"), F.lit(50).alias("ny"),
+                    values.alias("values"))
