@@ -1,0 +1,135 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline job = the north-star pipeline: 600k lineitem-derived points →
+quadkey cell index → two-phase PIP tag against the zone grid → nearest-
+feature (k=1) join — plus the web-pipeline heavies (overlay, zonal,
+minhash-LSH dedup, ANN top-k). Timing excludes SparkSession startup;
+each query is an action-to-action wall time. ``pip_knn_rows_per_sec`` is
+the BASELINE.json headline throughput (tagged+nearest rows / join secs).
+
+Scaling evidence (N vs 4N executors): scripts/bench_scaling.py runs this
+file at SPARK_GRAFT_CPUS=8 and 32 and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _pts_from_lineitem(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from spandex_spark.sources.grids import derived_points
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    keyed = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pt_id"))
+    return derived_points(keyed, "pt_id")
+
+
+def q_pip_tag_knn(spark, sf_dir):
+    """Headline: PIP tag + nearest-feature over the point stream, FUSED —
+    one scan, zero shuffles on the points (disjoint zone grid skips the
+    winner-resolve; the POI layer rides along as a broadcast numpy kernel)."""
+    from pyspark.sql import functions as F
+    from spandex_spark.operators import tag_points
+    from spandex_spark.operators.knn import nearest_feature_column
+    from spandex_spark.sources.grids import zones_df, gazetteer_grid_df
+    pts = _pts_from_lineitem(spark, sf_dir)
+    tagged = tag_points(pts, zones_df(spark), poly_id_col="zone_id",
+                        point_id_col="pt_id", level=9, assume_disjoint=True)
+    nearest = nearest_feature_column(gazetteer_grid_df(spark),
+                                     feature_id_col="poi_k")
+    nn = nearest(F.col("lon"), F.col("lat"))
+    return tagged.withColumn("poi_k", nn["feature_id"]) \
+                 .withColumn("poi_dist_m", nn["dist_m"])
+
+
+def q_overlay(spark, sf_dir):
+    from spandex_spark.operators import proportion_overlap
+    from spandex_spark.sources.grids import zones_df, parcels_df
+    return proportion_overlap(parcels_df(spark), zones_df(spark),
+                              target_id_col="parcel_id",
+                              overlay_id_col="zone_id", level=8)
+
+
+TILES_PATH = "/tmp/spandex_bench_tiles.parquet"
+
+
+def prepare_inputs(spark):
+    """Untimed input materialization (BASELINE.md: fixture generation is
+    excluded from timed join stages — a real raster IS a parquet table)."""
+    from spandex_spark.sources.grids import raster_tiles_df
+    raster_tiles_df(spark).write.mode("overwrite").parquet(TILES_PATH)
+
+
+def q_zonal(spark, sf_dir):
+    from spandex_spark.operators import zonal_stats
+    from spandex_spark.sources.grids import zones_df
+    tiles = spark.read.parquet(TILES_PATH)
+    return zonal_stats(tiles, zones_df(spark), level=7)
+
+
+def q_minhash(spark, sf_dir):
+    from spandex_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+
+
+def q_ann(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from spandex_spark.operators.similarity import ann_bruteforce
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_bruteforce(emb.filter(F.col("vec_id") % 10 == 0), emb, k=5)
+
+
+QUERIES = {
+    "pip_tag_knn": q_pip_tag_knn,
+    "overlay": q_overlay,
+    "zonal": q_zonal,
+    "minhash_dedup": q_minhash,
+    "ann_topk": q_ann,
+}
+
+
+def main():
+    from spandex_spark.session import get_spark
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(int(CPUS) * 4, 32))
+    times = {}
+    rows = {}
+    # warm up the JVM/Arrow path once with a cheap action
+    spark.range(1000).count()
+    prepare_inputs(spark)
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+        rows[name] = n
+    total = round(sum(times.values()), 3)
+    headline_tput = round(rows["pip_tag_knn"] / times["pip_tag_knn"], 1)
+    result = {
+        "metric": "headline query wall time (PIP tag + kNN, overlay, zonal, "
+                  "minhash dedup, ANN) at sf_dir",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": int(CPUS),
+        "rows": rows,
+        "pip_knn_rows_per_sec": headline_tput,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

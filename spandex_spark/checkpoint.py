@@ -72,7 +72,10 @@ class CheckpointedStage:
             out = fn(part.drop("_bucket")).withColumn(
                 "_bucket", bucket_col % self.n_buckets)
             out_path = os.path.join(self.root, f"batch-{batch[0]:05d}")
-            out.write.mode("overwrite").partitionBy("_bucket").parquet(out_path)
+            # _bucket kept as a data column (not dir partitioning): batch dirs
+            # stay uniform for multi-path reads; parquet min/max stats still
+            # prune bucket filters.
+            out.write.mode("overwrite").parquet(out_path)
             rows_out = spark.read.parquet(out_path).count()
             t1 = time.time()
             with open(self.manifest_path, "a") as fh:
@@ -93,7 +96,7 @@ class CheckpointedStage:
             if os.path.exists(self.manifest_path) else []
         if not paths:
             raise FileNotFoundError(f"no completed buckets for stage {self.stage}")
-        return spark.read.option("basePath", self.root).parquet(*paths).drop("_bucket")
+        return spark.read.parquet(*paths).drop("_bucket")
 
     def read_metrics(self, spark: SparkSession) -> DataFrame:
         return self.metrics.read(spark)

@@ -48,29 +48,58 @@ def _shingles(text_col, n: int = 3):
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 128,
                        shingle_n: int = 3, seed: int = 42) -> DataFrame:
-    """MinHash signature per document. Shingles are hashed JVM-side
-    (xxhash64); the num_hashes universal-hash mins are one numpy matrix op
-    per Arrow batch in a pandas UDF."""
+    """MinHash signature per document.
+
+    Hot path: WORDS are hashed JVM-side (one xxhash64 per token); word
+    n-gram shingle hashes are a vectorized rolling combine inside the Arrow
+    kernel (odd-constant multiply + xor — string shingles never
+    materialize), then the H universal-hash mins run as H vectorized passes
+    over the batch-flattened shingle array with segment-min via
+    minimum.reduceat. No per-row Python in the heavy loop. (a*x+b) wraps
+    mod 2^64 then reduces mod 2^61-1 — only internal consistency matters
+    for MinHash, not algebraic universality."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
+    C = [np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+         np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5),
+         np.uint64(0x85EBCA6B27D4EB4F)]
 
     @pandas_udf(T.ArrayType(T.LongType()))
-    def _minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            x = np.asarray(h, dtype=np.int64).astype(np.uint64) % np.uint64(_MERSENNE)
-            # (a*x + b) mod p, per hash function — (H, S) broadcast
-            vals = (a.astype(np.uint64)[:, None] * x[None, :]
-                    + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64).tolist()
-                       if x.shape[0] else [0] * a.shape[0])
-        return pd.Series(out)
+    def _minhash(word_hashes: pd.Series) -> pd.Series:
+        n = len(word_hashes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        H = au.shape[0]
+        sigs = np.zeros((n, H), dtype=np.int64)
+        shingle_rows = []
+        lens = np.zeros(n, dtype=np.int64)
+        for i, wh in enumerate(word_hashes):
+            w = np.asarray(wh, dtype=np.int64).astype(np.uint64)
+            if w.shape[0] == 0:
+                continue
+            m = max(w.shape[0] - (shingle_n - 1), 1)
+            sh = np.zeros(m, dtype=np.uint64)
+            for j in range(min(shingle_n, w.shape[0])):
+                sh ^= w[j:j + m] * C[j % len(C)]
+            shingle_rows.append(sh)
+            lens[i] = m
+        if shingle_rows:
+            flat = np.concatenate(shingle_rows) % np.uint64(_MERSENNE)
+            ne_idx = np.flatnonzero(lens > 0)
+            offsets = np.zeros(ne_idx.shape[0], dtype=np.int64)
+            np.cumsum(lens[ne_idx][:-1], out=offsets[1:])
+            for i in range(H):
+                v = (au[i] * flat + bu[i]) % np.uint64(_MERSENNE)
+                sigs[ne_idx, i] = np.minimum.reduceat(v, offsets).astype(np.int64)
+        return pd.Series(list(sigs))
 
-    sh = df.select(id_col, _shingles(F.col(text_col), shingle_n).alias("_sh"))
-    hashed = sh.withColumn(
-        "_h", F.transform(F.col("_sh"), lambda s: F.xxhash64(s))).drop("_sh")
-    return hashed.withColumn("signature", _minhash(F.col("_h"))).drop("_h")
+    words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    hashed = df.select(
+        id_col, F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"))
+    return hashed.withColumn("signature", _minhash(F.col("_wh"))).drop("_wh")
 
 
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
@@ -90,10 +119,13 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                   F.col("_band"),
                   F.slice("signature", F.col("_band") * rows_per_band + 1,
                           rows_per_band).cast("string"))))
-    # cap runaway buckets (boilerplate mega-clusters)
+    # cap runaway buckets (boilerplate mega-clusters); persist — the banded
+    # signature table feeds BOTH sides of the self-join, and recomputing it
+    # means re-shingling the corpus twice
     w = Window.partitionBy("_band", "_bhash").orderBy(id_col)
     capped = (banded.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= max_bucket))
+              .filter(F.col("_rn") <= max_bucket)
+              .persist())
     lhs = capped.select(F.col("_band"), F.col("_bhash"),
                         F.col(id_col).alias("id_a"),
                         F.col("signature").alias("_sig_a"))

@@ -54,6 +54,9 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
     f = features.select(F.col(feature_id_col).alias("_fid"),
                         F.col(f_lon).alias("_flon"), F.col(f_lat).alias("_flat"))
 
+    if strategy == "kernel":
+        return _knn_kernel(q, f, k=k, query_id_col=query_id_col,
+                           feature_id_col=feature_id_col, metric=metric)
     if strategy == "broadcast":
         cand = q.crossJoin(F.broadcast(f))
     elif strategy == "cells":
@@ -71,11 +74,112 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
     else:
         raise ValueError(f"unknown metric {metric!r}")
     cand = cand.withColumn("dist_m", dist)
+    if k == 1:
+        # k=1 fast path: min(struct) hash-aggregates with map-side partials —
+        # the shuffle carries one row per (query, partition), not the whole
+        # candidate set. The window path below shuffles every candidate.
+        best = (cand.groupBy("_qid")
+                .agg(F.min(F.struct("dist_m", "_fid")).alias("_best")))
+        return best.select(F.col("_qid").alias(query_id_col),
+                           F.lit(1).alias("rank"),
+                           F.col("_best._fid").alias(feature_id_col),
+                           F.col("_best.dist_m").alias("dist_m"))
     w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_fid").asc())
     out = (cand.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k))
     return out.select(F.col("_qid").alias(query_id_col), "rank",
                       F.col("_fid").alias(feature_id_col), "dist_m")
+
+
+def _knn_kernel(q: DataFrame, f: DataFrame, *, k: int, query_id_col: str,
+                feature_id_col: str, metric: str) -> DataFrame:
+    """Small-feature-side fast path: features collected once (broadcast-
+    sized by contract, like a POI/stop layer) and closed over a mapInPandas
+    scan of the query stream — one (B x M) numpy distance matrix per Arrow
+    batch, no M-way row fan-out, no shuffle at all. Exact."""
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+    from spandex_spark.geom import haversine_m
+
+    frows = f.collect()
+    fids = np.array([r["_fid"] for r in frows], dtype=np.int64)
+    flon = np.array([r["_flon"] for r in frows], dtype=np.float64)
+    flat = np.array([r["_flat"] for r in frows], dtype=np.float64)
+    kk = min(k, fids.shape[0])
+
+    schema = T.StructType([
+        T.StructField("q", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("fid", T.LongType()),
+        T.StructField("dist_m", T.DoubleType()),
+    ])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            qlon = pdf["_qlon"].to_numpy(np.float64)
+            qlat = pdf["_qlat"].to_numpy(np.float64)
+            if metric == "haversine":
+                d = haversine_m(qlon[:, None], qlat[:, None],
+                                flon[None, :], flat[None, :])
+            else:
+                d = ((flon[None, :] - qlon[:, None]) ** 2
+                     + (flat[None, :] - qlat[:, None]) ** 2)
+            # exact (dist, fid) tie-break: full lexsort — M is broadcast-sized
+            sel = np.lexsort((np.broadcast_to(fids, d.shape), d), axis=1)[:, :kk]
+            yield pd.DataFrame({
+                "q": np.repeat(pdf["_qid"].to_numpy(np.int64), kk),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+                "fid": fids[sel.ravel()],
+                "dist_m": np.take_along_axis(d, sel, axis=1).ravel(),
+            })
+
+    out = q.mapInPandas(scan, schema=schema)
+    return out.select(F.col("q").alias(query_id_col), "rank",
+                      F.col("fid").alias(feature_id_col), "dist_m")
+
+
+def nearest_feature_column(features: DataFrame, *, feature_id_col: str,
+                           f_lon: str = "lon", f_lat: str = "lat",
+                           metric: str = "haversine"):
+    """Column factory for the fused pipeline: ``col = nearest(lon, lat)``
+    returns struct(feature_id, dist_m) of the nearest feature, computed as
+    one numpy distance matrix per Arrow batch against the collected
+    (broadcast-sized) feature set. Lets tag+kNN run as a single scan with
+    no join on the point stream."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+    from spandex_spark.geom import haversine_m
+
+    frows = features.select(feature_id_col, f_lon, f_lat).collect()
+    fids = np.array([r[0] for r in frows], dtype=np.int64)
+    flon = np.array([r[1] for r in frows], dtype=np.float64)
+    flat = np.array([r[2] for r in frows], dtype=np.float64)
+
+    out_type = T.StructType([T.StructField("feature_id", T.LongType()),
+                             T.StructField("dist_m", T.DoubleType())])
+
+    @pandas_udf(out_type)
+    def _nearest(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        if len(lon) == 0:
+            return pd.DataFrame({"feature_id": [], "dist_m": []})
+        qlon = lon.to_numpy(np.float64)
+        qlat = lat.to_numpy(np.float64)
+        if metric == "haversine":
+            d = haversine_m(qlon[:, None], qlat[:, None],
+                            flon[None, :], flat[None, :])
+        else:
+            d = ((flon[None, :] - qlon[:, None]) ** 2
+                 + (flat[None, :] - qlat[:, None]) ** 2)
+        # argmin with (dist, fid) tie-break: fids are sorted-stable via lexsort
+        sel = np.lexsort((np.broadcast_to(fids, d.shape), d), axis=1)[:, 0]
+        return pd.DataFrame({"feature_id": fids[sel],
+                             "dist_m": np.take_along_axis(
+                                 d, sel[:, None], axis=1).ravel()})
+
+    return _nearest
 
 
 def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,

@@ -1,12 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the exact baseline (JVM-side zip_with/aggregate
-— stays in codegen, no Python), and a random-hyperplane LSH-bucketed
-variant as the 100 TB scale path (candidates only from colliding buckets;
-recall tuned by n_tables x n_bits).
+Brute-force cosine top-k as the exact baseline and a random-hyperplane
+LSH-bucketed variant as the 100 TB scale path.
+
+Scale design for the brute force: the QUERY side is broadcast-sized by
+definition (top-k against a handful-to-thousands of probes); it is
+collected once to a normalized numpy matrix and closed over a mapInPandas
+scan of the corpus, which emits only k+1 local winners per query per
+Arrow batch (a Q x B numpy matmul per batch — BLAS, no per-row work, no
+cross join materialized). A final window over Q x k x n_batches rows picks
+the global top-k. The corpus streams; nothing about it is collected.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -27,26 +35,61 @@ def norm_expr(a):
 
 
 def cosine_expr(a, b):
-    """Cosine similarity of two array<numeric> columns, fully JVM-side."""
+    """Cosine similarity of two array<numeric> columns via JVM higher-order
+    functions. Bit-reproducible sequential summation (matches an external
+    SQL engine's fold order) — use for oracle-checked pair queries; the
+    hot-path top-k uses the numpy scan below instead (HOFs are interpreted,
+    not codegen'd)."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return dot_expr(ad, bd) / (norm_expr(ad) * norm_expr(bd))
 
 
+_CAND_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType()),
+    T.StructField("neighbor_id", T.LongType()),
+    T.StructField("cosine", T.DoubleType()),
+])
+
+
 def ann_bruteforce(queries: DataFrame, corpus: DataFrame, *, k: int,
                    q_id: str = "vec_id", c_id: str = "vec_id",
                    q_vec: str = "embedding", c_vec: str = "embedding") -> DataFrame:
-    """Exact cosine top-k: broadcast the smaller side, window top-k.
-    Returns (query_id, rank, neighbor_id, cosine). Self-matches excluded
-    when ids collide."""
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
-    cand = (q.crossJoin(F.broadcast(c))
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv"))))
+    """Exact cosine top-k of each query against the corpus.
+    Returns (query_id, rank, neighbor_id, cosine); self-matches (equal ids)
+    excluded. The query side is collected (broadcast-sized by contract)."""
+    qrows = queries.select(q_id, q_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qmat = qmat / qnorm[:, None]
+    kk = k + 1  # keep one spare so a dropped self-match can't cost a winner
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[c_id].to_numpy(np.int64)
+            cmat = np.stack([np.asarray(v, np.float64) for v in pdf[c_vec]])
+            cn = np.linalg.norm(cmat, axis=1)
+            cn[cn == 0] = 1.0
+            sims = qmat @ (cmat / cn[:, None]).T  # (Q, B)
+            b = sims.shape[1]
+            top = min(kk, b)
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            rows_q = np.repeat(qids, top)
+            rows_n = cids[part.ravel()]
+            rows_c = np.take_along_axis(sims, part, axis=1).ravel()
+            keep = rows_q != rows_n
+            yield pd.DataFrame({"query_id": rows_q[keep],
+                                "neighbor_id": rows_n[keep],
+                                "cosine": rows_c[keep]})
+
+    local = corpus.mapInPandas(scan, schema=_CAND_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
@@ -59,24 +102,20 @@ def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
 def lsh_bucket_udf(dim: int, n_tables: int = 8, n_bits: int = 12,
                    seed: int = 42):
     """Signed-random-projection bucket ids: array of n_tables (table, code)
-    longs per vector. Deterministic (seeded hyperplanes)."""
+    longs per vector. Deterministic (seeded hyperplanes); whole-batch numpy."""
     planes = _hyperplanes(dim, n_tables, n_bits, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, np.float64) for v in vec])
-        out = []
         codes = np.zeros((mat.shape[0], n_tables), np.int64)
         for t in range(n_tables):
-            proj = mat @ planes[t].T  # (N, n_bits)
-            bits = (proj > 0).astype(np.int64)
-            code = np.zeros(mat.shape[0], np.int64)
-            for b in range(n_bits):
-                code |= bits[:, b] << b
+            bits = (mat @ planes[t].T > 0).astype(np.int64)  # (N, n_bits)
+            code = (bits << np.arange(n_bits, dtype=np.int64)[None, :]).sum(axis=1)
             codes[:, t] = (np.int64(t) << np.int64(n_bits)) | code
-        for i in range(mat.shape[0]):
-            out.append(codes[i].tolist())
-        return pd.Series(out)
+        return pd.Series(list(codes))
 
     return _buckets
 
@@ -87,18 +126,31 @@ def ann_lsh(queries: DataFrame, corpus: DataFrame, *, k: int, dim: int,
             n_tables: int = 8, n_bits: int = 10, seed: int = 42) -> DataFrame:
     """Approximate top-k: candidates from LSH bucket collisions only, exact
     cosine rerank. Queries with no collisions return no rows (raise
-    n_tables / lower n_bits for recall)."""
+    n_tables / lower n_bits for recall). Both sides stream — this is the
+    large-queries / large-corpus path."""
     buckets = lsh_bucket_udf(dim, n_tables, n_bits, seed)
     q = (queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-         .withColumn("_b", F.explode(buckets(F.col(q_vec)))))
+         .withColumn("_b", F.explode(buckets(F.col("_qv")))))
     c = (corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
-         .withColumn("_b", F.explode(buckets(F.col(c_vec)))))
+         .withColumn("_b", F.explode(buckets(F.col("_cv")))))
     cand = (q.join(c, "_b")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .dropDuplicates(["query_id", "neighbor_id"])
-            .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv"))))
+            .withColumn("cosine", _cosine_pairs_udf(F.col("_qv"), F.col("_cv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
+@pandas_udf(T.DoubleType())
+def _cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
+    am = np.stack([np.asarray(v, np.float64) for v in a])
+    bm = np.stack([np.asarray(v, np.float64) for v in b])
+    num = (am * bm).sum(axis=1)
+    den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+    den[den == 0] = 1.0
+    return pd.Series(num / den)

@@ -7,47 +7,105 @@ a coarse quadkey-cell equi-join (Catalyst broadcast or shuffle hash join,
 AQE-managed) followed by an exact vectorized ray-cast refine — the
 load-bearing pattern for every spatial operator in this engine.
 
-Scale notes (100 TB): the points side streams (never collected, never
-deduped); the polygon side explodes into covering cells and is broadcast
-when small (zone layers almost always are — even 10M polygons x 4 cells is
-a few GB, below a large cluster's broadcast budget with
-autoBroadcastJoinThreshold raised) else shuffle-hash-joined on `cell` with
-AQE skew splitting + explicit mega-cell salting (operators/skew.py).
+Scale notes (100 TB):
+- the point side streams; its cell key is a PURE JVM expression
+  (functions/cells_sql.py) — no Python crossing, and Catalyst may safely
+  evaluate it twice (join-key null filter + projection) at codegen speed;
+- the polygon side explodes into covering cells and is broadcast when small
+  (zone layers almost always are). In that mode the refine kernel receives
+  the polygon rings BY CLOSURE (one copy per executor, like the broadcast
+  itself) so candidate rows never carry geometry arrays through Arrow;
+- for large polygon layers (broadcast_polys=False) the join shuffles on
+  `cell` with AQE skew splitting + explicit mega-cell salting
+  (operators/skew.py), and geometry rides the candidate rows.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
-from spandex_spark.functions.spatial import cell_of_udf, cover_cells_udf, pip_refine, centroid_udf
+from spandex_spark.functions.cells_sql import cell_of_expr, cell_parent_expr
+from spandex_spark.functions.spatial import cover_cells_udf, pip_refine, centroid_udf
+from spandex_spark import geom as _geom
+
+
+def _pip_closure(polys: dict):
+    """PIP refine with the polygon rings captured by closure: the Arrow
+    batch carries only (lon, lat, poly_id) — no geometry arrays per row."""
+
+    @pandas_udf(T.BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        ids = poly_id.to_numpy(np.int64)
+        out = _geom.pip_pairs(lon.to_numpy(np.float64),
+                              lat.to_numpy(np.float64), ids, polys)
+        return pd.Series(out)
+
+    return _pip
 
 
 def tag_points(points: DataFrame, polygons: DataFrame, *,
                poly_id_col: str, point_id_col: str, level: int = 9,
                lon_col: str = "lon", lat_col: str = "lat",
                poly_attr_cols: tuple[str, ...] = (),
-               broadcast_polys: bool = True) -> DataFrame:
+               broadcast_polys: bool = True,
+               assume_disjoint: bool = False,
+               repartition_by_cell: int | None = None) -> DataFrame:
     """Tag each point with the containing polygon's id (NULL if none).
 
     Returns all point columns + ``poly_id_col`` (+ requested polygon attrs).
     For disjoint polygon layers each point matches at most one polygon; for
     overlapping layers the smallest ``poly_id_col`` wins (deterministic).
+
+    ``assume_disjoint=True`` (zone/parcel layers — polygons don't overlap):
+    a point sits in exactly one cell and a polygon covers that cell once,
+    so each point produces at most one refined hit — the groupBy resolver
+    and the join-back are skipped entirely (two shuffles saved; unmatched
+    points are dropped, i.e. inner semantics).
     """
     polys = polygons.select(
         F.col(poly_id_col).alias("_pid"), "geom",
         *[F.col(c).alias(f"_attr_{c}") for c in poly_attr_cols])
-    polys_cells = polys.withColumn(
-        "cell", F.explode(cover_cells_udf(F.col("geom"), level)))
-    if broadcast_polys:
-        polys_cells = F.broadcast(polys_cells)
 
     pts = points.withColumn(
-        "cell", cell_of_udf(F.col(lon_col), F.col(lat_col), level))
+        "cell", cell_of_expr(F.col(lon_col), F.col(lat_col), level))
+    if repartition_by_cell:
+        # spread the stream across the cluster keyed by a coarse cell prefix
+        # (north star: AQE-aware repartitioning by cell prefix) — one narrow
+        # 2-col-wider shuffle that parallelizes every downstream stage and
+        # co-locates spatially adjacent points for the refine kernel
+        pts = pts.repartition(repartition_by_cell,
+                              cell_parent_expr(F.col("cell"), level,
+                                               max(level - 4, 0)),
+                              F.col("cell"))
 
-    cand = pts.join(polys_cells, "cell", "inner")
-    hits = cand.filter(
-        pip_refine(F.col(lon_col), F.col(lat_col), F.col("geom"), F.col("_pid")))
+    if broadcast_polys:
+        # geometry by closure; join side carries ids + attrs only
+        rings = {int(r["_pid"]): (np.asarray(r["geom"]["xs"], np.float64),
+                                  np.asarray(r["geom"]["ys"], np.float64))
+                 for r in polys.select("_pid", "geom").collect()}
+        polys_cells = F.broadcast(
+            polys.withColumn("cell", F.explode(cover_cells_udf(F.col("geom"), level)))
+            .drop("geom"))
+        cand = pts.join(polys_cells, "cell", "inner")
+        refine = _pip_closure(rings)
+        hits = cand.filter(refine(F.col(lon_col), F.col(lat_col), F.col("_pid")))
+    else:
+        polys_cells = polys.withColumn(
+            "cell", F.explode(cover_cells_udf(F.col("geom"), level)))
+        cand = pts.join(polys_cells, "cell", "inner")
+        hits = cand.filter(pip_refine(F.col(lon_col), F.col(lat_col),
+                                      F.col("geom"), F.col("_pid")))
+
+    if assume_disjoint:
+        return hits.select(
+            *[F.col(c) for c in points.columns],
+            F.col("_pid").alias(poly_id_col),
+            *[F.col(f"_attr_{c}").alias(c) for c in poly_attr_cols])
 
     # winner per point: min poly id (unique anyway for disjoint layers).
     agg_cols = [F.min("_pid").alias(poly_id_col)] + [
@@ -67,6 +125,5 @@ def tag(targets: DataFrame, polygons: DataFrame, *,
     cent = cent.withColumn("_clon", F.col("_c.x")).withColumn("_clat", F.col("_c.y")).drop("_c")
     out = tag_points(cent, polygons, poly_id_col=poly_id_col,
                      point_id_col=target_id_col, level=level,
-                     lon_col="_clon", lat_col="_clat",
                      poly_attr_cols=poly_attr_cols)
     return out.drop("_clon", "_clat")

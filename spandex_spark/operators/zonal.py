@@ -3,24 +3,33 @@
 Reference semantics: spandex/rastertoolz.py (from_geotiff/to_matrix/
 clip2shp + rasterstats-style zonal_stats(vectors, raster, stats)). Rebuilt
 Spark-native: the raster is a TILE TABLE (tile_id, x0, y0, res, nx, ny,
-values row-major) — tiles join to zones on coarse cells, then a grouped
-Arrow kernel computes PARTIAL stats (count/sum/sumsq/min/max) of the pixels
-of each (tile, zone) pair via a vectorized pixel-center-in-polygon mask;
-a final hash aggregation combines partials per zone. Map-side-partial →
-reduce shape: the pixel data never shuffles, only (zone, partial) rows do.
+values row-major) — tiles join to zones on coarse cells, then a vectorized
+Arrow kernel computes PARTIAL stats (count/sum/sumsq/min/max) of each
+(tile, zone) pair via a pixel-center-in-polygon mask; a final hash
+aggregation combines partials per zone.
+
+Scale shape: the candidate (tile, zone) pair list is built and deduped on
+IDs ONLY (pixel arrays excluded), zones are aggregated per tile
+(collect_list of small rings), and the pixel arrays join in exactly once
+per tile — so the heavy column never fans out per pair and never shuffles
+more than once. Map-side partials → reduce: only (zone, partial) rows move
+in the final shuffle.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from spandex_spark import geom as _geom
-from spandex_spark.functions.spatial import cover_cells_udf
 from spandex_spark import cells as _cells
+from spandex_spark.functions.spatial import cover_cells_udf
 
 _PARTIAL_SCHEMA = T.StructType([
     T.StructField("zone_id", T.LongType()),
@@ -37,38 +46,54 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                 broadcast_zones: bool = True) -> DataFrame:
     """Per-zone count/sum/mean/min/max/stddev of raster pixel values whose
     pixel CENTER falls in the zone (rasterstats default semantics)."""
-    zc = (zones.select(F.col(zone_id_col).alias("_zid"), "geom")
-          .withColumn("cell", F.explode(cover_cells_udf(F.col("geom"), level))))
+    zc = zones.select(F.col(zone_id_col).alias("_zid"),
+                      F.col("geom")["xs"].alias("_zxs"),
+                      F.col("geom")["ys"].alias("_zys"),
+                      F.explode(cover_cells_udf(F.col("geom"), level)).alias("cell"))
     if broadcast_zones:
         zc = F.broadcast(zc)
 
-    tc = tiles.withColumn("cell", F.explode(_tile_cells_udf(
-        F.col("x0"), F.col("y0"), F.col("res"), F.col("nx"), F.col("ny"),
-        F.lit(level))))
+    tile_cells = tiles.select(
+        "tile_id",
+        F.explode(_tile_cells_udf(F.col("x0"), F.col("y0"), F.col("res"),
+                                  F.col("nx"), F.col("ny"), F.lit(level))).alias("cell"))
 
-    pairs = tc.join(zc, "cell", "inner").dropDuplicates(["tile_id", "_zid"])
+    # candidate pairs on ids only — the pixel arrays stay out of this shuffle
+    pairs = (tile_cells.join(zc, "cell", "inner")
+             .dropDuplicates(["tile_id", "_zid"]))
+    zones_per_tile = pairs.groupBy("tile_id").agg(
+        F.collect_list(F.struct("_zid", "_zxs", "_zys")).alias("_zones"))
 
-    def compute_partials(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, row in pdf.iterrows():
-            vals = np.asarray(row["values"], np.float64)
-            nx, ny, res = int(row["nx"]), int(row["ny"]), float(row["res"])
-            px = float(row["x0"]) + (np.arange(nx) + 0.5) * res
-            py = float(row["y0"]) + (np.arange(ny) + 0.5) * res
-            lon, lat = np.meshgrid(px, py)
-            lon, lat = lon.ravel(), lat.ravel()
-            xs = np.asarray(row["geom"]["xs"], np.float64)
-            ys = np.asarray(row["geom"]["ys"], np.float64)
-            mask = _geom.points_in_polygon(lon, lat, xs, ys)
-            if not mask.any():
-                continue
-            v = vals[mask]
-            rows.append((int(row["_zid"]), int(v.shape[0]), float(v.sum()),
-                         float((v * v).sum()), float(v.min()), float(v.max())))
-        return pd.DataFrame(rows, columns=["zone_id", "cnt", "s", "s2", "mn", "mx"])
+    # pixel arrays join in exactly once per tile
+    tj = tiles.join(zones_per_tile, "tile_id", "inner")
 
-    partials = pairs.groupBy("tile_id", "_zid").applyInPandas(
-        compute_partials, schema=_PARTIAL_SCHEMA)
+    def compute_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                vals = np.asarray(row["values"], np.float64)
+                nx, ny, res = int(row["nx"]), int(row["ny"]), float(row["res"])
+                px = float(row["x0"]) + (np.arange(nx) + 0.5) * res
+                py = float(row["y0"]) + (np.arange(ny) + 0.5) * res
+                lon, lat = np.meshgrid(px, py)
+                lon, lat = lon.ravel(), lat.ravel()
+                for z in row["_zones"]:
+                    xs = np.asarray(z["_zxs"], np.float64)
+                    ys = np.asarray(z["_zys"], np.float64)
+                    # bbox pre-filter before the exact PIP
+                    box = ((lon >= xs.min()) & (lon <= xs.max())
+                           & (lat >= ys.min()) & (lat <= ys.max()))
+                    if not box.any():
+                        continue
+                    mask = _geom.points_in_polygon(lon[box], lat[box], xs, ys)
+                    if not mask.any():
+                        continue
+                    v = vals[box][mask]
+                    rows.append((int(z["_zid"]), int(v.shape[0]), float(v.sum()),
+                                 float((v * v).sum()), float(v.min()), float(v.max())))
+            yield pd.DataFrame(rows, columns=["zone_id", "cnt", "s", "s2", "mn", "mx"])
+
+    partials = tj.mapInPandas(compute_partials, schema=_PARTIAL_SCHEMA)
 
     out = (partials.groupBy("zone_id")
            .agg(F.sum("cnt").alias("px_count"),
@@ -79,9 +104,6 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                 F.sqrt(F.sum("s2") / F.sum("cnt")
                        - (F.sum("s") / F.sum("cnt")) ** 2).alias("px_std")))
     return out.withColumnRenamed("zone_id", zone_id_col)
-
-
-from pyspark.sql.functions import pandas_udf  # noqa: E402
 
 
 @pandas_udf(T.ArrayType(T.LongType()))

@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPANDEX_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # small-file sandbox: default 128MB gives a 600k-row table ONE input
+        # split, serializing every downstream narrow stage; 8MB splits keep
+        # all cores busy (a real 100TB table has thousands of splits anyway)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPANDEX_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)))
     )
     if extra_conf:
         for k, v in extra_conf.items():

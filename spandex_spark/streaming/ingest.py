@@ -1,0 +1,69 @@
+"""Structured Streaming ingest for the pages table.
+
+The reference has NO streaming surface (spandex is batch PostGIS ETL —
+SURVEY.md §2.3 records it as deliberately absent), so this module is the
+web-scale graft's incremental-ingest path, not a ported operator: new page
+files land in a directory; the stream geotags them (the same pure-JVM
+geotag used in batch — identical semantics), assigns cells, and appends
+Parquet partitioned work units with exactly-once file-sink semantics.
+
+Batch/stream parity: geotag() is a deterministic narrow transformation, so
+`stream_geotag_pages(...)` over N files == batch geotag over the union —
+asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spandex_spark.geotag import geotag
+from spandex_spark.functions.cells_sql import cell_of_expr
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def stream_geotag_pages(spark: SparkSession, input_dir: str, output_dir: str,
+                        checkpoint_dir: str, gazetteer: DataFrame | None = None,
+                        level: int = 9, available_now: bool = True):
+    """File-source stream → geotag → cell assignment → Parquet append sink.
+
+    ``available_now=True`` drains everything currently present and stops
+    (test/backfill mode); False runs continuously. Returns the query handle.
+    """
+    pages = (spark.readStream.schema(PAGES_SCHEMA)
+             .option("maxFilesPerTrigger", 8)
+             .parquet(input_dir))
+    tagged = geotag(pages, gazetteer)
+    tagged = tagged.withColumn(
+        "cell", F.when(F.col("lon").isNotNull(),
+                       cell_of_expr(F.col("lon"), F.col("lat"), level)))
+    writer = (tagged.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_page_rates(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, window: str = "1 hour",
+                      watermark: str = "2 hours"):
+    """Windowed page-arrival counts per lang with late-data watermarking —
+    the standard streaming-agg shape (memory sink for inspection/tests)."""
+    pages = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir))
+    agg = (pages.withWatermark("warc_ts", watermark)
+           .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+           .agg(F.count("*").alias("n_pages"))
+           .select(F.col("w.start").alias("window_start"), "lang", "n_pages"))
+    return (agg.writeStream.format("memory").queryName("page_rates")
+            .outputMode("complete").trigger(availableNow=True).start())

@@ -1,0 +1,112 @@
+"""Dedup + similarity operator tests (constructed duplicates; brute-force
+oracles)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spandex_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_verify, simhash_dedup,
+    embedding_neardup_pairs,
+)
+from spandex_spark.operators.similarity import ann_bruteforce, ann_lsh
+
+
+def _docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find food for the winter")
+    variant = base.replace("winter", "summer")  # near-dup of base
+    other = ("completely different content about spark query engines and "
+             "distributed columnar storage with vectorized execution paths "
+             "plus adaptive shuffle partitioning for skewed workloads today")
+    rows = [
+        (0, base), (1, base),            # exact dups
+        (2, variant),                    # near-dup of 0/1
+        (3, other), (4, other + " x"),   # near-dups of each other
+        (5, "tiny text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups(self, spark):
+        out = {r.canonical_id: r.n_dups for r in exact_dedup(_docs(spark)).collect()}
+        assert out[0] == 2  # docs 0 and 1 identical
+        assert out[2] == 1 and out[5] == 1
+
+
+class TestMinhash:
+    def test_near_dups_found_and_jaccard_sane(self, spark):
+        docs = _docs(spark)
+        pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=32)
+        got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+        assert got.get((0, 1)) == 1.0          # identical → all signatures agree
+        assert (0, 2) in got or (1, 2) in got  # near-dup caught by some band
+        assert (3, 4) in got
+        assert (0, 3) not in got               # unrelated docs don't collide
+
+    def test_verify_stage_exact_jaccard(self, spark):
+        docs = _docs(spark)
+        pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=32)
+        verified = {(r.id_a, r.id_b): r.jaccard
+                    for r in ngram_jaccard_verify(docs, pairs).collect()}
+        assert verified[(0, 1)] == 1.0
+        if (0, 2) in verified:
+            assert 0.5 < verified[(0, 2)] < 1.0
+
+
+class TestSimhash:
+    def test_exact_and_near(self, spark):
+        out = {(r.id_a, r.id_b): r.hamming
+               for r in simhash_dedup(_docs(spark), hamming_threshold=10).collect()}
+        assert out[(0, 1)] == 0
+        assert out[(3, 4)] <= 10
+        assert (0, 5) not in out
+
+
+class TestEmbeddingNearDup:
+    def test_threshold(self, spark):
+        rng = np.random.default_rng(42)
+        v = rng.standard_normal(16)
+        rows = [(0, v.tolist()), (1, (v + 0.01 * rng.standard_normal(16)).tolist()),
+                (2, rng.standard_normal(16).tolist())]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {(r.id_a, r.id_b): r.cosine
+               for r in embedding_neardup_pairs(emb, threshold=0.95).collect()}
+        assert (0, 1) in out and out[(0, 1)] > 0.99
+        assert (0, 2) not in out
+
+
+class TestANN:
+    def _emb(self, spark, n=300, dim=32):
+        rng = np.random.default_rng(7)
+        mat = rng.standard_normal((n, dim))
+        return (spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(n)], ["vec_id", "embedding"]),
+            mat)
+
+    def test_bruteforce_matches_numpy(self, spark):
+        emb, mat = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 5)
+        got = {}
+        for r in ann_bruteforce(q, emb, k=3).collect():
+            got[(r.query_id, r.rank)] = r.neighbor_id
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        for qi in range(5):
+            s = sims[qi].copy()
+            s[qi] = -np.inf
+            order = np.lexsort((np.arange(len(s)), -s))[:3]
+            for rank, nid in enumerate(order, 1):
+                assert got[(qi, rank)] == nid
+
+    def test_lsh_recall(self, spark):
+        emb, mat = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in ann_bruteforce(q, emb, k=1).collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ann_lsh(q, emb, k=1, dim=32,
+                                   n_tables=12, n_bits=6).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5  # deterministic given the fixed seed

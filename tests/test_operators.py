@@ -143,6 +143,51 @@ class TestKnn:
             for r in got:
                 assert want_map[(r.qid, r.rank)] == r.poi_id
 
+    def test_kernel_strategy_matches_broadcast(self, spark, fixture_dir):
+        poi = load(spark, fixture_dir, "poi")
+        gaz = load(spark, fixture_dir, "gazetteer")
+        q = gaz.select(F.col("place").alias("qid"), "lon", "lat")
+        a = {(r.qid, r.rank): r.poi_id for r in
+             knn_join(q, poi, k=3, query_id_col="qid", feature_id_col="poi_id",
+                      strategy="broadcast").collect()}
+        # kernel path needs a long query id — remap
+        q2 = gaz.select(F.col("poi_id_q").alias("qid"), "lon", "lat") \
+            if "poi_id_q" in gaz.columns else None
+        qn = gaz.withColumn("qid", F.monotonically_increasing_id())
+        b_rows = knn_join(qn.select("qid", "lon", "lat", "place"), poi, k=3,
+                          query_id_col="qid", feature_id_col="poi_id",
+                          strategy="kernel").collect()
+        name = {r.qid: r.place for r in qn.select("qid", "place").collect()}
+        b = {(name[r.qid], r.rank): r.poi_id for r in b_rows}
+        assert a == b
+
+    def test_assume_disjoint_matches_default(self, spark, fixture_dir):
+        pages = load(spark, fixture_dir, "pages")
+        gaz = load(spark, fixture_dir, "gazetteer")
+        zones = load(spark, fixture_dir, "zones")
+        pts = geotag(pages, gaz).filter(F.col("lon").isNotNull())
+        base = {(r.url, r.zone_id) for r in
+                tag_points(pts, zones, poly_id_col="zone_id",
+                           point_id_col="url").collect()
+                if r.zone_id is not None}
+        fast = {(r.url, r.zone_id) for r in
+                tag_points(pts, zones, poly_id_col="zone_id",
+                           point_id_col="url", assume_disjoint=True).collect()}
+        assert base == fast
+
+    def test_fused_nearest_column_matches_knn1(self, spark, fixture_dir):
+        from spandex_spark.operators.knn import nearest_feature_column
+        poi = load(spark, fixture_dir, "poi")
+        gaz = load(spark, fixture_dir, "gazetteer")
+        qn = gaz.withColumn("qid", F.monotonically_increasing_id())
+        base = {r.qid: r.poi_id for r in
+                knn_join(qn, poi, k=1, query_id_col="qid",
+                         feature_id_col="poi_id").collect()}
+        nearest = nearest_feature_column(poi, feature_id_col="poi_id")
+        fused = {r.qid: r.nn.feature_id for r in
+                 qn.withColumn("nn", nearest(F.col("lon"), F.col("lat"))).collect()}
+        assert base == fused
+
     def test_cells_strategy_matches_broadcast(self, spark, fixture_dir):
         poi = load(spark, fixture_dir, "poi")
         gaz = load(spark, fixture_dir, "gazetteer")
