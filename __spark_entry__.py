@@ -240,6 +240,51 @@ def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_t(spark, sf_dir, "documents"), hamming_threshold=3)
 
 
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets coverage: CUBE over returnflag x linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+def _q_rollup_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return (s.rollup("s_nationkey")
+            .agg(F.round(F.sum("s_acctbal"), 2).alias("bal"),
+                 F.count("*").alias("n_sup")))
+
+
+def _q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage: big-balance customers INTERSECT customers with
+    orders, EXCEPT the AUTOMOBILE segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE") \
+            .select(F.col("c_custkey").alias("k"))
+    return rich.intersect(with_orders).exceptAll(auto)
+
+
+def _q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM")
+    return (o.groupBy(month.alias("month"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 5)).alias("prefix5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").contains("widget"), 1).otherwise(0).alias("is_widget"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_tag": _q_pip_tag,
@@ -262,6 +307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
+        "cube_pricing": _q_cube,
+        "rollup_nation": _q_rollup_nation,
+        "setops_customers": _q_setops,
+        "orders_by_month": _q_orders_by_month,
+        "string_funcs": _q_string_funcs,
     }
 
 
@@ -467,7 +517,39 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
         """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "rollup_nation": """
+            SELECT s_nationkey, round(sum(s_acctbal), 2) AS bal,
+                   count(*) AS n_sup
+            FROM supplier GROUP BY ROLLUP (s_nationkey)
+        """,
+        "setops_customers": """
+            SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+            INTERSECT
+            SELECT DISTINCT o_custkey AS k FROM orders
+            EXCEPT ALL
+            SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        """,
+        "orders_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   upper(substr(p_name, 1, 5)) AS prefix5,
+                   CAST(length(p_name) AS INT) AS name_len,
+                   concat_ws('-', p_brand, p_type) AS brand_type,
+                   CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget
+            FROM part
+        """,
         # minhash_neardup / simhash_neardup: intentionally no oracle —
         # hash-function-defined candidate sets aren't ANSI-SQL-expressible;
-        # verified in tests/test_dedup.py against constructed duplicates.
+        # verified in tests/test_dedup_similarity.py against constructed
+        # duplicates.
     }

@@ -1,0 +1,71 @@
+"""O4 — geometry trim/clip.
+
+Reference semantics: spandex/spatialtoolz.py::trim — clip target geometries
+to a boundary via ST_Intersection, keeping the clipped geometry (not just
+its area, which is O2's job). The boundary must be convex (the
+overwhelmingly common case: study-area rectangles/hulls); the clip runs as
+Sutherland–Hodgman in the vectorized kernel and returns the same
+struct-of-arrays geometry encoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from spandex_spark import geom as _geom
+
+_GEOM_TYPE = T.StructType([
+    T.StructField("kind", T.ByteType()),
+    T.StructField("xs", T.ArrayType(T.DoubleType())),
+    T.StructField("ys", T.ArrayType(T.DoubleType())),
+    T.StructField("ring_offsets", T.ArrayType(T.IntegerType())),
+    T.StructField("bbox", T.StructType([
+        T.StructField("minx", T.DoubleType()), T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()), T.StructField("maxy", T.DoubleType())])),
+])
+
+
+def trim(targets: DataFrame, boundary_xs: np.ndarray, boundary_ys: np.ndarray,
+         *, geom_col: str = "geom", out_col: str = "geom_trimmed") -> DataFrame:
+    """Clip every target polygon to the (convex, CCW) boundary ring.
+    Rows whose geometry is entirely outside get a NULL ``out_col``."""
+    bx = np.asarray(boundary_xs, np.float64)
+    by = np.asarray(boundary_ys, np.float64)
+    if _geom.shoelace_area(bx, by) < 0:
+        bx, by = bx[::-1].copy(), by[::-1].copy()
+    if not _geom._is_convex_ccw(bx, by):
+        raise ValueError("trim boundary must be convex")
+
+    @pandas_udf(_GEOM_TYPE)
+    def _clip(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        kinds, oxs, oys, offs, bboxes = [], [], [], [], []
+        for x_arr, y_arr in zip(xs, ys):
+            sx = np.asarray(x_arr, np.float64)
+            sy = np.asarray(y_arr, np.float64)
+            cx, cy = _geom.clip_polygon_convex(sx, sy, bx, by)
+            if cx.shape[0] < 3 or abs(_geom.shoelace_area(cx, cy)) < 1e-300:
+                kinds.append(None)
+                oxs.append(None)
+                oys.append(None)
+                offs.append(None)
+                bboxes.append(None)
+            else:
+                kinds.append(3)
+                oxs.append(cx.tolist())
+                oys.append(cy.tolist())
+                offs.append([0, int(cx.shape[0])])
+                bboxes.append({"minx": float(cx.min()), "miny": float(cy.min()),
+                               "maxx": float(cx.max()), "maxy": float(cy.max())})
+        return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
+                             "xs": oxs, "ys": oys,
+                             "ring_offsets": offs, "bbox": bboxes})
+
+    out = targets.withColumn(
+        out_col, _clip(F.col(geom_col)["xs"], F.col(geom_col)["ys"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))

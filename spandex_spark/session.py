@@ -25,6 +25,12 @@ def get_spark(
     so the bench harness can run the identical job at two parallelism levels
     (the sandbox stand-in for N vs 4N executors).
     """
+    # one BLAS thread per Python UDF worker: with N workers already busy,
+    # letting each numpy call spawn another N BLAS threads oversubscribes
+    # the box N-fold and makes local[32] SLOWER than local[8]
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

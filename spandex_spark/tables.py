@@ -38,9 +38,12 @@ class IcebergishTable:
 
     # ------------------------------------------------------------ write
 
-    def append(self, df: DataFrame, partition_values: dict | None = None) -> str:
+    def append(self, df: DataFrame, partition_values: dict | None = None,
+               kind: str = "append") -> str:
         """Atomic append: write Parquet to a fresh subdir, then publish a new
-        snapshot manifest and flip the ``current`` pointer (rename = atomic)."""
+        snapshot manifest and flip the ``current`` pointer (rename = atomic).
+        ``kind='rewrite'`` marks a snapshot that REPLACES all prior data
+        (compaction); reads then start from the latest rewrite."""
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         snap_id = uuid.uuid4().hex[:12]
@@ -60,6 +63,7 @@ class IcebergishTable:
         seq = (parent["sequence"] + 1) if parent else 0
         manifest = {
             "snapshot_id": snap_id,
+            "kind": kind,
             "sequence": seq,
             "parent": parent["snapshot_id"] if parent else None,
             "timestamp_ms": int(time.time() * 1000),
@@ -100,10 +104,19 @@ class IcebergishTable:
         with open(os.path.join(self.meta_dir, name)) as fh:
             return json.load(fh)
 
+    def _live_snapshots(self) -> list[dict]:
+        """Snapshots contributing to the current table state: everything
+        from the most recent 'rewrite' (compaction) onward."""
+        snaps = self.snapshots()
+        for i in range(len(snaps) - 1, -1, -1):
+            if snaps[i].get("kind") == "rewrite":
+                return snaps[i:]
+        return snaps
+
     def read(self, spark: SparkSession, *, all_snapshots: bool = True) -> DataFrame:
-        """Read the table (union of all snapshot files — append-only log),
-        or only the current snapshot's files."""
-        snaps = self.snapshots() if all_snapshots else [self.current_snapshot()]
+        """Read the table (union of live snapshot files — append log since
+        the last compaction), or only the current snapshot's files."""
+        snaps = self._live_snapshots() if all_snapshots else [self.current_snapshot()]
         paths = [os.path.join(self.root, f["path"])
                  for s in snaps if s for f in s["files"]]
         if not paths:
@@ -111,4 +124,15 @@ class IcebergishTable:
         return spark.read.parquet(*paths)
 
     def total_rows(self) -> int:
-        return sum(s["total_rows"] for s in self.snapshots())
+        return sum(s["total_rows"] for s in self._live_snapshots())
+
+    def compact(self, spark: SparkSession, sort_col: str,
+                n_files: int = 16) -> str:
+        """O11 (VACUUM/index maintenance analog): rewrite the live data
+        range-partitioned + sorted by ``sort_col`` (the cell column — a
+        Z-order-ish layout so parquet row-group min/max stats prune cell
+        ranges), publishing a 'rewrite' snapshot. Old files stay on disk for
+        time travel until a GC step removes them."""
+        df = self.read(spark)
+        compacted = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+        return self.append(compacted, kind="rewrite")

@@ -69,6 +69,21 @@ class TestTag:
             g = got[url]
             assert (g if g is not None else -1) == w, url
 
+    def test_polygon_target_centroid_tag(self, spark, fixture_dir):
+        """spandex tag(): polygon targets tagged by centroid containment —
+        parcel centroid (x0+w/2, y0+h/2) → closed-form zone."""
+        from spandex_spark.operators import tag
+        zones = load(spark, fixture_dir, "zones")
+        parcels = load(spark, fixture_dir, "parcels")
+        out = tag(parcels, zones, poly_id_col="zone_id",
+                  target_id_col="parcel_id")
+        got = {r.parcel_id: r.zone_id for r in out.collect()}
+        for r in parcels.select("parcel_id", "geom").collect():
+            cx = (r.geom.bbox.minx + r.geom.bbox.maxx) / 2
+            cy = (r.geom.bbox.miny + r.geom.bbox.maxy) / 2
+            want = int((np.floor(cy) + 10) * 20 + (np.floor(cx) + 10))
+            assert got[r.parcel_id] == want
+
     def test_points_without_zone_keep_null(self, spark, fixture_dir):
         zones = load(spark, fixture_dir, "zones")
         pts = spark.createDataFrame(

@@ -1,0 +1,67 @@
+"""O4 trim/clip + O11 compaction tests."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spandex_spark.operators.trim import trim
+from spandex_spark.tables import IcebergishTable
+
+
+class TestTrim:
+    def test_clip_to_window(self, spark, fixture_dir):
+        parcels = spark.read.parquet(os.path.join(fixture_dir, "parcels.parquet"))
+        # boundary: [0, 5]^2 — parcels straddle / fall outside it
+        bx = np.array([0.0, 5.0, 5.0, 0.0])
+        by = np.array([0.0, 0.0, 5.0, 5.0])
+        out = trim(parcels, bx, by).collect()
+        assert len(out) == parcels.count()  # every row kept
+        for r in out:
+            g = r.geom_trimmed
+            p = r.geom
+            inside_any = (p.bbox.maxx > 0 and p.bbox.minx < 5
+                          and p.bbox.maxy > 0 and p.bbox.miny < 5)
+            if not inside_any:
+                assert g is None
+            else:
+                assert g is not None
+                assert g.bbox.minx >= -1e-12 and g.bbox.maxx <= 5 + 1e-12
+                assert g.bbox.miny >= -1e-12 and g.bbox.maxy <= 5 + 1e-12
+                # clipped area == rectangle-intersection arithmetic
+                want = ((min(p.bbox.maxx, 5) - max(p.bbox.minx, 0))
+                        * (min(p.bbox.maxy, 5) - max(p.bbox.miny, 0)))
+                xs = np.array(g.xs)
+                ys = np.array(g.ys)
+                got = abs(0.5 * np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+                assert got == pytest.approx(want, abs=1e-12)
+
+    def test_nonconvex_boundary_rejected(self, spark, fixture_dir):
+        parcels = spark.read.parquet(os.path.join(fixture_dir, "parcels.parquet"))
+        lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        with pytest.raises(ValueError):
+            trim(parcels, lx, ly)
+
+
+class TestCompaction:
+    def test_compact_rewrites_and_preserves_rows(self, spark, tmp_path):
+        t = IcebergishTable(str(tmp_path / "tbl"))
+        for i in range(3):
+            t.append(spark.range(i * 100, (i + 1) * 100)
+                     .select(F.col("id").alias("cell"),
+                             (F.col("id") * 2).alias("v")))
+        assert len(t.snapshots()) == 3
+        t.compact(spark, "cell", n_files=4)
+        snaps = t.snapshots()
+        assert snaps[-1]["kind"] == "rewrite"
+        assert t.total_rows() == 300
+        df = t.read(spark)
+        assert df.count() == 300
+        got = {r.cell: r.v for r in df.collect()}
+        assert all(got[i] == 2 * i for i in range(300))
+        # append after compaction still visible
+        t.append(spark.range(300, 310).select(F.col("id").alias("cell"),
+                                              (F.col("id") * 2).alias("v")))
+        assert t.read(spark).count() == 310
