@@ -40,9 +40,16 @@ def _pts_from_lineitem(spark, sf_dir):
     from pyspark.sql import functions as F
     from spandex_spark.sources.grids import derived_points
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    keyed = li.select(
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("base"),
-        F.explode(F.sequence(F.lit(0), F.lit(PTS_MULT - 1))).alias("rep"))
+    # repartition the SMALL base (600k x 8B) BEFORE the x PTS_MULT explode:
+    # the parquet file is only a couple of input splits, and exploding first
+    # would generate all 19.2M rows on those 2 cores and shuffle 800MB;
+    # this way the only shuffle is 5MB and everything downstream is
+    # embarrassingly parallel (the polygon join is a broadcast)
+    base = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("base")) \
+        .repartition(int(CPUS) * 3)
+    keyed = base.select(
+        "base", F.explode(F.sequence(F.lit(0), F.lit(PTS_MULT - 1))).alias("rep"))
     keyed = keyed.select((F.col("base") * PTS_MULT + F.col("rep")).alias("pt_id"))
     return derived_points(keyed, "pt_id")
 
@@ -54,9 +61,11 @@ def q_pip_tag_knn(spark, sf_dir):
     from pyspark.sql import functions as F
     from spandex_spark.operators import tag_points
     pts = _pts_from_lineitem(spark, sf_dir)
+    # no repartition_by_cell: the polygon side is broadcast, so cell
+    # co-location buys nothing here and the explode-side partitioning from
+    # _pts_from_lineitem already spreads the stream across all cores
     tagged = tag_points(pts, None, poly_id_col="zone_id",
                         point_id_col="pt_id", assume_disjoint=True,
-                        repartition_by_cell=int(CPUS) * 4,
                         index=_PREPARED["zone_index"])
     nn = _PREPARED["nearest"](F.col("lon"), F.col("lat"))
     return tagged.withColumn("poi_k", nn["feature_id"]) \
@@ -83,8 +92,11 @@ def prepare_inputs(spark):
     from spandex_spark.operators.knn import nearest_feature_column
     from spandex_spark.sources.grids import zones_df, raster_tiles_df, gazetteer_grid_df
     raster_tiles_df(spark).write.mode("overwrite").parquet(TILES_PATH)
+    # level 11 cells ≈ 0.18 x 0.09 deg vs 1-deg zones: ~65% of zone area is
+    # interior (full) cells whose points skip the Python refine, and each
+    # point cell is covered by ~1.1 zones → the join fan-out nearly vanishes
     _PREPARED["zone_index"] = PolygonIndex(zones_df(spark),
-                                           poly_id_col="zone_id", level=9)
+                                           poly_id_col="zone_id", level=11)
     _PREPARED["nearest"] = nearest_feature_column(gazetteer_grid_df(spark),
                                                   feature_id_col="poi_k")
 
@@ -116,6 +128,10 @@ QUERIES = {
     "minhash_dedup": q_minhash,
     "ann_topk": q_ann,
 }
+
+_ONLY = os.environ.get("SPANDEX_BENCH_ONLY")
+if _ONLY:
+    QUERIES = {k: v for k, v in QUERIES.items() if k in _ONLY.split(",")}
 
 
 def main():

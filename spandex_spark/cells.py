@@ -131,6 +131,28 @@ def cover_polygon(xs: np.ndarray, ys: np.ndarray, level: int) -> np.ndarray:
     return cands[keep]
 
 
+def cover_polygon_classified(xs: np.ndarray, ys: np.ndarray,
+                             level: int) -> tuple[np.ndarray, np.ndarray]:
+    """Covering cells + a FULL flag per cell: full ⟺ the cell square is
+    entirely inside the polygon (intersection area == cell area). Points
+    landing in a full cell are inside the polygon with no exact refine —
+    at fine levels most of a polygon's area is full cells, so the Python
+    refine only ever sees the boundary fringe. (PostGIS gets the same
+    effect from its box pre-filter + interior ring checks.)"""
+    from spandex_spark.geom import polygon_intersection_area
+
+    cands = cover_polygon(xs, ys, level)
+    lon0, lat0, lon1, lat1 = cell_bounds(cands)
+    full = np.zeros(cands.shape[0], dtype=bool)
+    for i in range(cands.shape[0]):
+        sq_x = np.array([lon0[i], lon1[i], lon1[i], lon0[i]])
+        sq_y = np.array([lat0[i], lat0[i], lat1[i], lat1[i]])
+        cell_area = (lon1[i] - lon0[i]) * (lat1[i] - lat0[i])
+        ix = polygon_intersection_area(xs, ys, sq_x, sq_y)
+        full[i] = ix >= cell_area * (1.0 - 1e-12)
+    return cands, full
+
+
 def level_for_extent(extent_deg: float, target_cells_per_feature: float = 4.0) -> int:
     """Pick the cell level whose square is roughly the feature extent, so a
     typical feature explodes into ~target_cells_per_feature covering cells."""

@@ -50,6 +50,30 @@ def cover_cells_udf(geom_col, level: int):
     return _cover_cells(geom_col["xs"], geom_col["ys"], F.lit(level))
 
 
+_CLASSIFIED_TYPE = T.ArrayType(T.StructType([
+    T.StructField("cell", T.LongType()),
+    T.StructField("full", T.BooleanType()),
+]))
+
+
+@pandas_udf(_CLASSIFIED_TYPE)
+def _cover_cells_classified(xs: pd.Series, ys: pd.Series,
+                            level: pd.Series) -> pd.Series:
+    lvl = int(level.iloc[0])
+    out = []
+    for x_arr, y_arr in zip(xs, ys):
+        cells_arr, full = _cells.cover_polygon_classified(
+            np.asarray(x_arr, np.float64), np.asarray(y_arr, np.float64), lvl)
+        out.append([{"cell": int(c), "full": bool(f)}
+                    for c, f in zip(cells_arr, full)])
+    return pd.Series(out)
+
+
+def cover_cells_classified_udf(geom_col, level: int):
+    """Covering cells + interior/full flag (cells.cover_polygon_classified)."""
+    return _cover_cells_classified(geom_col["xs"], geom_col["ys"], F.lit(level))
+
+
 @pandas_udf(T.BooleanType())
 def _pip(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series,
          poly_id: pd.Series) -> pd.Series:

@@ -215,13 +215,18 @@ def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
                .withColumn("_kd", dist)
                .select("_qid", "_kd"))
         resolved_ids = kth.filter(F.col("_kd") <= covered_m).select("_qid")
+        prev_unresolved = unresolved
         unresolved = unresolved.join(resolved_ids, "_qid", "left_anti").persist()
+        unresolved.count()  # materialize before dropping the parent
+        if prev_unresolved is not qc:
+            prev_unresolved.unpersist()
         r += 1
         if r > max_rings or unresolved.isEmpty():
             break
         gathered = gathered.persist()
     qc.unpersist()
     fc.unpersist()
+    unresolved.unpersist()
     return gathered.dropDuplicates(["_qid", "_fid"])
 
 

@@ -30,7 +30,8 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from spandex_spark.functions.cells_sql import cell_of_expr, cell_parent_expr
-from spandex_spark.functions.spatial import cover_cells_udf, pip_refine, centroid_udf
+from spandex_spark.functions.spatial import (
+    cover_cells_udf, cover_cells_classified_udf, pip_refine, centroid_udf)
 from spandex_spark import geom as _geom
 
 
@@ -43,6 +44,27 @@ def _pip_closure(polys: dict):
         ids = poly_id.to_numpy(np.int64)
         out = _geom.pip_pairs(lon.to_numpy(np.float64),
                               lat.to_numpy(np.float64), ids, polys)
+        return pd.Series(out)
+
+    return _pip
+
+
+def _pip_closure_fullaware(polys: dict):
+    """Full-aware refine: rows whose covering cell is FULL (entirely inside
+    the polygon) are accepted without computing PIP — only the boundary
+    fringe runs the exact kernel. One pass, one scan (a full/boundary
+    union would execute the upstream join twice)."""
+
+    @pandas_udf(T.BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series, poly_id: pd.Series,
+             full: pd.Series) -> pd.Series:
+        out = full.to_numpy(dtype=bool, na_value=False).copy()
+        fringe = ~out
+        if fringe.any():
+            ids = poly_id.to_numpy(np.int64)[fringe]
+            out[fringe] = _geom.pip_pairs(
+                lon.to_numpy(np.float64)[fringe],
+                lat.to_numpy(np.float64)[fringe], ids, polys)
         return pd.Series(out)
 
     return _pip
@@ -65,8 +87,10 @@ class PolygonIndex:
             F.col(poly_id_col).alias("_pid"), "geom",
             *[F.col(c).alias(f"_attr_{c}") for c in poly_attr_cols])
         self.cells_df = (polys.withColumn(
-            "cell", F.explode(cover_cells_udf(F.col("geom"), level)))
-            .drop("geom").persist())
+            "_cc", F.explode(cover_cells_classified_udf(F.col("geom"), level)))
+            .withColumn("cell", F.col("_cc.cell"))
+            .withColumn("_full", F.col("_cc.full"))
+            .drop("geom", "_cc").persist())
         self.cells_df.count()
         self.rings = {int(r["_pid"]): (np.asarray(r["geom"]["xs"], np.float64),
                                        np.asarray(r["geom"]["ys"], np.float64))
@@ -123,11 +147,17 @@ def tag_points(points: DataFrame, polygons: DataFrame, *,
             rings = {int(r["_pid"]): (np.asarray(r["geom"]["xs"], np.float64),
                                       np.asarray(r["geom"]["ys"], np.float64))
                      for r in polys.select("_pid", "geom").collect()}
-            cells_df = polys.withColumn(
-                "cell", F.explode(cover_cells_udf(F.col("geom"), level))).drop("geom")
+            cells_df = (polys.withColumn(
+                "_cc", F.explode(cover_cells_classified_udf(F.col("geom"), level)))
+                .withColumn("cell", F.col("_cc.cell"))
+                .withColumn("_full", F.col("_cc.full"))
+                .drop("geom", "_cc"))
         cand = pts.join(F.broadcast(cells_df), "cell", "inner")
-        refine = _pip_closure(rings)
-        hits = cand.filter(refine(F.col(lon_col), F.col(lat_col), F.col("_pid")))
+        # interior-cell shortcut: the full-aware kernel accepts FULL-cell
+        # rows without computing PIP; only the boundary fringe pays flops
+        refine = _pip_closure_fullaware(rings)
+        hits = cand.filter(refine(F.col(lon_col), F.col(lat_col),
+                                  F.col("_pid"), F.col("_full"))).drop("_full")
     else:
         polys_cells = polys.withColumn(
             "cell", F.explode(cover_cells_udf(F.col("geom"), level)))
@@ -159,5 +189,6 @@ def tag(targets: DataFrame, polygons: DataFrame, *,
     cent = cent.withColumn("_clon", F.col("_c.x")).withColumn("_clat", F.col("_c.y")).drop("_c")
     out = tag_points(cent, polygons, poly_id_col=poly_id_col,
                      point_id_col=target_id_col, level=level,
+                     lon_col="_clon", lat_col="_clat",
                      poly_attr_cols=poly_attr_cols)
     return out.drop("_clon", "_clat")
