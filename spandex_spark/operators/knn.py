@@ -75,15 +75,18 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
         raise ValueError(f"unknown metric {metric!r}")
     cand = cand.withColumn("dist_m", dist)
     if k == 1:
-        # k=1 fast path: min(struct) hash-aggregates with map-side partials —
-        # the shuffle carries one row per (query, partition), not the whole
-        # candidate set. The window path below shuffles every candidate.
+        # k=1 fast path: min_by hash-aggregates with map-side partials (a
+        # min-of-struct would fall back to SortAggregate) — the shuffle
+        # carries one row per (query, partition), not the whole candidate
+        # set. Ordering struct (dist, fid) keeps the tie-break exact.
+        order = F.struct("dist_m", "_fid")
         best = (cand.groupBy("_qid")
-                .agg(F.min(F.struct("dist_m", "_fid")).alias("_best")))
+                .agg(F.min_by("_fid", order).alias("_bfid"),
+                     F.min("dist_m").alias("_bdist")))
         return best.select(F.col("_qid").alias(query_id_col),
                            F.lit(1).alias("rank"),
-                           F.col("_best._fid").alias(feature_id_col),
-                           F.col("_best.dist_m").alias("dist_m"))
+                           F.col("_bfid").alias(feature_id_col),
+                           F.col("_bdist").alias("dist_m"))
     w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_fid").asc())
     out = (cand.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k))
