@@ -285,6 +285,38 @@ def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_name").contains("widget"), 1).otherwise(0).alias("is_widget"))
 
 
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.round(F.sum("o_totalprice"), 2))
+            .withColumnsRenamed({"O": "open_rev", "F": "filled_rev",
+                                 "P": "partial_rev"}))
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join coverage: customers WITH orders vs without."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = c.join(o, "c_custkey", "left_semi") \
+                   .select("c_custkey", F.lit("with").alias("bucket"))
+    without = c.join(o, "c_custkey", "left_anti") \
+               .select("c_custkey", F.lit("without").alias("bucket"))
+    return with_orders.unionByName(without)
+
+
+def _q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage over tokenized part names."""
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(F.sort_array(words), "|").alias("sorted_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.size(F.array_distinct(words)).alias("n_distinct"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_tag": _q_pip_tag,
@@ -312,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_customers": _q_setops,
         "orders_by_month": _q_orders_by_month,
         "string_funcs": _q_string_funcs,
+        "pivot_status": _q_pivot,
+        "semi_anti_join": _q_semi_join,
+        "array_funcs": _q_array_funcs,
     }
 
 
@@ -546,6 +581,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(p_name) AS INT) AS name_len,
                    concat_ws('-', p_brand, p_type) AS brand_type,
                    CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget
+            FROM part
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS open_rev,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS filled_rev,
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS partial_rev
+            FROM orders GROUP BY 1
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, 'with' AS bucket FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT c_custkey, 'without' AS bucket FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "array_funcs": """
+            SELECT p_partkey,
+                   CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+                   array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+                   string_split(p_name, ' ')[1] AS first_word,
+                   CAST(len(list_distinct(string_split(p_name, ' '))) AS INT) AS n_distinct
             FROM part
         """,
         # minhash_neardup / simhash_neardup: intentionally no oracle —

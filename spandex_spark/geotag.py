@@ -17,16 +17,39 @@ PLACE_RE = r"\b(ville\d\d)\b"
 
 
 def geotag(pages: DataFrame, gazetteer: DataFrame | None = None,
-           text_col: str = "text", id_col: str = "url") -> DataFrame:
+           text_col: str = "text", id_col: str = "url",
+           gazetteer_strategy: str = "regex") -> DataFrame:
     """Extract one (lon, lat) per page.
 
     Priority: explicit ``geo:`` token, else gazetteer place mention, else
     NULL. Output: all input columns + ``lon, lat, tag_source``.
+
+    ``gazetteer_strategy``: 'regex' matches place names with one regexp
+    (fine for small gazetteers); 'tokens' tokenizes the text JVM-side,
+    explodes DISTINCT tokens, and broadcast-joins them against the
+    gazetteer — the scale path for large place tables (no alternation
+    blow-up; fan-out bounded by distinct tokens per page).
     """
     out = (pages
            .withColumn("_glat", F.regexp_extract(F.col(text_col), GEO_TOKEN_RE, 1))
            .withColumn("_glon", F.regexp_extract(F.col(text_col), GEO_TOKEN_RE, 2)))
-    if gazetteer is not None:
+    if gazetteer is not None and gazetteer_strategy == "tokens":
+        gaz = F.broadcast(gazetteer.select(
+            F.lower(F.col("place")).alias("_tok"),
+            F.col("lon").alias("_gaz_lon"),
+            F.col("lat").alias("_gaz_lat"),
+            F.col("place").alias("_place")))
+        toks = pages.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(
+                F.lower(F.regexp_replace(F.col(text_col), r"[^a-z0-9]+", " ")),
+                " "))).alias("_tok"))
+        matches = (toks.join(gaz, "_tok", "inner")
+                   .groupBy(id_col)
+                   .agg(F.min_by("_gaz_lon", "_place").alias("_gaz_lon"),
+                        F.min_by("_gaz_lat", "_place").alias("_gaz_lat")))
+        out = out.join(matches, id_col, "left")
+    elif gazetteer is not None:
         out = out.withColumn("_place", F.regexp_extract(F.col(text_col), PLACE_RE, 1))
         gaz = F.broadcast(gazetteer.select(
             F.col("place").alias("_place"),

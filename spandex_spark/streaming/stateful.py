@@ -1,0 +1,60 @@
+"""Custom stateful streaming operator: first-seen URL dedup.
+
+The web-crawl ingest problem: the same URL recurs across WARC segments;
+downstream stages want each url exactly once (first snapshot wins).
+Implemented with applyInPandasWithState (grouped per-key state, the
+Structured Streaming extension point for custom stateful logic): state =
+"seen" flag per url group; only rows of a group's first batch pass.
+
+GroupStateTimeout: state is kept forever by default here (exact dedup);
+production crawls bound state with processing-time timeout (the standard
+memory/exactness trade), exposed via ``state_ttl_minutes``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+_OUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def dedup_first_seen(pages_stream: DataFrame, *, state_ttl_minutes: int | None = None):
+    """Streaming first-seen dedup by url. Returns the deduped stream (the
+    earliest-in-batch row per url passes on first encounter; later batches
+    emit nothing for that url)."""
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            return iter(())
+        first = None
+        for pdf in batches:
+            pdf = pdf.sort_values("warc_ts")
+            if first is None or (len(pdf) and pdf["warc_ts"].iloc[0] < first["warc_ts"].iloc[0]):
+                first = pdf.head(1)
+        state.update((True,))
+        if state_ttl_minutes:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        if first is None:
+            return iter(())
+        return iter([first[["url", "warc_ts", "text", "lang"]]])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl_minutes
+               else GroupStateTimeout.NoTimeout)
+    return (pages_stream
+            .groupBy("url")
+            .applyInPandasWithState(fn, outputStructType=_OUT_SCHEMA,
+                                    stateStructType=_STATE_SCHEMA,
+                                    outputMode="append",
+                                    timeoutConf=timeout))

@@ -53,6 +53,18 @@ class TestGeotag:
             assert float(lon_s) == pytest.approx(r.lon, abs=1e-9)
 
 
+class TestGeotagTokenJoin:
+    def test_token_strategy_matches_regex(self, spark, fixture_dir):
+        pages = load(spark, fixture_dir, "pages")
+        gaz = load(spark, fixture_dir, "gazetteer")
+        a = {(r.url, r.lon, r.lat, r.tag_source) for r in
+             geotag(pages, gaz).select("url", "lon", "lat", "tag_source").collect()}
+        b = {(r.url, r.lon, r.lat, r.tag_source) for r in
+             geotag(pages, gaz, gazetteer_strategy="tokens")
+             .select("url", "lon", "lat", "tag_source").collect()}
+        assert a == b
+
+
 class TestTag:
     def test_matches_closed_form_oracle(self, spark, fixture_dir):
         pages = load(spark, fixture_dir, "pages")

@@ -1,0 +1,47 @@
+"""applyInPandasWithState first-seen dedup: duplicate urls across files
+collapse to their earliest row."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import numpy as np
+
+from spandex_spark.streaming.stateful import dedup_first_seen
+from spandex_spark.streaming.ingest import PAGES_SCHEMA
+
+
+def _write_batch(d, name, rows):
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array([np.datetime64(r[1]) for r in rows]),
+        "html": pa.array([b"<html>"] * len(rows), pa.binary()),
+        "text": pa.array([r[2] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+    })
+    pq.write_table(t, os.path.join(d, name))
+
+
+def test_first_seen_dedup(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(str(src), "a.parquet", [
+        ("u1", "2026-01-01T00:00:10", "first u1"),
+        ("u1", "2026-01-01T00:00:05", "earlier u1 same batch"),
+        ("u2", "2026-01-01T00:01:00", "first u2"),
+    ])
+    _write_batch(str(src), "b.parquet", [
+        ("u1", "2026-01-02T00:00:00", "later dup u1"),
+        ("u3", "2026-01-03T00:00:00", "first u3"),
+    ])
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src)))
+    out = dedup_first_seen(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.url: r.text for r in spark.sql("select * from dedup_out").collect()}
+    assert rows == {"u1": "earlier u1 same batch", "u2": "first u2",
+                    "u3": "first u3"}
