@@ -101,10 +101,10 @@ def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spandex_spark.operators import zonal_stats
     out = zonal_stats(raster_tiles_df(spark), zones_df(spark), level=7)
     return out.select("zone_id", "px_count",
-                      F.round("px_sum", 6).alias("px_sum"),
-                      F.round("px_mean", 6).alias("px_mean"),
-                      F.round("px_min", 6).alias("px_min"),
-                      F.round("px_max", 6).alias("px_max"))
+                      (F.round("px_sum", 6) + 0.0).alias("px_sum"),
+                      (F.round("px_mean", 6) + 0.0).alias("px_mean"),
+                      (F.round("px_min", 6) + 0.0).alias("px_min"),
+                      (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
 def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,8 +113,11 @@ def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
                          "c_custkey")
     out = reproject(pts)
-    return out.select("c_custkey", F.round("x", 3).alias("merc_x"),
-                      F.round("y", 3).alias("merc_y"))
+    # "+ 0.0" normalizes IEEE negative zero (round(-1e-17) → -0.0 in some
+    # engines, +0.0 in others — same value, different hash)
+    return out.select("c_custkey",
+                      (F.round("x", 3) + 0.0).alias("merc_x"),
+                      (F.round("y", 3) + 0.0).alias("merc_y"))
 
 
 def _q_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,16 +444,16 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_PIXELS})
             )
             SELECT zone_id, count(*) AS px_count,
-                   round(sum(v), 6) AS px_sum,
-                   round(sum(v) / count(*), 6) AS px_mean,
-                   round(min(v), 6) AS px_min,
-                   round(max(v), 6) AS px_max
+                   round(sum(v), 6) + 0.0 AS px_sum,
+                   round(sum(v) / count(*), 6) + 0.0 AS px_mean,
+                   round(min(v), 6) + 0.0 AS px_min,
+                   round(max(v), 6) + 0.0 AS px_max
             FROM px GROUP BY 1
         """,
         "reproject": f"""
             SELECT c_custkey,
-                   round(6378137.0 * radians(lon), 3) AS merc_x,
-                   round(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 3) AS merc_y
+                   round(6378137.0 * radians(lon), 3) + 0.0 AS merc_x,
+                   round(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 3) + 0.0 AS merc_y
             FROM ({_PTS})
         """,
         "geotag": f"""
