@@ -229,6 +229,16 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + nprobe search; no SQL oracle —
+    approximate, algorithm-defined result; recall verified in pytest)."""
+    from spandex_spark.operators.similarity import ann_ivf
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    out = ann_ivf(q, emb, k=5, n_centroids=32, nprobe=8)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
 def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (no SQL oracle — hash-based; verified in
     pytest against constructed duplicates)."""
@@ -340,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "ann_ivf": _q_ann_ivf,
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "cube_pricing": _q_cube,

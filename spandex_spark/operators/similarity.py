@@ -144,6 +144,76 @@ def ann_lsh(queries: DataFrame, corpus: DataFrame, *, k: int, dim: int,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def train_ivf_centroids(corpus: DataFrame, *, n_centroids: int,
+                        vec_col: str = "embedding", sample_rows: int = 20_000,
+                        iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means (fixed seed, fixed iterations) on a corpus
+    sample → L2-normalized centroid matrix for the IVF coarse quantizer.
+    The sample is collected (bounded by sample_rows); training is numpy."""
+    frac_rows = corpus.select(vec_col).limit(sample_rows).collect()
+    mat = np.stack([np.asarray(r[0], np.float64) for r in frac_rows])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(mat.shape[0], min(n_centroids, mat.shape[0]),
+                           replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if members.shape[0]:
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def _ivf_assign_udf(cents: np.ndarray, nprobe: int):
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, np.float64) for v in vec])
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        sims = (mat / n[:, None]) @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _assign
+
+
+def ann_ivf(queries: DataFrame, corpus: DataFrame, *, k: int,
+            n_centroids: int = 64, nprobe: int = 4,
+            q_id: str = "vec_id", c_id: str = "vec_id",
+            q_vec: str = "embedding", c_vec: str = "embedding",
+            seed: int = 42) -> DataFrame:
+    """IVF ANN: corpus vectors bucketed by nearest k-means centroid (one
+    list each); queries probe their ``nprobe`` nearest centroids and rerank
+    candidates with exact cosine. The 100 TB shape: centroid train on a
+    sample, bucket assignment is one narrow pass, search touches
+    nprobe/n_centroids of the corpus."""
+    cents = train_ivf_centroids(corpus, n_centroids=n_centroids,
+                                vec_col=c_vec, seed=seed)
+    c_assign = _ivf_assign_udf(cents, 1)
+    q_assign = _ivf_assign_udf(cents, nprobe)
+    c = (corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
+         .withColumn("_bucket", F.element_at(c_assign(F.col("_cv")), 1)))
+    q = (queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+         .withColumn("_bucket", F.explode(q_assign(F.col("_qv")))))
+    cand = (q.join(c, "_bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("cosine", _cosine_pairs_udf(F.col("_qv"), F.col("_cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
 @pandas_udf(T.DoubleType())
 def _cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     if len(a) == 0:

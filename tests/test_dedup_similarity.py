@@ -100,6 +100,38 @@ class TestANN:
             for rank, nid in enumerate(order, 1):
                 assert got[(qi, rank)] == nid
 
+    def _clustered_emb(self, spark, n=300, dim=32, n_clusters=10):
+        """IVF's applicability condition is clustered data — uniform
+        gaussians have near-orthogonal neighbors and no bucket locality."""
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((n_clusters, dim)) * 4
+        mat = centers[rng.integers(0, n_clusters, n)] + rng.standard_normal((n, dim))
+        return (spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(n)], ["vec_id", "embedding"]),
+            mat)
+
+    def test_ivf_recall(self, spark):
+        from spandex_spark.operators.similarity import ann_ivf
+        emb, mat = self._clustered_emb(spark)
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in ann_bruteforce(q, emb, k=1).collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ann_ivf(q, emb, k=1, n_centroids=10,
+                                   nprobe=2).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9  # deterministic given the fixed seeds
+
+    def test_ivf_deterministic(self, spark):
+        from spandex_spark.operators.similarity import ann_ivf
+        emb, _ = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 10)
+        a = sorted((r.query_id, r.rank, r.neighbor_id)
+                   for r in ann_ivf(q, emb, k=3, n_centroids=16, nprobe=3).collect())
+        b = sorted((r.query_id, r.rank, r.neighbor_id)
+                   for r in ann_ivf(q, emb, k=3, n_centroids=16, nprobe=3).collect())
+        assert a == b
+
     def test_lsh_recall(self, spark):
         emb, mat = self._emb(spark)
         q = emb.filter(F.col("vec_id") < 20)
