@@ -189,6 +189,19 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_events")))
 
 
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup over the events stream."""
+    from spandex_spark.operators.timeseries import time_rollup
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(ev, ts_col="ts", value_col="value",
+                      granularities=("hour", "day"),
+                      group_cols=("event_type",))
+    return out.select("granularity",
+                      F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+                      .alias("bucket"),
+                      "event_type", "n", "v_sum")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spandex_spark.operators.dedup import exact_dedup
     return exact_dedup(_t(spark, sf_dir, "documents"))
@@ -344,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": _q_window_topk,
         "revenue_by_segment": _q_revenue_by_segment,
         "sessionize": _q_sessionize,
+        "time_rollup": _q_time_rollup,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -516,6 +530,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY 1
+        """,
+        "time_rollup": """
+            SELECT 'hour' AS granularity,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                   event_type, count(*) AS n, round(sum(value), 6) AS v_sum
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+                   event_type, count(*), round(sum(value), 6)
+            FROM events GROUP BY 2, 3
         """,
         "exact_dedup": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS canonical_id,
