@@ -528,7 +528,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY 1
         """,
         "time_rollup": """

@@ -149,8 +149,20 @@ def train_ivf_centroids(corpus: DataFrame, *, n_centroids: int,
                         iters: int = 10, seed: int = 42) -> np.ndarray:
     """Deterministic mini k-means (fixed seed, fixed iterations) on a corpus
     sample → L2-normalized centroid matrix for the IVF coarse quantizer.
-    The sample is collected (bounded by sample_rows); training is numpy."""
-    frac_rows = corpus.select(vec_col).limit(sample_rows).collect()
+    The sample is collected (bounded by sample_rows); training is numpy.
+
+    Sampling is a seeded Bernoulli ``sample()`` over the WHOLE corpus —
+    ``limit()`` would read only the first partitions, which at 100 TB is a
+    spatially/temporally biased, partition-order-dependent sample."""
+    n_total = corpus.count()
+    if n_total <= sample_rows:
+        frac_rows = corpus.select(vec_col).collect()
+    else:
+        # oversample 1.2x so the Bernoulli draw almost surely reaches
+        # sample_rows, then cap deterministically
+        frac = min(1.0, 1.2 * sample_rows / n_total)
+        frac_rows = (corpus.select(vec_col).sample(fraction=frac, seed=seed)
+                     .limit(sample_rows).collect())
     mat = np.stack([np.asarray(r[0], np.float64) for r in frac_rows])
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0

@@ -36,6 +36,13 @@ def dedup_first_seen(pages_stream: DataFrame, *, state_ttl_minutes: int | None =
     emit nothing for that url)."""
 
     def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # TTL expiry callback (no input rows): evict — this is what
+            # actually bounds state memory. One-shot semantics: the url's
+            # "seen" flag lives state_ttl_minutes from FIRST sighting, then
+            # the url may pass again (documented trade of the TTL option).
+            state.remove()
+            return iter(())
         if state.exists:
             return iter(())
         first = None

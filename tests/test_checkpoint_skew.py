@@ -68,6 +68,49 @@ class TestCheckpointResume:
         assert {r.run_id for r in rows} == {"r1", "r2"}
 
 
+class TestManifestAtomicity:
+    def test_torn_trailing_line_skipped_and_no_duplicates(self, spark, tmp_path):
+        """A crash mid-append leaves a torn trailing manifest line: resume
+        must treat that batch as never-committed (recompute it) and the
+        final output must have no duplicate rows."""
+        root = str(tmp_path / "ckpt2")
+        src = spark.range(200).select(F.col("id"), (F.col("id") % 13).alias("key"))
+
+        def fn(df):
+            return df.withColumn("out", F.col("id") + 1)
+
+        st = CheckpointedStage(root, run_id="r1", stage="s", n_buckets=4)
+        st.run(spark, src, F.col("id"), fn, buckets_per_batch=2)
+        # tear the last manifest line (simulated torn append)
+        with open(st.manifest_path) as fh:
+            lines = fh.readlines()
+        with open(st.manifest_path, "w") as fh:
+            fh.writelines(lines[:-1])
+            fh.write(lines[-1][: len(lines[-1]) // 2])
+        resumed = CheckpointedStage(root, run_id="r2", stage="s", n_buckets=4)
+        assert resumed.completed_buckets() == {0, 1}  # torn batch dropped
+        assert resumed.pending_buckets() == [2, 3]
+        out = resumed.run(spark, src, F.col("id"), fn, buckets_per_batch=2)
+        ids = [r.id for r in out.collect()]
+        assert sorted(ids) == list(range(200))  # exactly-once, no dupes
+
+    def test_per_bucket_metrics_sum_to_totals(self, spark, tmp_path):
+        root = str(tmp_path / "ckpt3")
+        src = spark.range(300).select(F.col("id"))
+
+        def fn(df):
+            return df.filter(F.col("id") % 2 == 0)
+
+        st = CheckpointedStage(root, run_id="r1", stage="s", n_buckets=5)
+        out = st.run(spark, src, F.col("id"), fn, buckets_per_batch=3)
+        m = st.read_metrics(spark).collect()
+        assert sum(r.rows_in for r in m) == 300
+        assert sum(r.rows_out for r in m) == out.count() == 150
+        per_bucket = {r.bucket: (r.rows_in, r.rows_out) for r in m}
+        assert len(per_bucket) == 5
+        assert all(ri == 60 and ro == 30 for ri, ro in per_bucket.values())
+
+
 class TestSkewSalting:
     def test_salted_join_identical_results(self, spark, fixture_dir):
         pts = spark.read.parquet(os.path.join(fixture_dir, "skewed_points.parquet"))
