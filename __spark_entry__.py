@@ -64,6 +64,33 @@ def _q_pip_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "zone_id")
 
 
+def _q_pip_tag_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/E1 on POLYGONs WITH INTERIOR RINGS: donut zone layer (4-deg
+    squares, centered 2-deg holes). A point in a hole must tag NULL —
+    the even-odd multi-ring PIP (geom.points_in_rings) and the hole-aware
+    cell covering (cells.cover_polygon with ring_offsets) are both on the
+    hook. Oracle is closed-form outer-minus-hole rectangle arithmetic."""
+    from spandex_spark.operators import tag_points
+    from spandex_spark.sources.grids import donut_zones_df
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = tag_points(pts, donut_zones_df(spark), poly_id_col="dz_id",
+                     point_id_col="c_custkey", level=7)
+    return out.select("c_custkey", "dz_id")
+
+
+def _q_pip_tag_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/E1 on MULTIPOLYGONs: two disjoint parts share one zone id; a hit
+    in either part tags the id."""
+    from spandex_spark.operators import tag_points
+    from spandex_spark.sources.grids import multipart_zones_df
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = tag_points(pts, multipart_zones_df(spark), poly_id_col="mz_id",
+                     point_id_col="c_custkey", level=7)
+    return out.select("c_custkey", "mz_id")
+
+
 def _q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: the quadkey cell id itself, checked against an independent
     bit-interleave implementation in SQL (level 5)."""
@@ -346,6 +373,8 @@ def _q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_tag": _q_pip_tag,
+        "pip_tag_holes": _q_pip_tag_holes,
+        "pip_tag_multipart": _q_pip_tag_multipart,
         "cell_index": _q_cell_index,
         "knn": _q_knn,
         "overlay": _q_overlay,
@@ -416,6 +445,32 @@ def oracle_sql() -> dict[str, str]:
         "pip_tag": f"""
             SELECT c_custkey,
                    CAST((floor(lat) + 10) * 20 + (floor(lon) + 10) AS BIGINT) AS zone_id
+            FROM ({_PTS})
+        """,
+        "pip_tag_holes": f"""
+            WITH p AS (
+              SELECT c_custkey, lon, lat,
+                     floor((lon + 8.0) / 4.0) AS c,
+                     floor((lat + 8.0) / 4.0) AS r
+              FROM ({_PTS})
+            )
+            SELECT c_custkey,
+                   CASE WHEN lon >= -8.0 AND lon < 8.0
+                         AND lat >= -8.0 AND lat < 8.0
+                         AND NOT (lon >= (c * 4.0 - 8.0) + 1.0
+                              AND lon <  (c * 4.0 - 8.0) + 3.0
+                              AND lat >= (r * 4.0 - 8.0) + 1.0
+                              AND lat <  (r * 4.0 - 8.0) + 3.0)
+                        THEN CAST(r * 4 + c AS BIGINT) END AS dz_id
+            FROM p
+        """,
+        "pip_tag_multipart": f"""
+            SELECT c_custkey,
+                   CASE WHEN lon >= -8.0 AND lon < 8.0
+                         AND (lon + 8.0) - 2.0 * floor((lon + 8.0) / 2.0) < 1.0
+                         AND ((lat >= -6.0 AND lat < -5.0)
+                           OR (lat >= 3.0 AND lat < 4.0))
+                        THEN CAST(floor((lon + 8.0) / 2.0) AS BIGINT) END AS mz_id
             FROM ({_PTS})
         """,
         "cell_index": f"""

@@ -103,52 +103,58 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float,
     return xy_to_cell(gx.ravel(), gy.ravel(), level)
 
 
-def cover_polygon(xs: np.ndarray, ys: np.ndarray, level: int) -> np.ndarray:
-    """Covering cells of a polygon: bbox cells filtered by an exact
-    cell-square-vs-polygon overlap test (corner-in-poly, poly-vertex-in-cell,
-    or positive clip area). E2 in SURVEY.md §2.2."""
-    from spandex_spark.geom import points_in_polygon, polygon_intersection_area
+def cover_polygon(xs: np.ndarray, ys: np.ndarray, level: int,
+                  ring_offsets=None) -> np.ndarray:
+    """Covering cells of a polygon (holes/multipart via ``ring_offsets``):
+    bbox cells filtered by an exact cell-square-vs-region overlap test
+    (region-vertex-in-cell, cell-center-in-region, or positive even-odd
+    clip area). E2 in SURVEY.md §2.2. A cell wholly inside a hole has zero
+    even-odd intersection area and is correctly excluded."""
+    from spandex_spark.geom import points_in_rings, rings_intersection_area
 
     cands = cover_bbox(float(xs.min()), float(ys.min()),
                        float(xs.max()), float(ys.max()), level)
-    if cands.shape[0] <= 4:
+    if cands.shape[0] <= 4 and ring_offsets is None:
         return cands
     lon0, lat0, lon1, lat1 = cell_bounds(cands)
     keep = np.zeros(cands.shape[0], dtype=bool)
-    # cheap accept: any polygon vertex inside the cell square
+    # cheap accept: any ring vertex inside the cell square (a hole vertex
+    # borders the solid region, so this is safe for valid geometries)
     for vx, vy in zip(xs, ys):
         keep |= (lon0 <= vx) & (vx < lon1) & (lat0 <= vy) & (vy < lat1)
-    # cheap accept: cell center inside polygon
+    # cheap accept: cell center inside the even-odd region
     ccx = (lon0 + lon1) / 2.0
     ccy = (lat0 + lat1) / 2.0
-    keep |= points_in_polygon(ccx, ccy, xs, ys)
-    # exact test for the remainder (cells crossed only by an edge)
+    keep |= points_in_rings(ccx, ccy, xs, ys, ring_offsets)
+    # exact test for the remainder (cells crossed only by an edge, or
+    # candidates inside a hole whose center-test said no)
     for i in np.flatnonzero(~keep):
         sq_x = np.array([lon0[i], lon1[i], lon1[i], lon0[i]])
         sq_y = np.array([lat0[i], lat0[i], lat1[i], lat1[i]])
-        if polygon_intersection_area(xs, ys, sq_x, sq_y) > 0.0:
+        if rings_intersection_area(xs, ys, ring_offsets, sq_x, sq_y) > 0.0:
             keep[i] = True
     return cands[keep]
 
 
-def cover_polygon_classified(xs: np.ndarray, ys: np.ndarray,
-                             level: int) -> tuple[np.ndarray, np.ndarray]:
+def cover_polygon_classified(xs: np.ndarray, ys: np.ndarray, level: int,
+                             ring_offsets=None) -> tuple[np.ndarray, np.ndarray]:
     """Covering cells + a FULL flag per cell: full ⟺ the cell square is
-    entirely inside the polygon (intersection area == cell area). Points
-    landing in a full cell are inside the polygon with no exact refine —
-    at fine levels most of a polygon's area is full cells, so the Python
-    refine only ever sees the boundary fringe. (PostGIS gets the same
-    effect from its box pre-filter + interior ring checks.)"""
-    from spandex_spark.geom import polygon_intersection_area
+    entirely inside the even-odd region (intersection area == cell area).
+    Points landing in a full cell are inside the polygon with no exact
+    refine — at fine levels most of a polygon's area is full cells, so the
+    Python refine only ever sees the boundary fringe. A cell touching a
+    hole is never full. (PostGIS gets the same effect from its box
+    pre-filter + interior ring checks.)"""
+    from spandex_spark.geom import rings_intersection_area
 
-    cands = cover_polygon(xs, ys, level)
+    cands = cover_polygon(xs, ys, level, ring_offsets)
     lon0, lat0, lon1, lat1 = cell_bounds(cands)
     full = np.zeros(cands.shape[0], dtype=bool)
     for i in range(cands.shape[0]):
         sq_x = np.array([lon0[i], lon1[i], lon1[i], lon0[i]])
         sq_y = np.array([lat0[i], lat0[i], lat1[i], lat1[i]])
         cell_area = (lon1[i] - lon0[i]) * (lat1[i] - lat0[i])
-        ix = polygon_intersection_area(xs, ys, sq_x, sq_y)
+        ix = rings_intersection_area(xs, ys, ring_offsets, sq_x, sq_y)
         full[i] = ix >= cell_area * (1.0 - 1e-12)
     return cands, full
 

@@ -33,21 +33,31 @@ def cell_parent_udf(cell, level: int):
     return _cell_parent(cell, F.lit(level))
 
 
+def _off(o):
+    """ring_offsets cell value → numpy offsets or None (single ring)."""
+    if o is None:
+        return None
+    arr = np.asarray(o, np.int64)
+    return arr if arr.shape[0] > 2 else None
+
+
 @pandas_udf(T.ArrayType(T.LongType()))
-def _cover_cells(xs: pd.Series, ys: pd.Series, level: pd.Series) -> pd.Series:
+def _cover_cells(xs: pd.Series, ys: pd.Series, offs: pd.Series,
+                 level: pd.Series) -> pd.Series:
     lvl = int(level.iloc[0])
     out = []
-    for x_arr, y_arr in zip(xs, ys):
+    for x_arr, y_arr, o in zip(xs, ys, offs):
         c = _cells.cover_polygon(np.asarray(x_arr, np.float64),
-                                 np.asarray(y_arr, np.float64), lvl)
+                                 np.asarray(y_arr, np.float64), lvl, _off(o))
         out.append(c.tolist())
     return pd.Series(out)
 
 
 def cover_cells_udf(geom_col, level: int):
-    """Covering cells of each polygon (exterior ring) at ``level``.
+    """Covering cells of each polygon (holes/multipart honored) at ``level``.
     E2 in SURVEY.md §2.2; replaces the GiST index build at load time."""
-    return _cover_cells(geom_col["xs"], geom_col["ys"], F.lit(level))
+    return _cover_cells(geom_col["xs"], geom_col["ys"],
+                        geom_col["ring_offsets"], F.lit(level))
 
 
 _CLASSIFIED_TYPE = T.ArrayType(T.StructType([
@@ -57,13 +67,14 @@ _CLASSIFIED_TYPE = T.ArrayType(T.StructType([
 
 
 @pandas_udf(_CLASSIFIED_TYPE)
-def _cover_cells_classified(xs: pd.Series, ys: pd.Series,
+def _cover_cells_classified(xs: pd.Series, ys: pd.Series, offs: pd.Series,
                             level: pd.Series) -> pd.Series:
     lvl = int(level.iloc[0])
     out = []
-    for x_arr, y_arr in zip(xs, ys):
+    for x_arr, y_arr, o in zip(xs, ys, offs):
         cells_arr, full = _cells.cover_polygon_classified(
-            np.asarray(x_arr, np.float64), np.asarray(y_arr, np.float64), lvl)
+            np.asarray(x_arr, np.float64), np.asarray(y_arr, np.float64),
+            lvl, _off(o))
         out.append([{"cell": int(c), "full": bool(f)}
                     for c, f in zip(cells_arr, full)])
     return pd.Series(out)
@@ -71,29 +82,33 @@ def _cover_cells_classified(xs: pd.Series, ys: pd.Series,
 
 def cover_cells_classified_udf(geom_col, level: int):
     """Covering cells + interior/full flag (cells.cover_polygon_classified)."""
-    return _cover_cells_classified(geom_col["xs"], geom_col["ys"], F.lit(level))
+    return _cover_cells_classified(geom_col["xs"], geom_col["ys"],
+                                   geom_col["ring_offsets"], F.lit(level))
 
 
 @pandas_udf(T.BooleanType())
 def _pip(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series,
-         poly_id: pd.Series) -> pd.Series:
+         offs: pd.Series, poly_id: pd.Series) -> pd.Series:
     """Exact PIP refine over candidate pairs: vectorizes per distinct polygon
     in the Arrow batch (geom.pip_pairs), never per row."""
     ids = poly_id.to_numpy(np.int64)
-    polys: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    polys: dict[int, tuple] = {}
     for i in range(len(ids)):
         pid = ids[i]
         if pid not in polys:
             polys[pid] = (np.asarray(xs.iloc[i], np.float64),
-                          np.asarray(ys.iloc[i], np.float64))
+                          np.asarray(ys.iloc[i], np.float64),
+                          _off(offs.iloc[i]))
     out = _geom.pip_pairs(lon.to_numpy(np.float64), lat.to_numpy(np.float64),
                           ids, polys)
     return pd.Series(out)
 
 
 def pip_refine(lon, lat, geom_col, poly_id):
-    """Exact ST_Contains analog (spandex/spatialtoolz.py::tag refine phase)."""
-    return _pip(lon, lat, geom_col["xs"], geom_col["ys"], poly_id)
+    """Exact ST_Contains analog (spandex/spatialtoolz.py::tag refine phase);
+    even-odd over all rings (holes/multipart)."""
+    return _pip(lon, lat, geom_col["xs"], geom_col["ys"],
+                geom_col["ring_offsets"], poly_id)
 
 
 @pandas_udf(T.DoubleType())
@@ -126,16 +141,19 @@ def webmercator_udf(lon, lat):
 
 
 @pandas_udf(T.BooleanType())
-def _geom_is_valid(xs: pd.Series, ys: pd.Series) -> pd.Series:
+def _geom_is_valid(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
     out = np.fromiter(
-        (_geom.polygon_is_valid(np.asarray(x, np.float64), np.asarray(y, np.float64))
-         for x, y in zip(xs, ys)), dtype=bool, count=len(xs))
+        (_geom.rings_are_valid(np.asarray(x, np.float64),
+                               np.asarray(y, np.float64), _off(o))
+         for x, y, o in zip(xs, ys, offs)), dtype=bool, count=len(xs))
     return pd.Series(out)
 
 
 def geom_is_valid_udf(geom_col):
-    """ST_IsValid analog (spandex/spatialtoolz.py::invalid_geometry_check)."""
-    return _geom_is_valid(geom_col["xs"], geom_col["ys"])
+    """ST_IsValid analog (spandex/spatialtoolz.py::invalid_geometry_check);
+    multi-ring aware (ring simplicity, no cross-ring edges, holes nested)."""
+    return _geom_is_valid(geom_col["xs"], geom_col["ys"],
+                          geom_col["ring_offsets"])
 
 
 _PT_TYPE = T.StructType([T.StructField("x", T.DoubleType()),
@@ -143,16 +161,17 @@ _PT_TYPE = T.StructType([T.StructField("x", T.DoubleType()),
 
 
 @pandas_udf(_PT_TYPE)
-def _centroid(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+def _centroid(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.DataFrame:
     cx = np.empty(len(xs))
     cy = np.empty(len(xs))
     for i, (x, y) in enumerate(zip(xs, ys)):
-        cx[i], cy[i] = _geom.centroid(np.asarray(x, np.float64),
-                                      np.asarray(y, np.float64))
+        cx[i], cy[i] = _geom.rings_centroid(np.asarray(x, np.float64),
+                                            np.asarray(y, np.float64),
+                                            _off(offs.iloc[i]))
     return pd.DataFrame({"x": cx, "y": cy})
 
 
 def centroid_udf(geom_col):
     """ST_Centroid analog (used by spandex/spatialtoolz.py::tag for
-    point-in-poly of polygon targets)."""
-    return _centroid(geom_col["xs"], geom_col["ys"])
+    point-in-poly of polygon targets); signed-area weighted across rings."""
+    return _centroid(geom_col["xs"], geom_col["ys"], geom_col["ring_offsets"])

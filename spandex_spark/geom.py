@@ -7,9 +7,17 @@ ST_Intersection + ST_Area (spandex/spatialtoolz.py::proportion_overlap),
 ST_IsValid (spandex/spatialtoolz.py::invalid_geometry_check),
 and the <-> KNN distance (nearest-feature helper).
 
-Polygon representation: struct-of-arrays, single exterior ring for now
-(fixtures and web-scale zone layers are simple polygons), stored OPEN
-(no repeated closing vertex), counter-clockwise for positive area.
+Polygon representation: struct-of-arrays. Rings are concatenated in
+``xs``/``ys`` and delimited by ``ring_offsets`` (start offsets plus a
+final end sentinel: ring r spans ``xs[off[r]:off[r+1]]``). Each ring is
+stored OPEN (no repeated closing vertex). Orientation convention (the
+GeoJSON/OGC one): exterior rings counter-clockwise (positive shoelace),
+holes clockwise (negative). A multipolygon is simply several CCW rings.
+Region semantics are EVEN-ODD: PIP is orientation-agnostic; the signed
+area / inclusion-exclusion kernels rely on the orientation convention
+(valid nesting: holes inside outers, parts disjoint — PostGIS ST_IsValid
+preconditions, same as the reference assumes of its PostGIS layers).
+``ring_offsets`` of None or [0, n] means one exterior ring.
 
 Point-in-polygon boundary rule (documented per FIXTURES.md §3): the
 half-open crossing test below makes left/bottom edges inclusive and
@@ -51,6 +59,141 @@ def centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
     return cx, cy
 
 
+# ---------------------------------------------------------------- rings
+
+def rings_of(xs: np.ndarray, ys: np.ndarray, offsets) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split concatenated ring arrays into per-ring (xs, ys) views.
+    ``offsets`` None/empty → the whole array is one exterior ring."""
+    if offsets is None:
+        return [(xs, ys)]
+    off = np.asarray(offsets, dtype=np.int64)
+    if off.shape[0] <= 2:
+        return [(xs, ys)]
+    return [(xs[off[r]:off[r + 1]], ys[off[r]:off[r + 1]])
+            for r in range(off.shape[0] - 1)]
+
+
+def rings_area(xs: np.ndarray, ys: np.ndarray, offsets=None) -> float:
+    """Even-odd region area: Σ signed shoelace per ring (CCW outer positive,
+    CW hole negative). Single-ring input returns |area| regardless of
+    orientation (back-compat with unoriented simple polygons)."""
+    rings = rings_of(xs, ys, offsets)
+    if len(rings) == 1:
+        return abs(shoelace_area(rings[0][0], rings[0][1]))
+    return float(sum(shoelace_area(rx, ry) for rx, ry in rings))
+
+
+def rings_bbox(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float, float, float]:
+    return bbox(xs, ys)  # bbox over the concatenation == bbox over all rings
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, xs: np.ndarray,
+                    ys: np.ndarray, offsets=None) -> np.ndarray:
+    """Even-odd PIP over a multi-ring region: XOR of per-ring crossing
+    parities — holes and disjoint parts come for free, no orientation
+    needed. Replaces ST_Contains on holed/multi geometries
+    (spandex/spatialtoolz.py::tag delegates these to PostGIS natively)."""
+    rings = rings_of(np.asarray(xs, np.float64), np.asarray(ys, np.float64), offsets)
+    if len(rings) == 1:
+        return points_in_polygon(px, py, rings[0][0], rings[0][1])
+    inside = np.zeros(np.asarray(px).shape[0], dtype=bool)
+    for rx, ry in rings:
+        inside ^= points_in_polygon(px, py, rx, ry)
+    return inside
+
+
+def rings_centroid(xs: np.ndarray, ys: np.ndarray, offsets=None) -> tuple[float, float]:
+    """Area centroid of the even-odd region (signed-area weighted per ring);
+    falls back to the single-ring centroid for simple polygons."""
+    rings = rings_of(xs, ys, offsets)
+    if len(rings) == 1:
+        return centroid(rings[0][0], rings[0][1])
+    a_tot = 0.0
+    cx_tot = 0.0
+    cy_tot = 0.0
+    for rx, ry in rings:
+        x2 = np.roll(rx, -1)
+        y2 = np.roll(ry, -1)
+        cross = rx * y2 - x2 * ry
+        a = 0.5 * float(np.sum(cross))
+        if abs(a) < 1e-300:
+            continue
+        cx_tot += float(np.sum((rx + x2) * cross)) / 6.0
+        cy_tot += float(np.sum((ry + y2) * cross)) / 6.0
+        a_tot += a
+    if abs(a_tot) < 1e-300:
+        return float(xs.mean()), float(ys.mean())
+    return cx_tot / a_tot, cy_tot / a_tot
+
+
+def rings_intersection_area(xs1: np.ndarray, ys1: np.ndarray, off1,
+                            xs2: np.ndarray, ys2: np.ndarray, off2=None) -> float:
+    """Exact intersection area of two even-odd multi-ring regions by
+    inclusion-exclusion: with ring indicators 1_A = Σ_i s_i·1_ring_i (s from
+    orientation; valid nesting), area(A∩B) = Σ_ij s_i·s_j·area(ring_i∩ring_j).
+    Each pairwise term uses the simple-polygon kernel. Replaces
+    ST_Area(ST_Intersection(...)) for holed/multipart layers
+    (spandex/spatialtoolz.py::proportion_overlap)."""
+    r1 = rings_of(xs1, ys1, off1)
+    r2 = rings_of(xs2, ys2, off2)
+    if len(r1) == 1 and len(r2) == 1:
+        return polygon_intersection_area(r1[0][0], r1[0][1], r2[0][0], r2[0][1])
+    total = 0.0
+    for ax, ay in r1:
+        s1 = 1.0 if len(r1) == 1 or shoelace_area(ax, ay) >= 0 else -1.0
+        for bx, by in r2:
+            s2 = 1.0 if len(r2) == 1 or shoelace_area(bx, by) >= 0 else -1.0
+            ix = polygon_intersection_area(ax, ay, bx, by)
+            if ix:
+                total += s1 * s2 * ix
+    return max(0.0, total)
+
+
+def rings_are_valid(xs: np.ndarray, ys: np.ndarray, offsets=None) -> bool:
+    """Multi-ring ST_IsValid analog: every ring simple (polygon_is_valid),
+    no two rings' edges cross, and every CW (hole) ring's first vertex
+    inside the union of CCW rings."""
+    rings = rings_of(xs, ys, offsets)
+    if len(rings) == 1:
+        return polygon_is_valid(rings[0][0], rings[0][1])
+    for rx, ry in rings:
+        if not polygon_is_valid(rx, ry):
+            return False
+    # cross-ring edge intersections
+    for a in range(len(rings)):
+        ax, ay = rings[a]
+        ax2, ay2 = np.roll(ax, -1), np.roll(ay, -1)
+        for b in range(a + 1, len(rings)):
+            bx, by = rings[b]
+            bx2, by2 = np.roll(bx, -1), np.roll(by, -1)
+            for i in range(ax.shape[0]):
+                for j in range(bx.shape[0]):
+                    if _segments_cross(ax[i], ay[i], ax2[i], ay2[i],
+                                       bx[j], by[j], bx2[j], by2[j]):
+                        return False
+    outers = [(rx, ry) for rx, ry in rings if shoelace_area(rx, ry) >= 0]
+    for rx, ry in rings:
+        if shoelace_area(rx, ry) < 0:  # hole: must sit inside some outer
+            p = np.array([rx[0]]), np.array([ry[0]])
+            if not any(points_in_polygon(p[0], p[1], ox, oy)[0]
+                       or _on_boundary(rx[0], ry[0], ox, oy)
+                       for ox, oy in outers):
+                return False
+    return True
+
+
+def _on_boundary(px: float, py: float, xs: np.ndarray, ys: np.ndarray,
+                 eps: float = 1e-12) -> bool:
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    vx, vy = x2 - xs, y2 - ys
+    wx, wy = px - xs, py - ys
+    seg_len2 = vx * vx + vy * vy
+    t = np.clip(np.where(seg_len2 > 0, (wx * vx + wy * vy) / np.where(seg_len2 > 0, seg_len2, 1.0), 0.0), 0.0, 1.0)
+    dx = wx - t * vx
+    dy = wy - t * vy
+    return bool(np.any(dx * dx + dy * dy <= eps * eps))
+
+
 # ---------------------------------------------------------------- PIP
 
 def points_in_polygon(px: np.ndarray, py: np.ndarray,
@@ -83,8 +226,9 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray,
 def pip_pairs(px: np.ndarray, py: np.ndarray, poly_ids: np.ndarray,
               polys: dict) -> np.ndarray:
     """PIP over candidate (point, polygon) pairs: row i tests point i against
-    polygon ``polys[poly_ids[i]]`` (value = (xs, ys) arrays). Vectorizes per
-    distinct polygon in the batch — the inner loop is over polygons, not rows.
+    polygon ``polys[poly_ids[i]]`` (value = (xs, ys) or (xs, ys, ring_offsets)
+    arrays). Vectorizes per distinct polygon in the batch — the inner loop is
+    over polygons, not rows.
     """
     out = np.zeros(px.shape[0], dtype=bool)
     order = np.argsort(poly_ids, kind="stable")
@@ -93,8 +237,10 @@ def pip_pairs(px: np.ndarray, py: np.ndarray, poly_ids: np.ndarray,
     boundaries = np.r_[boundaries, sorted_ids.shape[0]]
     for b0, b1 in zip(boundaries[:-1], boundaries[1:]):
         idx = order[b0:b1]
-        xs, ys = polys[sorted_ids[b0]]
-        out[idx] = points_in_polygon(px[idx], py[idx], xs, ys)
+        entry = polys[sorted_ids[b0]]
+        xs, ys = entry[0], entry[1]
+        offsets = entry[2] if len(entry) > 2 else None
+        out[idx] = points_in_rings(px[idx], py[idx], xs, ys, offsets)
     return out
 
 

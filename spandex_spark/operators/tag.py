@@ -35,6 +35,17 @@ from spandex_spark.functions.spatial import (
 from spandex_spark import geom as _geom
 
 
+def _geom_rings_entry(geom_row) -> tuple:
+    """(xs, ys, ring_offsets|None) tuple for a collected geom struct —
+    the closure-side polygon entry consumed by geom.pip_pairs."""
+    offs = geom_row["ring_offsets"]
+    arr = np.asarray(offs, np.int64) if offs is not None else None
+    if arr is not None and arr.shape[0] <= 2:
+        arr = None
+    return (np.asarray(geom_row["xs"], np.float64),
+            np.asarray(geom_row["ys"], np.float64), arr)
+
+
 def _pip_closure(polys: dict):
     """PIP refine with the polygon rings captured by closure: the Arrow
     batch carries only (lon, lat, poly_id) — no geometry arrays per row."""
@@ -92,8 +103,7 @@ class PolygonIndex:
             .withColumn("_full", F.col("_cc.full"))
             .drop("geom", "_cc").persist())
         self.cells_df.count()
-        self.rings = {int(r["_pid"]): (np.asarray(r["geom"]["xs"], np.float64),
-                                       np.asarray(r["geom"]["ys"], np.float64))
+        self.rings = {int(r["_pid"]): _geom_rings_entry(r["geom"])
                       for r in polys.select("_pid", "geom").collect()}
 
 
@@ -144,8 +154,7 @@ def tag_points(points: DataFrame, polygons: DataFrame, *,
             rings = index.rings
             cells_df = index.cells_df
         else:
-            rings = {int(r["_pid"]): (np.asarray(r["geom"]["xs"], np.float64),
-                                      np.asarray(r["geom"]["ys"], np.float64))
+            rings = {int(r["_pid"]): _geom_rings_entry(r["geom"])
                      for r in polys.select("_pid", "geom").collect()}
             cells_df = (polys.withColumn(
                 "_cc", F.explode(cover_cells_classified_udf(F.col("geom"), level)))

@@ -42,30 +42,43 @@ def trim(targets: DataFrame, boundary_xs: np.ndarray, boundary_ys: np.ndarray,
         raise ValueError("trim boundary must be convex")
 
     @pandas_udf(_GEOM_TYPE)
-    def _clip(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+    def _clip(xs: pd.Series, ys: pd.Series, roffs: pd.Series) -> pd.DataFrame:
         kinds, oxs, oys, offs, bboxes = [], [], [], [], []
-        for x_arr, y_arr in zip(xs, ys):
+        for x_arr, y_arr, o_arr in zip(xs, ys, roffs):
             sx = np.asarray(x_arr, np.float64)
             sy = np.asarray(y_arr, np.float64)
-            cx, cy = _geom.clip_polygon_convex(sx, sy, bx, by)
-            if cx.shape[0] < 3 or abs(_geom.shoelace_area(cx, cy)) < 1e-300:
+            o = (np.asarray(o_arr, np.int64)
+                 if o_arr is not None and len(o_arr) > 2 else None)
+            # clip each ring independently: intersecting an even-odd region
+            # with a convex window = the even-odd region of the per-ring
+            # clips (orientation is preserved by Sutherland–Hodgman)
+            out_rings: list[tuple[np.ndarray, np.ndarray]] = []
+            for rx, ry in _geom.rings_of(sx, sy, o):
+                cx, cy = _geom.clip_polygon_convex(rx, ry, bx, by)
+                if cx.shape[0] >= 3 and abs(_geom.shoelace_area(cx, cy)) >= 1e-300:
+                    out_rings.append((cx, cy))
+            if not out_rings:
                 kinds.append(None)
                 oxs.append(None)
                 oys.append(None)
                 offs.append(None)
                 bboxes.append(None)
             else:
-                kinds.append(3)
-                oxs.append(cx.tolist())
-                oys.append(cy.tolist())
-                offs.append([0, int(cx.shape[0])])
-                bboxes.append({"minx": float(cx.min()), "miny": float(cy.min()),
-                               "maxx": float(cx.max()), "maxy": float(cy.max())})
+                all_x = np.concatenate([r[0] for r in out_rings])
+                all_y = np.concatenate([r[1] for r in out_rings])
+                ro = np.cumsum([0] + [r[0].shape[0] for r in out_rings])
+                kinds.append(3 if len(out_rings) == 1 else 6)
+                oxs.append(all_x.tolist())
+                oys.append(all_y.tolist())
+                offs.append([int(v) for v in ro])
+                bboxes.append({"minx": float(all_x.min()), "miny": float(all_y.min()),
+                               "maxx": float(all_x.max()), "maxy": float(all_y.max())})
         return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
                              "xs": oxs, "ys": oys,
                              "ring_offsets": offs, "bbox": bboxes})
 
     out = targets.withColumn(
-        out_col, _clip(F.col(geom_col)["xs"], F.col(geom_col)["ys"]))
+        out_col, _clip(F.col(geom_col)["xs"], F.col(geom_col)["ys"],
+                       F.col(geom_col)["ring_offsets"]))
     return out.withColumn(
         out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))

@@ -23,10 +23,14 @@ def invalid_geometry_check(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def geom_digest(geom_col):
-    """Canonical digest of a polygon ring (coordinate text, 12 dp)."""
+    """Canonical digest of a geometry (coordinate text, 12 dp, plus ring
+    structure — two geometries with equal vertices but different holes
+    must not collide)."""
     xs_txt = F.array_join(F.transform(geom_col["xs"], lambda v: F.format_number(v, 12)), ",")
     ys_txt = F.array_join(F.transform(geom_col["ys"], lambda v: F.format_number(v, 12)), ",")
-    return F.sha2(F.concat_ws("|", xs_txt, ys_txt), 256)
+    off_txt = F.array_join(F.transform(geom_col["ring_offsets"],
+                                       lambda v: v.cast("string")), ",")
+    return F.sha2(F.concat_ws("|", xs_txt, ys_txt, off_txt), 256)
 
 
 def duplicate_stacked_geometry_check(df: DataFrame, id_col: str) -> DataFrame:

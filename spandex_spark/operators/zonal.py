@@ -49,6 +49,7 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
     zc = zones.select(F.col(zone_id_col).alias("_zid"),
                       F.col("geom")["xs"].alias("_zxs"),
                       F.col("geom")["ys"].alias("_zys"),
+                      F.col("geom")["ring_offsets"].alias("_zoff"),
                       F.explode(cover_cells_udf(F.col("geom"), level)).alias("cell"))
     if broadcast_zones:
         zc = F.broadcast(zc)
@@ -62,7 +63,7 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
     pairs = (tile_cells.join(zc, "cell", "inner")
              .dropDuplicates(["tile_id", "_zid"]))
     zones_per_tile = pairs.groupBy("tile_id").agg(
-        F.collect_list(F.struct("_zid", "_zxs", "_zys")).alias("_zones"))
+        F.collect_list(F.struct("_zid", "_zxs", "_zys", "_zoff")).alias("_zones"))
 
     # pixel arrays join in exactly once per tile
     tj = tiles.join(zones_per_tile, "tile_id", "inner")
@@ -80,12 +81,16 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                 for z in row["_zones"]:
                     xs = np.asarray(z["_zxs"], np.float64)
                     ys = np.asarray(z["_zys"], np.float64)
-                    # bbox pre-filter before the exact PIP
+                    zo = z["_zoff"]
+                    zo = (np.asarray(zo, np.int64)
+                          if zo is not None and len(zo) > 2 else None)
+                    # bbox pre-filter before the exact PIP (bbox over the
+                    # ring concatenation == bbox over all rings)
                     box = ((lon >= xs.min()) & (lon <= xs.max())
                            & (lat >= ys.min()) & (lat <= ys.max()))
                     if not box.any():
                         continue
-                    mask = _geom.points_in_polygon(lon[box], lat[box], xs, ys)
+                    mask = _geom.points_in_rings(lon[box], lat[box], xs, ys, zo)
                     if not mask.any():
                         continue
                     v = vals[box][mask]

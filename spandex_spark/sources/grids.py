@@ -26,6 +26,49 @@ def geom_struct(x0, y0, x1, y1):
     )
 
 
+def donut_zones_df(spark: SparkSession) -> DataFrame:
+    """4x4 grid of 4-degree squares over [-8, 8), each with a centered
+    2-degree square hole — the holed-polygon layer (PostGIS-native in the
+    reference via ST_Contains on POLYGON with interior rings;
+    spandex/spatialtoolz.py::tag). Outer ring CCW, hole ring CW, all
+    closed-form JVM arithmetic so a SQL oracle reproduces it exactly."""
+    z = spark.range(16).select(F.col("id").alias("dz_id"))
+    c = F.col("dz_id") % 4
+    r = (F.col("dz_id") - c) / 4
+    x0 = (c * 4 - 8).cast("double")
+    y0 = (r * 4 - 8).cast("double")
+    x1 = x0 + 4.0
+    y1 = y0 + 4.0
+    hx0, hy0 = x0 + 1.0, y0 + 1.0
+    hx1, hy1 = x0 + 3.0, y0 + 3.0
+    geom = F.struct(
+        F.lit(6).cast("tinyint").alias("kind"),
+        F.array(x0, x1, x1, x0, hx0, hx0, hx1, hx1).alias("xs"),
+        F.array(y0, y0, y1, y1, hy0, hy1, hy1, hy0).alias("ys"),
+        F.array(F.lit(0), F.lit(4), F.lit(8)).alias("ring_offsets"),
+        F.struct(x0.alias("minx"), y0.alias("miny"),
+                 x1.alias("maxx"), y1.alias("maxy")).alias("bbox"))
+    return z.select("dz_id", geom.alias("geom"))
+
+
+def multipart_zones_df(spark: SparkSession) -> DataFrame:
+    """8 two-part multipolygon zones: part k spans x in [-8+2k, -7+2k) with
+    a southern part (lat [-6,-5)) and a disjoint northern part (lat [3,4)),
+    sharing one zone id — the MULTIPOLYGON layer. Both rings CCW."""
+    z = spark.range(8).select(F.col("id").alias("mz_id"))
+    x0 = (F.col("mz_id") * 2 - 8).cast("double")
+    x1 = x0 + 1.0
+    geom = F.struct(
+        F.lit(6).cast("tinyint").alias("kind"),
+        F.array(x0, x1, x1, x0, x0, x1, x1, x0).alias("xs"),
+        F.array(F.lit(-6.0), F.lit(-6.0), F.lit(-5.0), F.lit(-5.0),
+                F.lit(3.0), F.lit(3.0), F.lit(4.0), F.lit(4.0)).alias("ys"),
+        F.array(F.lit(0), F.lit(4), F.lit(8)).alias("ring_offsets"),
+        F.struct(x0.alias("minx"), F.lit(-6.0).alias("miny"),
+                 x1.alias("maxx"), F.lit(4.0).alias("maxy")).alias("bbox"))
+    return z.select("mz_id", geom.alias("geom"))
+
+
 def derived_points(df: DataFrame, key_col: str) -> DataFrame:
     """Deterministic point per row: lon/lat on a 0.01-degree lattice in the
     ±10-degree world window, derived from an integer key by exact integer

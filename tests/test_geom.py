@@ -251,3 +251,135 @@ class TestPipPairs:
         ids = np.array([1, 2, 1, 2])
         got = geom.pip_pairs(px, py, ids, polys)
         assert got.tolist() == [True, True, False, False]
+
+
+def _donut(x0, y0, x1, y1, hx0, hy0, hx1, hy1):
+    """Concatenated rings: CCW outer rect + CW hole rect."""
+    xs = np.array([x0, x1, x1, x0, hx0, hx0, hx1, hx1], float)
+    ys = np.array([y0, y0, y1, y1, hy0, hy1, hy1, hy0], float)
+    return xs, ys, np.array([0, 4, 8])
+
+
+class TestRings:
+    def test_pip_donut(self):
+        xs, ys, off = _donut(0, 0, 4, 4, 1, 1, 3, 3)
+        px = np.array([0.5, 2.0, 3.5, 1.0, 4.5])
+        py = np.array([0.5, 2.0, 3.5, 1.0, 2.0])
+        got = geom.points_in_rings(px, py, xs, ys, off)
+        # (2,2) is in the hole; (1,1) on hole's bottom-left corner (half-open
+        # → inside hole → outside region); (4.5, 2) outside outer
+        assert got.tolist() == [True, False, True, False, False]
+
+    def test_pip_multipart(self):
+        xs = np.array([0., 1, 1, 0, 0, 1, 1, 0])
+        ys = np.array([0., 0, 1, 1, 2, 2, 3, 3])
+        off = np.array([0, 4, 8])
+        got = geom.points_in_rings(np.array([0.5, 0.5, 0.5]),
+                                   np.array([0.5, 1.5, 2.5]), xs, ys, off)
+        assert got.tolist() == [True, False, True]
+
+    def test_area_donut(self):
+        xs, ys, off = _donut(0, 0, 4, 4, 1, 1, 3, 3)
+        assert geom.rings_area(xs, ys, off) == pytest.approx(16.0 - 4.0)
+
+    def test_centroid_donut_symmetric(self):
+        xs, ys, off = _donut(0, 0, 4, 4, 1, 1, 3, 3)
+        cx, cy = geom.rings_centroid(xs, ys, off)
+        assert (cx, cy) == pytest.approx((2.0, 2.0))
+
+    def test_centroid_offcenter_hole(self):
+        # outer [0,4]^2 area 16 c=(2,2); hole [0,1]^2 area 1 c=(.5,.5)
+        xs, ys, off = _donut(0, 0, 4, 4, 0, 0, 1, 1)
+        cx, cy = geom.rings_centroid(xs, ys, off)
+        expect = (16 * 2.0 - 1 * 0.5) / 15.0
+        assert (cx, cy) == pytest.approx((expect, expect))
+
+    def test_intersection_donut_vs_rect(self):
+        xs, ys, off = _donut(0, 0, 4, 4, 1, 1, 3, 3)
+        # query rect covering left half [0,2]x[0,4]: outer∩ = 8, hole∩ = 2
+        qx = np.array([0., 2, 2, 0])
+        qy = np.array([0., 0, 4, 4])
+        got = geom.rings_intersection_area(xs, ys, off, qx, qy)
+        assert got == pytest.approx(6.0)
+
+    def test_intersection_donut_vs_donut(self):
+        a = _donut(0, 0, 4, 4, 1, 1, 3, 3)
+        # same donut: area = 12
+        got = geom.rings_intersection_area(a[0], a[1], a[2], a[0], a[1], a[2])
+        assert got == pytest.approx(12.0)
+
+    def test_valid_donut(self):
+        xs, ys, off = _donut(0, 0, 4, 4, 1, 1, 3, 3)
+        assert geom.rings_are_valid(xs, ys, off)
+
+    def test_invalid_hole_crossing_outer(self):
+        # "hole" sticks out of the outer ring → cross-ring edge intersection
+        xs, ys, off = _donut(0, 0, 4, 4, 3, 3, 5, 5)
+        assert not geom.rings_are_valid(xs, ys, off)
+
+    def test_invalid_hole_outside(self):
+        # CW ring fully outside every outer: not nested → invalid
+        xs, ys, off = _donut(0, 0, 4, 4, 6, 6, 8, 8)
+        assert not geom.rings_are_valid(xs, ys, off)
+
+    @given(st.integers(0, 60), st.integers(0, 60),
+           st.integers(2, 30), st.integers(2, 30),
+           st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_donut_pip_matches_rect_logic(self, x0, y0, w, h, data):
+        hx0 = data.draw(st.integers(x0, x0 + w - 2))
+        hy0 = data.draw(st.integers(y0, y0 + h - 2))
+        hw = data.draw(st.integers(1, x0 + w - hx0 - 1))
+        hh = data.draw(st.integers(1, y0 + h - hy0 - 1))
+        xs, ys, off = _donut(x0, y0, x0 + w, y0 + h,
+                             hx0, hy0, hx0 + hw, hy0 + hh)
+        rng = np.random.default_rng(7)
+        px = rng.uniform(x0 - 2, x0 + w + 2, 200)
+        py = rng.uniform(y0 - 2, y0 + h + 2, 200)
+        got = geom.points_in_rings(px, py, xs, ys, off)
+        in_outer = (px >= x0) & (px < x0 + w) & (py >= y0) & (py < y0 + h)
+        in_hole = ((px >= hx0) & (px < hx0 + hw)
+                   & (py >= hy0) & (py < hy0 + hh))
+        np.testing.assert_array_equal(got, in_outer & ~in_hole)
+
+    @given(st.integers(0, 6), st.integers(0, 6),
+           st.integers(1, 4), st.integers(1, 4))
+    @settings(max_examples=40, deadline=None)
+    def test_donut_clip_area_inclusion_exclusion(self, qx0, qy0, qw, qh):
+        xs, ys, off = _donut(0, 0, 8, 8, 2, 2, 6, 6)
+        qx = np.array([qx0, qx0 + qw, qx0 + qw, qx0], float)
+        qy = np.array([qy0, qy0, qy0 + qh, qy0 + qh], float)
+        got = geom.rings_intersection_area(xs, ys, off, qx, qy)
+        def rect_ix(ax0, ay0, ax1, ay1):
+            w = min(ax1, qx0 + qw) - max(ax0, qx0)
+            h = min(ay1, qy0 + qh) - max(ay0, qy0)
+            return max(0.0, w) * max(0.0, h)
+        expect = rect_ix(0, 0, 8, 8) - rect_ix(2, 2, 6, 6)
+        assert got == pytest.approx(expect, abs=1e-9)
+
+
+class TestRingCover:
+    def test_cell_inside_hole_excluded(self):
+        from spandex_spark import cells as C
+        xs, ys, off = _donut(-8, -8, 8, 8, -4, -4, 4, 4)
+        # level-7 cells are 2.8125 x 1.40625 deg — small enough to sit
+        # entirely inside the 8-deg hole
+        cov = set(C.cover_polygon(xs, ys, 7, off).tolist())
+        hole_cell = int(C.cell_of(np.array([0.1]), np.array([0.1]), 7)[0])
+        assert hole_cell not in cov
+        # a cell in the solid band is covered
+        band_cell = int(C.cell_of(np.array([-7.0]), np.array([0.1]), 7)[0])
+        assert band_cell in cov
+
+    def test_full_classification_respects_hole(self):
+        from spandex_spark import cells as C
+        xs, ys, off = _donut(-8, -8, 8, 8, -4, -4, 4, 4)
+        cells_arr, full = C.cover_polygon_classified(xs, ys, 6, off)
+        import numpy as _np
+        lon0, lat0, lon1, lat1 = C.cell_bounds(cells_arr)
+        for i in range(cells_arr.shape[0]):
+            if full[i]:
+                # every corner of a full cell must be in the region
+                cx = _np.array([lon0[i], lon1[i] - 1e-9, lon0[i], lon1[i] - 1e-9])
+                cy = _np.array([lat0[i], lat0[i], lat1[i] - 1e-9, lat1[i] - 1e-9])
+                assert geom.points_in_rings(cx, cy, xs, ys, off).all()

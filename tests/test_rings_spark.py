@@ -1,0 +1,132 @@
+"""Holed/multipart geometries through the Spark operators (O1/O2/O4/O6)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spandex_spark.sources.grids import (
+    donut_zones_df, multipart_zones_df, derived_points)
+from spandex_spark.operators import tag_points, proportion_overlap
+from spandex_spark.operators.trim import trim
+from spandex_spark.operators.validate import (
+    invalid_geometry_check, duplicate_stacked_geometry_check)
+
+
+def _pts(spark, n=400):
+    return derived_points(spark.range(n).select(F.col("id").alias("pt_id")),
+                          "pt_id")
+
+
+class TestDonutTag:
+    def test_hole_points_tag_null(self, spark):
+        out = tag_points(_pts(spark), donut_zones_df(spark),
+                         poly_id_col="dz_id", point_id_col="pt_id", level=7)
+        rows = out.select("pt_id", "lon", "lat", "dz_id").collect()
+        assert len(rows) == 400
+        for r in rows:
+            in_outer = -8 <= r.lon < 8 and -8 <= r.lat < 8
+            if in_outer:
+                c = int(np.floor((r.lon + 8) / 4))
+                rr = int(np.floor((r.lat + 8) / 4))
+                hx0, hy0 = -8 + 4 * c + 1, -8 + 4 * rr + 1
+                in_hole = hx0 <= r.lon < hx0 + 2 and hy0 <= r.lat < hy0 + 2
+                expect = None if in_hole else rr * 4 + c
+            else:
+                expect = None
+            assert r.dz_id == expect, (r.pt_id, r.lon, r.lat)
+
+    def test_multipart_tags_both_parts(self, spark):
+        out = tag_points(_pts(spark), multipart_zones_df(spark),
+                         poly_id_col="mz_id", point_id_col="pt_id", level=7)
+        rows = out.select("lon", "lat", "mz_id").collect()
+        hits = [r for r in rows if r.mz_id is not None]
+        assert hits, "fixture points must hit at least one part"
+        for r in rows:
+            k = int(np.floor((r.lon + 8) / 2))
+            in_x = 0 <= k < 8 and (-8 + 2 * k) <= r.lon < (-7 + 2 * k)
+            in_y = (-6 <= r.lat < -5) or (3 <= r.lat < 4)
+            assert r.mz_id == (k if (in_x and in_y) else None)
+
+
+class TestDonutOverlay:
+    def test_proportion_against_closed_form(self, spark):
+        # targets: 2-deg squares aligned to the donut grid quadrants
+        t = spark.range(64).select(F.col("id").alias("tid"))
+        col = F.col("tid") % 8
+        row = (F.col("tid") - col) / 8
+        from spandex_spark.sources.grids import geom_struct
+        x0 = (col * 2 - 8).cast("double")
+        y0 = (row * 2 - 8).cast("double")
+        targets = t.select("tid", geom_struct(x0, y0, x0 + 2.0, y0 + 2.0).alias("geom"))
+        out = proportion_overlap(targets, donut_zones_df(spark),
+                                 target_id_col="tid", overlay_id_col="dz_id",
+                                 level=7)
+        got = {r.tid: (r.overlap_area, r.target_area, r.proportion_overlap)
+               for r in out.collect()}
+        assert len(got) == 64
+        for tid, (ov, ta, prop) in got.items():
+            tx0 = (tid % 8) * 2 - 8
+            ty0 = (tid // 8) * 2 - 8
+            c, rr = (tx0 + 8) // 4, (ty0 + 8) // 4
+            hx0, hy0 = -8 + 4 * c + 1, -8 + 4 * rr + 1
+            # target ∩ outer = 4 (aligned), minus target ∩ hole
+            w = min(tx0 + 2, hx0 + 2) - max(tx0, hx0)
+            h = min(ty0 + 2, hy0 + 2) - max(ty0, hy0)
+            hole_ix = max(0, w) * max(0, h)
+            assert ta == pytest.approx(4.0)
+            assert ov == pytest.approx(4.0 - hole_ix)
+            assert prop == pytest.approx((4.0 - hole_ix) / 4.0)
+
+
+class TestRingTrimValidate:
+    def test_trim_multipart_keeps_surviving_parts(self, spark):
+        mz = multipart_zones_df(spark)
+        # boundary keeps only the northern parts (lat >= 0)
+        out = trim(mz, np.array([-10.0, 10.0, 10.0, -10.0]),
+                   np.array([0.0, 0.0, 10.0, 10.0]))
+        rows = out.collect()
+        assert len(rows) == 8
+        for r in rows:
+            g = r.geom_trimmed
+            assert g is not None
+            assert list(g.ring_offsets) == [0, 4]
+            assert min(g.ys) == pytest.approx(3.0)
+            assert max(g.ys) == pytest.approx(4.0)
+
+    def test_trim_donut_preserves_hole(self, spark):
+        dz = donut_zones_df(spark)
+        out = trim(dz, np.array([-20.0, 20.0, 20.0, -20.0]),
+                   np.array([-20.0, -20.0, 20.0, 20.0]))
+        g = out.filter(F.col("dz_id") == 0).collect()[0].geom_trimmed
+        assert list(g.ring_offsets) == [0, 4, 8]
+
+    def test_donut_layer_valid_multiparts_valid(self, spark):
+        assert invalid_geometry_check(donut_zones_df(spark), "dz_id").count() == 0
+        assert invalid_geometry_check(multipart_zones_df(spark), "mz_id").count() == 0
+
+    def test_hole_escaping_outer_flagged_invalid(self, spark):
+        import pyspark.sql.types as T
+        from spandex_spark.operators.trim import _GEOM_TYPE
+        bad = spark.createDataFrame(
+            [(1, {"kind": 6,
+                  "xs": [0.0, 4.0, 4.0, 0.0, 3.0, 3.0, 5.0, 5.0],
+                  "ys": [0.0, 0.0, 4.0, 4.0, 3.0, 5.0, 5.0, 3.0],
+                  "ring_offsets": [0, 4, 8],
+                  "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 5.0, "maxy": 5.0}})],
+            T.StructType([T.StructField("gid", T.LongType()),
+                          T.StructField("geom", _GEOM_TYPE)]))
+        assert invalid_geometry_check(bad, "gid").count() == 1
+
+    def test_digest_distinguishes_holes(self, spark):
+        # same vertices, different ring structure → different digests
+        a = donut_zones_df(spark).select("geom")
+        b = donut_zones_df(spark).select(
+            F.struct(F.col("geom.kind").alias("kind"),
+                     F.col("geom.xs").alias("xs"),
+                     F.col("geom.ys").alias("ys"),
+                     F.array(F.lit(0), F.lit(8)).alias("ring_offsets"),
+                     F.col("geom.bbox").alias("bbox")).alias("geom"))
+        both = a.withColumn("src", F.lit("a")).unionByName(
+            b.withColumn("src", F.lit("b"))).withColumn("gid", F.lit(0))
+        dups = duplicate_stacked_geometry_check(both, "gid")
+        assert dups.count() == 0
