@@ -112,6 +112,32 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "rank", "poi_k")
 
 
+def _q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 via the big-both-sides route (histogram-driven cell boxes, no
+    broadcast of the feature rows): must equal the broadcast kNN oracle
+    exactly — same SQL oracle as `knn`."""
+    from spandex_spark.operators import knn_join
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = knn_join(pts, gazetteer_grid_df(spark), k=3,
+                   query_id_col="c_custkey", feature_id_col="poi_k",
+                   strategy="cells", level=7, metric="planar")
+    return out.select("c_custkey", "rank", "poi_k")
+
+
+def _q_tag_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/E1 via the shuffle join (broadcast_polys=False — the large-
+    polygon-layer route where geometry rides the candidate rows): same
+    oracle as `pip_tag`."""
+    from spandex_spark.operators import tag_points
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = tag_points(pts, zones_df(spark), poly_id_col="zone_id",
+                     point_id_col="c_custkey", level=9,
+                     broadcast_polys=False)
+    return out.select("c_custkey", "zone_id")
+
+
 def _q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: per-(parcel, zone) intersection areas (exact binary fractions)."""
     from spandex_spark.operators import proportion_overlap
@@ -279,6 +305,18 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the declared embedding scale path (both
+    sides stream, bucket-join only; no SQL oracle — approximate,
+    hash-defined candidates; recall floor verified in pytest)."""
+    from spandex_spark.operators.similarity import ann_lsh
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    out = ann_lsh(q, emb, k=5, dim=dim, n_tables=8, n_bits=8)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
 def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (no SQL oracle — hash-based; verified in
     pytest against constructed duplicates)."""
@@ -375,6 +413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_tag": _q_pip_tag,
         "pip_tag_holes": _q_pip_tag_holes,
         "pip_tag_multipart": _q_pip_tag_multipart,
+        "tag_shuffle": _q_tag_shuffle,
+        "knn_cells": _q_knn_cells,
+        "ann_lsh": _q_ann_lsh,
         "cell_index": _q_cell_index,
         "knn": _q_knn,
         "overlay": _q_overlay,
@@ -441,7 +482,7 @@ FROM range(64) a(t), range(2500) b(p)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "pip_tag": f"""
             SELECT c_custkey,
                    CAST((floor(lat) + 10) * 20 + (floor(lon) + 10) AS BIGINT) AS zone_id
@@ -699,8 +740,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(string_split(p_name, ' '))) AS INT) AS n_distinct
             FROM part
         """,
-        # minhash_neardup / simhash_neardup: intentionally no oracle —
-        # hash-function-defined candidate sets aren't ANSI-SQL-expressible;
-        # verified in tests/test_dedup_similarity.py against constructed
-        # duplicates.
+        # minhash_neardup / simhash_neardup / ann_lsh: intentionally no
+        # oracle — hash-function-defined candidate sets aren't
+        # ANSI-SQL-expressible; verified in tests/test_dedup_similarity.py
+        # against constructed duplicates / a recall floor.
     }
+    # the scale-path variants must reproduce the broadcast paths EXACTLY,
+    # so they share the same oracles
+    d["tag_shuffle"] = d["pip_tag"]
+    d["knn_cells"] = d["knn"]
+    return d

@@ -185,77 +185,189 @@ def nearest_feature_column(features: DataFrame, *, feature_id_col: str,
     return _nearest
 
 
+LAT_DEG_M = 111_194.9  # meters per degree of latitude (mean sphere)
+
+
+class _CellHistogram:
+    """Driver-side index of the feature layer's non-empty cells at one
+    level: dense count grid + 2D prefix sums (O(1) box counts, x-wrapped
+    across the antimeridian) + the non-empty cell coordinate list. Bounded
+    by 4^level regardless of feature count — the same broadcast-sized-
+    by-contract shape as PolygonIndex (the reference's GiST build)."""
+
+    def __init__(self, gx: np.ndarray, gy: np.ndarray, counts: np.ndarray,
+                 level: int):
+        self.level = level
+        self.n = 1 << level
+        n = self.n
+        grid = np.zeros((n, n), dtype=np.int64)  # [y, x]
+        grid[gy, gx] = counts
+        self.grid = grid
+        # prefix[y, x] = sum of grid[:y, :x]
+        self.prefix = np.zeros((n + 1, n + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(grid, axis=0), axis=1, out=self.prefix[1:, 1:])
+        self.total = int(counts.sum())
+        self.ne_x = gx.astype(np.int64)
+        self.ne_y = gy.astype(np.int64)
+
+    def _col_range_count(self, y0, y1, x0, x1):
+        """Box count over y in [y0, y1] (clipped), x in [x0, x1] (NOT
+        wrapped; caller pre-splits). All args vectorized."""
+        y0 = np.clip(y0, 0, self.n - 1)
+        y1 = np.clip(y1, 0, self.n - 1)
+        x0c = np.clip(x0, 0, self.n - 1)
+        x1c = np.clip(x1, 0, self.n - 1)
+        empty = (x1 < 0) | (x0 > self.n - 1) | (x1c < x0c) | (y1 < y0)
+        p = self.prefix
+        c = (p[y1 + 1, x1c + 1] - p[y0, x1c + 1]
+             - p[y1 + 1, x0c] + p[y0, x0c])
+        return np.where(empty, 0, c)
+
+    def box_count(self, gx, gy, rx, ry):
+        """Features within wrapped-x distance <= rx and y distance <= ry of
+        each (gx, gy). Vectorized; lon wraps (antimeridian), lat clips."""
+        gx = np.asarray(gx)
+        gy = np.asarray(gy)
+        y0, y1 = gy - ry, gy + ry
+        full_x = 2 * np.asarray(rx) + 1 >= self.n
+        x0 = gx - rx
+        x1 = gx + rx
+        # wrapped box = up to two unwrapped column ranges
+        a = self._col_range_count(y0, y1, np.maximum(x0, 0),
+                                  np.minimum(x1, self.n - 1))
+        b = np.where(x0 < 0,
+                     self._col_range_count(y0, y1, x0 + self.n, np.full_like(x0, self.n - 1)),
+                     np.where(x1 > self.n - 1,
+                              self._col_range_count(y0, y1, np.zeros_like(x1), x1 - self.n),
+                              0))
+        whole = self._col_range_count(y0, y1, np.zeros_like(x0),
+                                      np.full_like(x0, self.n - 1))
+        return np.where(full_x, whole, a + b)
+
+    def cells_in_box(self, gx: int, gy: int, rx: int, ry: int) -> np.ndarray:
+        """Non-empty cell ids within the (wrapped-x, clipped-y) box of one
+        query cell. Two tiers: enumerate the block when it is smaller than
+        the non-empty list, else scan the non-empty list."""
+        n = self.n
+        block = (2 * min(rx, n // 2) + 1) * (2 * ry + 1)
+        if block <= self.ne_x.shape[0]:
+            xs = (np.arange(gx - rx, gx + rx + 1) % n)
+            if 2 * rx + 1 >= n:
+                xs = np.arange(n)
+            else:
+                xs = np.unique(xs)
+            ys = np.arange(max(0, gy - ry), min(n - 1, gy + ry) + 1)
+            xx, yy = np.meshgrid(xs, ys)
+            xx, yy = xx.ravel(), yy.ravel()
+            keep = self.grid[yy, xx] > 0
+            return _cells.xy_to_cell(xx[keep], yy[keep], self.level)
+        dx = np.abs(self.ne_x - gx)
+        dx = np.minimum(dx, n - dx)  # wrapped lon distance
+        keep = (dx <= rx) & (np.abs(self.ne_y - gy) <= ry)
+        return _cells.xy_to_cell(self.ne_x[keep], self.ne_y[keep], self.level)
+
+
+def _search_radii(hist: _CellHistogram, gx: int, gy: int, k: int
+                  ) -> tuple[int, int]:
+    """Exact per-query-cell search box (rx, ry) guaranteeing the true kNN
+    set is inside: (1) find a Chebyshev radius r whose box holds >= k
+    features, (2) bound the kth distance d_up from above, (3) convert d_up
+    back to cell radii with latitude-aware LOWER bounds on cell ground
+    extent (a lon cell spans 2*cos(lat)*lat_extent meters — SMALLER than
+    the lat extent above 60 deg, so using the lat extent as 'min extent'
+    under-covers there; see the derivation in the module tests)."""
+    n = hist.n
+    lat_ext_deg = 180.0 / n
+    lat_ext_m = lat_ext_deg * LAT_DEG_M
+    if hist.total <= k:
+        return n, n  # degenerate: take every feature cell
+    # exponential ladder; overshooting r only adds candidates (still exact)
+    r = 0
+    while int(hist.box_count(gx, gy, r, r)) < k:
+        r = 1 if r == 0 else r * 2
+        if r >= n:
+            r = n
+            break
+    # upper bound on kth-NN distance: meridional leg + parallel leg at the
+    # most equatorward latitude reachable within the box
+    lat_lo = abs((gy) * lat_ext_deg - 90.0)
+    lat_hi = abs((gy + 1) * lat_ext_deg - 90.0)
+    band_min_abs = max(0.0, min(lat_lo, lat_hi) - (r + 1) * lat_ext_deg)
+    d_up = (r + 1) * lat_ext_m * (1.0 + 2.0 * np.cos(np.radians(band_min_abs)))
+    # y radius: great-circle distance >= meridional separation
+    ry = int(np.ceil(d_up / lat_ext_m))
+    # x radius: distance >= (4/pi)*cos(band_max_abs)*lat_ext_m per lon cell,
+    # with band_max_abs taken over every latitude reachable within ry
+    band_max_abs = min(90.0, max(lat_lo, lat_hi) + (ry + 1) * lat_ext_deg)
+    per_cell = (4.0 / np.pi) * np.cos(np.radians(band_max_abs)) * lat_ext_m
+    if per_cell <= d_up / n:  # polar degradation: cover all longitudes
+        rx = n
+    else:
+        rx = int(np.ceil(d_up / per_cell))
+    return min(rx, n), min(ry, n)
+
+
+def _candidate_cells_udf(hist: _CellHistogram, k: int):
+    """Per-query candidate cell list (array<long>): all non-empty feature
+    cells within the exact per-query-cell search box. Computed once per
+    DISTINCT query cell per Arrow batch and fanned back to rows."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _cand(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        if len(lon) == 0:
+            return pd.Series([], dtype=object)
+        gx, gy = _cells.grid_coords(lon.to_numpy(np.float64),
+                                    lat.to_numpy(np.float64), hist.level)
+        key = gx * np.int64(hist.n) + gy
+        uniq, inverse = np.unique(key, return_inverse=True)
+        lists: list[list[int]] = []
+        for u in uniq:
+            ux, uy = int(u // hist.n), int(u % hist.n)
+            rx, ry = _search_radii(hist, ux, uy, k)
+            lists.append(hist.cells_in_box(ux, uy, rx, ry).tolist())
+        return pd.Series([lists[i] for i in inverse])
+
+    return _cand
+
+
 def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
                      max_rings: int) -> DataFrame:
-    """Grid ring expansion: candidates within Chebyshev cell-ring r of each
-    query, r grown until the kth-NN distance is provably covered."""
-    spark = q.sparkSession
-    fc = f.withColumn("_fcell", cell_of_udf(F.col("_flon"), F.col("_flat"), level))
-    qc = (q.withColumn("_qcell", cell_of_udf(F.col("_qlon"), F.col("_qlat"), level))
-          .persist())
-    # min ground extent of one cell (lat direction is constant; lon shrinks
-    # with cos(lat) — use lat extent, the safe lower bound of ring distance)
-    lat_extent_m = 180.0 / (1 << level) * 111_194.9
-    fc = fc.persist()
+    """Cells-strategy candidate pairs in exactly TWO Spark jobs (the round-1
+    version looped count()/isEmpty() actions per ring and re-windowed a
+    growing union — O(rings) sequential jobs):
 
-    unresolved = qc
-    gathered = None
-    r = 0
-    while True:
-        ring_cells = _ring_cells_udf(F.col("_qcell"), F.lit(r))
-        cand_r = (unresolved.withColumn("_cell", F.explode(ring_cells))
-                  .join(fc.withColumnRenamed("_fcell", "_cell"), "_cell", "inner")
-                  .drop("_cell"))
-        gathered = cand_r if gathered is None else gathered.unionByName(cand_r)
-        # a query is resolved when it has >= k candidates whose kth distance
-        # is within the radius guaranteed covered by ring r
-        dist = haversine_expr(F.col("_qlon"), F.col("_qlat"),
-                              F.col("_flon"), F.col("_flat"))
-        covered_m = max(r, 0) * lat_extent_m
-        wk = Window.partitionBy("_qid").orderBy(dist.asc())
-        kth = (gathered.withColumn("_rn", F.row_number().over(wk))
-               .filter(F.col("_rn") == k)
-               .withColumn("_kd", dist)
-               .select("_qid", "_kd"))
-        resolved_ids = kth.filter(F.col("_kd") <= covered_m).select("_qid")
-        prev_unresolved = unresolved
-        unresolved = unresolved.join(resolved_ids, "_qid", "left_anti").persist()
-        unresolved.count()  # materialize before dropping the parent
-        if prev_unresolved is not qc:
-            prev_unresolved.unpersist()
-        r += 1
-        if r > max_rings or unresolved.isEmpty():
-            break
-        gathered = gathered.persist()
-    qc.unpersist()
-    fc.unpersist()
-    unresolved.unpersist()
-    return gathered.dropDuplicates(["_qid", "_fid"])
+    job 1  feature cell histogram (groupBy(cell).count() → driver; bounded
+           by 4^level non-empty cells, not by feature count);
+    job 2  queries emit their candidate cells from the histogram closure
+           (one pandas UDF, computed per distinct query cell), explode,
+           hash-join the feature side on cell. The caller's window top-k
+           runs in the same job.
+
+    Exact: the per-query search box provably contains the true kNN set
+    (latitude-aware bounds, lon wraps at the antimeridian, polar queries
+    degrade to all-longitude coverage). ``max_rings`` is retained for
+    signature compatibility but no longer bounds correctness.
+    """
+    if level > 11:
+        raise ValueError("cells strategy supports level <= 11 "
+                         "(dense histogram grid)")
+    fc = f.withColumn("_cell", _cell_of_jvm(F.col("_flon"), F.col("_flat"), level))
+    rows = fc.groupBy("_cell").count().collect()
+    carr = np.array([r["_cell"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["count"] for r in rows], dtype=np.int64)
+    gx, gy = _cells.cell_xy(carr) if carr.shape[0] else (np.array([], np.int64),) * 2
+    hist = _CellHistogram(gx, gy, cnts, level)
+    cand_cells = _candidate_cells_udf(hist, k)
+    qc = (q.withColumn("_cell", F.explode(cand_cells(F.col("_qlon"),
+                                                     F.col("_qlat")))))
+    return qc.join(fc, "_cell", "inner").drop("_cell")
+
+
+def _cell_of_jvm(lon, lat, level: int):
+    from spandex_spark.functions.cells_sql import cell_of_expr
+    return cell_of_expr(lon, lat, level)
 
 
 from pyspark.sql import types as T  # noqa: E402
 from pyspark.sql.functions import pandas_udf  # noqa: E402
 import pandas as pd  # noqa: E402
-
-
-@pandas_udf(T.ArrayType(T.LongType()))
-def _ring_cells_udf(cell: pd.Series, ring: pd.Series) -> pd.Series:
-    """Cells at Chebyshev ring exactly r around each cell (r=0 → the cell)."""
-    r = int(ring.iloc[0])
-    carr = cell.to_numpy(np.int64)
-    lvl = int(_cells.cell_level(carr[:1])[0]) if carr.shape[0] else 0
-    n = 1 << lvl
-    gx, gy = _cells.cell_xy(carr)
-    out = []
-    if r == 0:
-        return pd.Series([[int(c)] for c in carr])
-    offsets = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)
-               if max(abs(dx), abs(dy)) == r]
-    dxs = np.array([o[0] for o in offsets])
-    dys = np.array([o[1] for o in offsets])
-    for i in range(carr.shape[0]):
-        xs = gx[i] + dxs
-        ys = gy[i] + dys
-        ok = (xs >= 0) & (xs < n) & (ys >= 0) & (ys < n)
-        out.append(_cells.xy_to_cell(xs[ok], ys[ok], lvl).tolist())
-    return pd.Series(out)

@@ -36,3 +36,101 @@ def test_overlay_shuffle_path_matches_broadcast(spark, fixture_dir):
                             overlay_id_col="zone_id", keep_pairs=True,
                             broadcast_overlays=False).collect()}
     assert a == b
+
+
+class TestCellsKnn:
+    """The big-both-sides kNN route: histogram-driven candidate boxes."""
+
+    def test_equality_at_1m_points(self, spark):
+        from spandex_spark.sources.grids import derived_points, gazetteer_grid_df
+        from spandex_spark.operators import knn_join
+        pts = derived_points(
+            spark.range(1_000_000).select(F.col("id").alias("q")), "q")
+        gaz = gazetteer_grid_df(spark)
+        a = knn_join(pts, gaz, k=1, query_id_col="q", feature_id_col="poi_k",
+                     strategy="broadcast")
+        b = knn_join(pts, gaz, k=1, query_id_col="q", feature_id_col="poi_k",
+                     strategy="cells", level=7)
+        # the derived lattice has only 2000x2000 distinct coords; compare
+        # aggregate signatures (cheap) plus a full-row sample
+        sig = lambda df: df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("q") * F.col("poi_k")).alias("dot"),
+            F.sum(F.round("dist_m", 3)).alias("ds")).collect()[0]
+        sa, sb = sig(a), sig(b)
+        assert sa.n == sb.n == 1_000_000
+        assert sa.dot == sb.dot
+        assert abs(sa.ds - sb.ds) < 1e-6 * max(abs(sa.ds), 1.0)
+
+    def test_high_latitude_exactness(self, spark):
+        """ADVICE r1: above 60 deg the lon cell ground extent is smaller
+        than the lat extent, so a lat-extent 'covered radius' overestimates
+        and can return a non-nearest feature. The box bounds are now
+        latitude-aware; cells must equal broadcast up to 85 deg."""
+        import numpy as np
+        from spandex_spark.operators import knn_join
+        rng = np.random.default_rng(3)
+        q = spark.createDataFrame(
+            [(int(i), float(rng.uniform(-180, 180)), float(rng.uniform(70, 85)))
+             for i in range(1000)], "q long, lon double, lat double")
+        f = spark.createDataFrame(
+            [(int(i), float(rng.uniform(-180, 180)), float(rng.uniform(60, 88)))
+             for i in range(300)], "fid long, lon double, lat double")
+        a = {(r.q, r.rank, r.fid) for r in
+             knn_join(q, f, k=2, query_id_col="q", feature_id_col="fid",
+                      strategy="broadcast").collect()}
+        b = {(r.q, r.rank, r.fid) for r in
+             knn_join(q, f, k=2, query_id_col="q", feature_id_col="fid",
+                      strategy="cells", level=6).collect()}
+        assert a == b
+
+    def test_antimeridian_wrap(self, spark):
+        """A feature 0.15 deg across the date line must beat one 10 deg away
+        on the same side (the candidate box wraps in x)."""
+        from spandex_spark.operators import knn_join
+        q = spark.createDataFrame([(i, 179.9, float(i) / 100) for i in range(50)],
+                                  "q long, lon double, lat double")
+        f = spark.createDataFrame(
+            [(0, -179.95, 0.0), (1, 170.0, 0.0), (2, -170.0, 0.0)],
+            "fid long, lon double, lat double")
+        out = knn_join(q, f, k=1, query_id_col="q", feature_id_col="fid",
+                       strategy="cells", level=7).collect()
+        assert len(out) == 50 and all(r.fid == 0 for r in out)
+
+    def test_job_count_data_independent(self, spark):
+        """The r1 implementation ran O(rings) sequential jobs (per-ring
+        count/isEmpty on a growing union), so sparse feature layers cost
+        more driver round-trips. The histogram plan runs exactly 2 actions
+        (histogram collect + the candidate join/top-k); AQE splits those
+        into a constant number of stage-jobs that must NOT grow when the
+        feature layer gets 10x sparser (= bigger search boxes)."""
+        from spandex_spark.sources.grids import derived_points, gazetteer_grid_df
+        from spandex_spark.operators import knn_join
+        sc = spark.sparkContext
+
+        def jobs_for(gaz, group):
+            pts = derived_points(
+                spark.range(20_000).select(F.col("id").alias("q")), "q")
+            sc.setJobGroup(group, "count jobs")
+            try:
+                knn_join(pts, gaz, k=3, query_id_col="q",
+                         feature_id_col="poi_k", strategy="cells",
+                         level=7).count()
+            finally:
+                sc.setJobGroup(None, None)
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        dense = jobs_for(gazetteer_grid_df(spark), "knn-cells-dense")
+        sparse = jobs_for(gazetteer_grid_df(spark).filter(F.col("poi_k") < 3),
+                          "knn-cells-sparse")
+        assert sparse <= dense + 1, (dense, sparse)
+        assert dense <= 8, f"constant-bounded stage jobs, got {dense}"
+
+    def test_k_exceeding_features(self, spark):
+        from spandex_spark.sources.grids import derived_points, gazetteer_grid_df
+        from spandex_spark.operators import knn_join
+        pts = derived_points(spark.range(100).select(F.col("id").alias("q")), "q")
+        gaz = gazetteer_grid_df(spark).filter(F.col("poi_k") < 3)
+        out = knn_join(pts, gaz, k=5, query_id_col="q", feature_id_col="poi_k",
+                       strategy="cells", level=7)
+        assert out.count() == 300  # n_features rows per query
