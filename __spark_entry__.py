@@ -173,6 +173,19 @@ def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("y", 3) + 0.0).alias("merc_y"))
 
 
+def _q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 extended: UTM zone 31N (EPSG:32631) forward projection of the
+    in-zone points; the oracle reruns the identical Snyder series in SQL."""
+    from spandex_spark.operators import reproject
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    pts = pts.filter((F.col("lon") >= 0.0) & (F.col("lon") < 6.0))
+    out = reproject(pts, to_srid=32631)
+    return out.select("c_custkey",
+                      (F.round("x", 2) + 0.0).alias("utm_x"),
+                      (F.round("y", 2) + 0.0).alias("utm_y"))
+
+
 def _q_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: geotag extraction from synthesized page text (regex path)."""
     from spandex_spark.geotag import geotag
@@ -277,6 +290,19 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spandex_spark.operators.textstats import fingerprint
     out = fingerprint(_t(spark, sf_dir, "documents"), algo="md5")
     return out.select("doc_id", F.col("fingerprint").alias("fp"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language heuristic (pure JVM codegen)."""
+    from spandex_spark.operators.textstats import lang_id
+    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def _q_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword piece count (regexp, JVM codegen)."""
+    from spandex_spark.operators.textstats import bpe_piece_count
+    return bpe_piece_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_pieces")
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay": _q_overlay,
         "zonal": _q_zonal,
         "reproject": _q_reproject,
+        "reproject_utm": _q_reproject_utm,
         "geotag": _q_geotag,
         "scale_targets": _q_scale,
         "q1_pricing": _q_q1,
@@ -431,6 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -745,6 +774,72 @@ def oracle_sql() -> dict[str, str]:
         # ANSI-SQL-expressible; verified in tests/test_dedup_similarity.py
         # against constructed duplicates / a recall floor.
     }
+    # UTM zone 31N forward series (Snyder 1987), mirroring geom.lonlat_to_utm
+    # operation-for-operation; rounded to 2 decimals on both sides
+    d["reproject_utm"] = """
+        WITH p AS (
+          SELECT c_custkey, lon, lat,
+                 radians(lat) AS phi, radians(lon) AS lam,
+                 (1.0/298.257223563) * (2.0 - 1.0/298.257223563) AS e2
+          FROM ({pts})
+          WHERE lon >= 0.0 AND lon < 6.0
+        ), q AS (
+          SELECT *,
+                 e2 / (1.0 - e2) AS ep2,
+                 sin(phi) AS sp, cos(phi) AS cp, tan(phi) AS tp,
+                 radians(31.0 * 6.0 - 183.0) AS lam0
+          FROM p
+        ), r AS (
+          SELECT *,
+                 6378137.0 / sqrt(1.0 - e2 * sp * sp) AS N,
+                 tp * tp AS T,
+                 ep2 * cp * cp AS C,
+                 cp * (lam - lam0) AS A,
+                 6378137.0 * ((1.0 - e2/4.0 - 3.0*e2*e2/64.0 - 5.0*e2*e2*e2/256.0) * phi
+                   - (3.0*e2/8.0 + 3.0*e2*e2/32.0 + 45.0*e2*e2*e2/1024.0) * sin(2.0*phi)
+                   + (15.0*e2*e2/256.0 + 45.0*e2*e2*e2/1024.0) * sin(4.0*phi)
+                   - (35.0*e2*e2*e2/3072.0) * sin(6.0*phi)) AS M
+          FROM q
+        )
+        SELECT c_custkey,
+               round(0.9996 * N * (A + (1.0 - T + C) * A*A*A / 6.0
+                 + (5.0 - 18.0*T + T*T + 72.0*C - 58.0*ep2) * A*A*A*A*A / 120.0)
+                 + 500000.0, 2) + 0.0 AS utm_x,
+               round(0.9996 * (M + N * tp * (A*A/2.0
+                 + (5.0 - T + 9.0*C + 4.0*C*C) * A*A*A*A / 24.0
+                 + (61.0 - 58.0*T + T*T + 600.0*C - 330.0*ep2)
+                   * A*A*A*A*A*A / 720.0)), 2) + 0.0 AS utm_y
+        FROM r
+    """.format(pts=_PTS)
+    d["lang_id"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                x -> lower(x)) AS toks
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS en,
+                 len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS es,
+                 len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS de,
+                 len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS fr
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN fr >= es AND fr >= en AND fr >= de THEN 'fr'
+                    WHEN es >= en AND es >= de THEN 'es'
+                    WHEN en >= de THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM h
+    """
+    d["bpe_piece_count"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text, '([A-Za-z]{1,8}|[0-9]+|[^\sA-Za-z0-9])')) AS BIGINT)
+                 AS n_pieces
+        FROM documents
+    """
     # the scale-path variants must reproduce the broadcast paths EXACTLY,
     # so they share the same oracles
     d["tag_shuffle"] = d["pip_tag"]

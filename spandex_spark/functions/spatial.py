@@ -140,6 +140,20 @@ def webmercator_udf(lon, lat):
     return _webmercator(lon, lat)
 
 
+@pandas_udf(_MERC_TYPE)
+def _utm(lon: pd.Series, lat: pd.Series, zone: pd.Series,
+         north: pd.Series) -> pd.DataFrame:
+    x, y = _geom.lonlat_to_utm(lon.to_numpy(np.float64),
+                               lat.to_numpy(np.float64),
+                               int(zone.iloc[0]), bool(north.iloc[0]))
+    return pd.DataFrame({"x": x, "y": y})
+
+
+def utm_udf(lon, lat, zone: int, north: bool = True):
+    """ST_Transform(4326 → EPSG:326xx/327xx) analog (UTM, Snyder series)."""
+    return _utm(lon, lat, F.lit(zone), F.lit(north))
+
+
 @pandas_udf(T.BooleanType())
 def _geom_is_valid(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
     out = np.fromiter(

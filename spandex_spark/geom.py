@@ -442,3 +442,88 @@ def webmercator_to_lonlat(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.
     lon = np.degrees(np.asarray(x, dtype=np.float64) / R)
     lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / R)) - np.pi / 2.0)
     return lon, lat
+
+
+# WGS84 ellipsoid + UTM constants (public: Snyder 1987, USGS PP 1395)
+_WGS84_A = 6_378_137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500_000.0
+_UTM_FN_S = 10_000_000.0
+
+
+def lonlat_to_utm(lon: np.ndarray, lat: np.ndarray, zone: int,
+                  north: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 → UTM zone (EPSG:326xx north / 327xx south), vectorized
+    transverse-Mercator series (Snyder 1987 eqs 8-9..8-13; mm-accurate in
+    zone). Extends spandex/spatialtoolz.py::conform_srids beyond 3857 — the
+    reference targets an arbitrary project SRID via ST_Transform, and UTM
+    is the SRID family its parcel data actually uses."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    a, f = _WGS84_A, _WGS84_F
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    lam0 = np.radians(float(zone) * 6.0 - 183.0)
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    sin_phi = np.sin(phi)
+    cos_phi = np.cos(phi)
+    tan_phi = np.tan(phi)
+    N = a / np.sqrt(1.0 - e2 * sin_phi * sin_phi)
+    T = tan_phi * tan_phi
+    C = ep2 * cos_phi * cos_phi
+    A = cos_phi * (lam - lam0)
+    M = a * ((1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2 ** 3 / 256.0) * phi
+             - (3.0 * e2 / 8.0 + 3.0 * e2 * e2 / 32.0 + 45.0 * e2 ** 3 / 1024.0) * np.sin(2.0 * phi)
+             + (15.0 * e2 * e2 / 256.0 + 45.0 * e2 ** 3 / 1024.0) * np.sin(4.0 * phi)
+             - (35.0 * e2 ** 3 / 3072.0) * np.sin(6.0 * phi))
+    A2 = A * A
+    x = _UTM_K0 * N * (A + (1.0 - T + C) * A2 * A / 6.0
+                       + (5.0 - 18.0 * T + T * T + 72.0 * C - 58.0 * ep2)
+                       * A2 * A2 * A / 120.0) + _UTM_FE
+    y = _UTM_K0 * (M + N * tan_phi * (A2 / 2.0
+                                      + (5.0 - T + 9.0 * C + 4.0 * C * C) * A2 * A2 / 24.0
+                                      + (61.0 - 58.0 * T + T * T + 600.0 * C
+                                         - 330.0 * ep2) * A2 * A2 * A2 / 720.0))
+    if not north:
+        y = y + _UTM_FN_S
+    return x, y
+
+
+def utm_to_lonlat(x: np.ndarray, y: np.ndarray, zone: int,
+                  north: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse UTM (Snyder 1987 eqs 8-17..8-25), vectorized."""
+    x = np.asarray(x, np.float64) - _UTM_FE
+    y = np.asarray(y, np.float64)
+    if not north:
+        y = y - _UTM_FN_S
+    a, f = _WGS84_A, _WGS84_F
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    lam0 = np.radians(float(zone) * 6.0 - 183.0)
+    M = y / _UTM_K0
+    mu = M / (a * (1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2 ** 3 / 256.0))
+    e1 = (1.0 - np.sqrt(1.0 - e2)) / (1.0 + np.sqrt(1.0 - e2))
+    phi1 = (mu + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+            + (21.0 * e1 * e1 / 16.0 - 55.0 * e1 ** 4 / 32.0) * np.sin(4.0 * mu)
+            + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+            + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu))
+    sin1 = np.sin(phi1)
+    cos1 = np.cos(phi1)
+    tan1 = np.tan(phi1)
+    C1 = ep2 * cos1 * cos1
+    T1 = tan1 * tan1
+    N1 = a / np.sqrt(1.0 - e2 * sin1 * sin1)
+    R1 = a * (1.0 - e2) / (1.0 - e2 * sin1 * sin1) ** 1.5
+    D = x / (N1 * _UTM_K0)
+    D2 = D * D
+    phi = phi1 - (N1 * tan1 / R1) * (
+        D2 / 2.0 - (5.0 + 3.0 * T1 + 10.0 * C1 - 4.0 * C1 * C1 - 9.0 * ep2)
+        * D2 * D2 / 24.0
+        + (61.0 + 90.0 * T1 + 298.0 * C1 + 45.0 * T1 * T1 - 252.0 * ep2
+           - 3.0 * C1 * C1) * D2 * D2 * D2 / 720.0)
+    lam = lam0 + (D - (1.0 + 2.0 * T1 + C1) * D2 * D / 6.0
+                  + (5.0 - 2.0 * C1 + 28.0 * T1 - 3.0 * C1 * C1 + 8.0 * ep2
+                     + 24.0 * T1 * T1) * D2 * D2 * D / 120.0) / cos1
+    return np.degrees(lam), np.degrees(phi)

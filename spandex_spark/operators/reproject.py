@@ -2,21 +2,29 @@
 
 Reference semantics: spandex/spatialtoolz.py::conform_srids / ::reproject
 (ST_Transform to the project SRID). Supported analytically (no pyproj in
-env): EPSG:4326 <-> EPSG:3857. All internal engine math stays in 4326;
-reprojection is an output/ingest transform."""
+env): EPSG:4326 <-> EPSG:3857, and the UTM family EPSG:32601-32660 (north)
+/ 32701-32760 (south) via the transverse-Mercator series — UTM is the
+project-SRID family real parcel layers conform to. All internal engine
+math stays in 4326; reprojection is an output/ingest transform."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spandex_spark.functions.spatial import webmercator_udf
+from spandex_spark.functions.spatial import webmercator_udf, utm_udf
 
 
 def reproject(df: DataFrame, *, lon_col: str = "lon", lat_col: str = "lat",
               to_srid: int = 3857, x_col: str = "x", y_col: str = "y") -> DataFrame:
-    if to_srid != 3857:
+    if to_srid == 3857:
+        out = webmercator_udf(F.col(lon_col), F.col(lat_col))
+    elif 32601 <= to_srid <= 32660:
+        out = utm_udf(F.col(lon_col), F.col(lat_col), to_srid - 32600, True)
+    elif 32701 <= to_srid <= 32760:
+        out = utm_udf(F.col(lon_col), F.col(lat_col), to_srid - 32700, False)
+    else:
         raise NotImplementedError(
-            "analytic reprojection supports EPSG:3857 only (no pyproj in env)")
-    merc = webmercator_udf(F.col(lon_col), F.col(lat_col))
-    return df.withColumn(x_col, merc["x"]).withColumn(y_col, merc["y"])
+            "analytic reprojection supports EPSG:3857 and UTM "
+            "(EPSG:32601-32660 / 32701-32760); no pyproj in env")
+    return df.withColumn(x_col, out["x"]).withColumn(y_col, out["y"])

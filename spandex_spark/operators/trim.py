@@ -2,10 +2,12 @@
 
 Reference semantics: spandex/spatialtoolz.py::trim — clip target geometries
 to a boundary via ST_Intersection, keeping the clipped geometry (not just
-its area, which is O2's job). The boundary must be convex (the
-overwhelmingly common case: study-area rectangles/hulls); the clip runs as
-Sutherland–Hodgman in the vectorized kernel and returns the same
-struct-of-arrays geometry encoding.
+its area, which is O2's job). Convex boundaries (the common case:
+study-area rectangles/hulls) clip each ring with one Sutherland–Hodgman
+pass; non-convex boundaries are ear-clipped into triangles and the output
+is the exact triangle-tiled intersection (a multipolygon whose even-odd
+region and area equal ST_Intersection's). Multi-ring targets clip per
+ring (holes stay holes). Same struct-of-arrays geometry encoding out.
 """
 
 from __future__ import annotations
@@ -38,8 +40,17 @@ def trim(targets: DataFrame, boundary_xs: np.ndarray, boundary_ys: np.ndarray,
     by = np.asarray(boundary_ys, np.float64)
     if _geom.shoelace_area(bx, by) < 0:
         bx, by = bx[::-1].copy(), by[::-1].copy()
-    if not _geom._is_convex_ccw(bx, by):
-        raise ValueError("trim boundary must be convex")
+    if _geom._is_convex_ccw(bx, by):
+        clip_pieces = [(bx, by)]
+    else:
+        # non-convex boundary: ear-clip it into triangles once (driver
+        # side) and clip each ring by each triangle — the pieces tile the
+        # true intersection exactly (same identity as
+        # geom.polygon_intersection_area), emitted as a multipolygon.
+        # Pieces share edges but never overlap, so even-odd semantics and
+        # total area are exact; the output is tiled, not dissolved.
+        clip_pieces = [(bx[list(t)], by[list(t)])
+                       for t in _geom.ear_clip_triangulate(bx, by)]
 
     @pandas_udf(_GEOM_TYPE)
     def _clip(xs: pd.Series, ys: pd.Series, roffs: pd.Series) -> pd.DataFrame:
@@ -54,9 +65,10 @@ def trim(targets: DataFrame, boundary_xs: np.ndarray, boundary_ys: np.ndarray,
             # clips (orientation is preserved by Sutherland–Hodgman)
             out_rings: list[tuple[np.ndarray, np.ndarray]] = []
             for rx, ry in _geom.rings_of(sx, sy, o):
-                cx, cy = _geom.clip_polygon_convex(rx, ry, bx, by)
-                if cx.shape[0] >= 3 and abs(_geom.shoelace_area(cx, cy)) >= 1e-300:
-                    out_rings.append((cx, cy))
+                for px_, py_ in clip_pieces:
+                    cx, cy = _geom.clip_polygon_convex(rx, ry, px_, py_)
+                    if cx.shape[0] >= 3 and abs(_geom.shoelace_area(cx, cy)) >= 1e-300:
+                        out_rings.append((cx, cy))
             if not out_rings:
                 kinds.append(None)
                 oxs.append(None)

@@ -383,3 +383,34 @@ class TestRingCover:
                 cx = _np.array([lon0[i], lon1[i] - 1e-9, lon0[i], lon1[i] - 1e-9])
                 cy = _np.array([lat0[i], lat0[i], lat1[i] - 1e-9, lat1[i] - 1e-9])
                 assert geom.points_in_rings(cx, cy, xs, ys, off).all()
+
+
+class TestUTM:
+    def test_roundtrip_in_zone_submillimeter(self):
+        rng = np.random.default_rng(0)
+        lon = rng.uniform(0, 6, 5000)
+        lat = rng.uniform(-80, 84, 5000)
+        for north in (True, False):
+            x, y = geom.lonlat_to_utm(lon, lat, 31, north)
+            lon2, lat2 = geom.utm_to_lonlat(x, y, 31, north)
+            assert geom.haversine_m(lon, lat, lon2, lat2).max() < 2e-3
+
+    def test_central_meridian_invariants(self):
+        # equator on the central meridian → exactly (500000, 0)
+        x, y = geom.lonlat_to_utm(np.array([3.0]), np.array([0.0]), 31)
+        assert (x[0], y[0]) == (500_000.0, 0.0)
+        # scale factor along the central meridian = k0 = 0.9996
+        xa, ya = geom.lonlat_to_utm(np.array([3.0, 3.0]),
+                                    np.array([45.0, 45.001]), 31)
+        d_utm = float(np.hypot(xa[1] - xa[0], ya[1] - ya[0]))
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        phi = np.radians(45.0005)
+        m_rad = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        d_geo = m_rad * np.radians(0.001)
+        assert d_utm / d_geo == pytest.approx(0.9996, abs=1e-6)
+
+    def test_southern_false_northing(self):
+        _, y = geom.lonlat_to_utm(np.array([3.0]), np.array([-0.001]), 31,
+                                  north=False)
+        assert 0 < 10_000_000.0 - y[0] < 200.0

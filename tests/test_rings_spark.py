@@ -130,3 +130,30 @@ class TestRingTrimValidate:
             b.withColumn("src", F.lit("b"))).withColumn("gid", F.lit(0))
         dups = duplicate_stacked_geometry_check(both, "gid")
         assert dups.count() == 0
+
+
+class TestNonConvexTrim:
+    def test_lshape_trim_area_matches_intersection_kernel(self, spark):
+        """Stretch (r1 verdict): trim by a non-convex boundary must keep
+        geometry whose area equals geom.polygon_intersection_area."""
+        from spandex_spark.sources.grids import parcels_df
+        # L-shape: [0,6]x[0,2] ∪ [0,2]x[2,6], CCW
+        bx = np.array([0.0, 6.0, 6.0, 2.0, 2.0, 0.0])
+        by = np.array([0.0, 0.0, 2.0, 2.0, 6.0, 6.0])
+        parcels = parcels_df(spark).filter(
+            (F.col("geom.bbox.minx") > -1) & (F.col("geom.bbox.maxx") < 8)
+            & (F.col("geom.bbox.miny") > -1) & (F.col("geom.bbox.maxy") < 8))
+        out = trim(parcels, bx, by).collect()
+        assert len(out) > 10
+        from spandex_spark import geom as G
+        for r in out:
+            sx = np.asarray(r.geom.xs, float)
+            sy = np.asarray(r.geom.ys, float)
+            expect = G.polygon_intersection_area(sx, sy, bx, by)
+            g = r.geom_trimmed
+            if g is None:
+                assert expect == pytest.approx(0.0, abs=1e-12)
+                continue
+            got = G.rings_area(np.asarray(g.xs, float), np.asarray(g.ys, float),
+                               np.asarray(g.ring_offsets))
+            assert got == pytest.approx(expect, abs=1e-9), r.parcel_id
