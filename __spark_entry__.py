@@ -173,6 +173,20 @@ def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("y", 3) + 0.0).alias("merc_y"))
 
 
+def _q_nearest_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linestring kNN: nearest meridional road per point (vectorized
+    point-to-segment kernel); closed-form |lon - nearest integer| oracle
+    with exact tie-break to the smaller road id."""
+    from spandex_spark.operators.lines import nearest_line_join
+    from spandex_spark.sources.grids import roads_df
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = nearest_line_join(pts, roads_df(spark), k=1,
+                            point_id_col="c_custkey", line_id_col="road_id")
+    return out.select("c_custkey", "road_id",
+                      (F.round("dist_deg", 6) + 0.0).alias("dist_deg"))
+
+
 def _q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 extended: UTM zone 31N (EPSG:32631) forward projection of the
     in-zone points; the oracle reruns the identical Snyder series in SQL."""
@@ -321,6 +335,18 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family clustering: connected components (iterative
+    min-label propagation, JVM joins) over the exact embedding near-dup
+    pairs; cluster_id = min member id (the canonical survivor). Oracle:
+    recursive-CTE transitive closure over the identical pair set."""
+    from spandex_spark.operators.dedup import (
+        embedding_neardup_pairs, duplicate_clusters)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    pairs = embedding_neardup_pairs(emb, threshold=0.2)
+    return duplicate_clusters(pairs).select("doc_id", "cluster_id")
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + nprobe search; no SQL oracle —
     approximate, algorithm-defined result; recall verified in pytest)."""
@@ -448,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal": _q_zonal,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
+        "nearest_road": _q_nearest_road,
         "geotag": _q_geotag,
         "scale_targets": _q_scale,
         "q1_pricing": _q_q1,
@@ -463,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "dup_clusters": _q_dup_clusters,
         "ann_ivf": _q_ann_ivf,
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
@@ -774,6 +802,42 @@ def oracle_sql() -> dict[str, str]:
         # ANSI-SQL-expressible; verified in tests/test_dedup_similarity.py
         # against constructed duplicates / a recall floor.
     }
+    d["dup_clusters"] = """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+            AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.2
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        )
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    """
+    d["nearest_road"] = f"""
+        WITH p AS (SELECT c_custkey, lon FROM ({_PTS})),
+        k AS (
+          SELECT c_custkey, lon,
+                 CASE WHEN lon + 8.5 = floor(lon + 8.5)
+                      THEN floor(lon + 8.5) - 1
+                      ELSE floor(lon + 8.5) END AS k0
+          FROM p
+        )
+        SELECT c_custkey,
+               CAST(GREATEST(0, LEAST(16, k0)) AS BIGINT) AS road_id,
+               round(abs(lon - (GREATEST(0, LEAST(16, k0)) - 8.0)), 6) + 0.0
+                 AS dist_deg
+        FROM k
+    """
     # UTM zone 31N forward series (Snyder 1987), mirroring geom.lonlat_to_utm
     # operation-for-operation; rounded to 2 decimals on both sides
     d["reproject_utm"] = """

@@ -28,7 +28,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-PTS_MULT = int(os.environ.get("SPANDEX_BENCH_PTS_MULT", "32"))
+# 64 x 600k = 38.4M headline rows: big enough that per-stage fixed costs
+# (~2-4s: stage setup, broadcast build, Python worker spin-up) don't
+# dominate the measured throughput at 32 cores
+PTS_MULT = int(os.environ.get("SPANDEX_BENCH_PTS_MULT", "64"))
 _PREPARED = {}
 
 

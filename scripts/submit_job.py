@@ -2,9 +2,12 @@
 multi-executor cluster).
 
 Usage (cluster):
-    zip -r sx.zip spandex_spark/
-    spark-submit --py-files sx.zip scripts/submit_job.py \
+    ./scripts/make_pyfiles.sh          # builds dist/sx.zip from CURRENT source
+    spark-submit --py-files dist/sx.zip scripts/submit_job.py \
         --sf-dir /data/pages --out /data/out --run-id prod-001 --buckets 512
+
+(dist/ is gitignored — always rebuild the zip so it can't go stale
+relative to spandex_spark/.)
 
 Runs the flagship pipeline (geotag -> PIP tag -> kNN) with partition-
 granularity checkpoint/resume and lineage metrics (E5/E6). Re-running the

@@ -159,6 +159,27 @@ def cover_polygon_classified(xs: np.ndarray, ys: np.ndarray, level: int,
     return cands, full
 
 
+def cover_linestring(xs: np.ndarray, ys: np.ndarray, level: int,
+                     ring_offsets=None) -> np.ndarray:
+    """Covering cells of a (multi-)linestring: union of each segment's bbox
+    cells — a conservative superset (exact for axis-aligned segments); the
+    exact-refine phase of any consumer filters false positives, mirroring
+    cover_polygon's contract."""
+    from spandex_spark.geom import rings_of
+
+    parts = rings_of(np.asarray(xs, np.float64), np.asarray(ys, np.float64),
+                     ring_offsets)
+    out = []
+    for rx, ry in parts:
+        for i in range(rx.shape[0] - 1):
+            out.append(cover_bbox(min(rx[i], rx[i + 1]), min(ry[i], ry[i + 1]),
+                                  max(rx[i], rx[i + 1]), max(ry[i], ry[i + 1]),
+                                  level))
+    if not out:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
 def level_for_extent(extent_deg: float, target_cells_per_feature: float = 4.0) -> int:
     """Pick the cell level whose square is roughly the feature extent, so a
     typical feature explodes into ~target_cells_per_feature covering cells."""

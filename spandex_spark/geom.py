@@ -256,6 +256,51 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+# ---------------------------------------------------------------- linestrings
+
+def linestring_length(xs: np.ndarray, ys: np.ndarray, offsets=None,
+                      metric: str = "planar") -> float:
+    """Total length of a (multi-)linestring: sum of segment lengths per
+    part (parts delimited by ``offsets`` — OPEN parts, no closing segment).
+    ``metric``: 'planar' (degrees) or 'haversine' (meters). ST_Length
+    analog for the road/network layers the reference stores in PostGIS."""
+    total = 0.0
+    for rx, ry in rings_of(np.asarray(xs, np.float64),
+                           np.asarray(ys, np.float64), offsets):
+        if rx.shape[0] < 2:
+            continue
+        if metric == "haversine":
+            seg = haversine_m(rx[:-1], ry[:-1], rx[1:], ry[1:])
+        else:
+            seg = np.hypot(rx[1:] - rx[:-1], ry[1:] - ry[:-1])
+        total += float(seg.sum())
+    return total
+
+
+def points_to_linestring_dist(px: np.ndarray, py: np.ndarray,
+                              xs: np.ndarray, ys: np.ndarray,
+                              offsets=None) -> np.ndarray:
+    """Planar min distance from each point to a (multi-)linestring:
+    vectorized point-to-segment over every part's segments (the `<->`
+    operand PostGIS evaluates for line features). Degrees in, degrees out;
+    for ground meters callers scale or use small-extent layers."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    best = np.full(px.shape[0], np.inf)
+    for rx, ry in rings_of(np.asarray(xs, np.float64),
+                           np.asarray(ys, np.float64), offsets):
+        for i in range(rx.shape[0] - 1):
+            dx, dy = rx[i + 1] - rx[i], ry[i + 1] - ry[i]
+            ln = dx * dx + dy * dy
+            if ln == 0.0:
+                d2 = (px - rx[i]) ** 2 + (py - ry[i]) ** 2
+            else:
+                t = np.clip(((px - rx[i]) * dx + (py - ry[i]) * dy) / ln, 0.0, 1.0)
+                d2 = (rx[i] + t * dx - px) ** 2 + (ry[i] + t * dy - py) ** 2
+            np.minimum(best, d2, out=best)
+    return np.sqrt(best)
+
+
 # ---------------------------------------------------------------- clipping
 
 def clip_polygon_convex(sx: np.ndarray, sy: np.ndarray,

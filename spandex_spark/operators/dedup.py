@@ -220,3 +220,60 @@ def embedding_neardup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     return (pairs.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster_id)
+    with cluster_id = min doc id in the component (the canonical survivor a
+    dedup pipeline keeps).
+
+    Algorithm: iterative min-label propagation on the undirected edge list
+    (the "hash-to-min" method of Rastogi et al., "Finding Connected
+    Components in Map-Reduce" — each round every vertex adopts the minimum
+    label in its closed neighborhood; converges in O(log d) rounds on most
+    graphs, bounded by the component diameter). Each round is one
+    groupBy(min) + one join — all JVM; the driver loop only checks a
+    convergence count, so rounds are O(diameter), not O(rows). Dedup
+    components are tiny (duplicate families), so 2-4 rounds in practice;
+    ``max_iters`` bounds pathological chains.
+    """
+    # localCheckpoint (not persist): iterative algorithms grow the LOGICAL
+    # plan every round even when the parent is cached, and Catalyst
+    # re-analyzes the whole nested plan — O(rounds^2)+ planner time.
+    # Checkpointing truncates lineage so each round's plan is constant-size.
+    edges = (pairs.select(F.col(id_a).cast("long").alias("src"),
+                          F.col(id_b).cast("long").alias("dst"))
+             .union(pairs.select(F.col(id_b).cast("long").alias("src"),
+                                 F.col(id_a).cast("long").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    # closed neighborhood: include the vertex itself so isolated-after-
+    # filter vertices keep a label
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    prev_total = None
+    for _ in range(max_iters):
+        # every vertex proposes its current label to each neighbor; then
+        # pointer-jump (adopt the label's own label) so chains collapse in
+        # O(log diameter) rounds instead of O(diameter)
+        prop = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "label"))
+        stepped = (prop.unionByName(labels)
+                   .groupBy("id").agg(F.min("label").alias("label")))
+        lab_of_lab = labels.select(F.col("id").alias("label"),
+                                   F.col("label").alias("_ll"))
+        new_labels = (stepped.join(lab_of_lab, "label", "left")
+                      .select("id", F.least("label", "_ll").alias("label"))
+                      .localCheckpoint(eager=True))
+        # labels only ever decrease, so Σlabel is strictly monotone until
+        # the fixpoint — an O(1)-row agg replaces a join-based diff check
+        total = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if total == prev_total:
+            break
+        prev_total = total
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

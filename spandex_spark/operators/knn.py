@@ -267,44 +267,48 @@ class _CellHistogram:
         return _cells.xy_to_cell(self.ne_x[keep], self.ne_y[keep], self.level)
 
 
-def _search_radii(hist: _CellHistogram, gx: int, gy: int, k: int
-                  ) -> tuple[int, int]:
-    """Exact per-query-cell search box (rx, ry) guaranteeing the true kNN
-    set is inside: (1) find a Chebyshev radius r whose box holds >= k
-    features, (2) bound the kth distance d_up from above, (3) convert d_up
-    back to cell radii with latitude-aware LOWER bounds on cell ground
-    extent (a lon cell spans 2*cos(lat)*lat_extent meters — SMALLER than
-    the lat extent above 60 deg, so using the lat extent as 'min extent'
-    under-covers there; see the derivation in the module tests)."""
+def _search_radii(hist: _CellHistogram, gx: np.ndarray, gy: np.ndarray,
+                  k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-query-cell search boxes (rx, ry) guaranteeing the true kNN
+    set is inside, VECTORIZED over all distinct query cells at once:
+    (1) find a Chebyshev radius r whose box holds >= k features
+    (exponential ladder on the O(1) prefix-sum box counts), (2) bound the
+    kth distance d_up from above, (3) convert d_up back to cell radii with
+    latitude-aware LOWER bounds on cell ground extent (a lon cell spans
+    2*cos(lat)*lat_extent meters — SMALLER than the lat extent above
+    60 deg, so using the lat extent as 'min extent' under-covers there)."""
     n = hist.n
     lat_ext_deg = 180.0 / n
     lat_ext_m = lat_ext_deg * LAT_DEG_M
+    m = gx.shape[0]
     if hist.total <= k:
-        return n, n  # degenerate: take every feature cell
+        full = np.full(m, n, dtype=np.int64)
+        return full, full.copy()  # degenerate: take every feature cell
     # exponential ladder; overshooting r only adds candidates (still exact)
-    r = 0
-    while int(hist.box_count(gx, gy, r, r)) < k:
-        r = 1 if r == 0 else r * 2
-        if r >= n:
-            r = n
-            break
+    r = np.zeros(m, dtype=np.int64)
+    idx = np.flatnonzero(hist.box_count(gx, gy, r, r) < k)
+    while idx.size:
+        r[idx] = np.minimum(n, np.where(r[idx] == 0, 1, r[idx] * 2))
+        cnt = hist.box_count(gx[idx], gy[idx], r[idx], r[idx])
+        idx = idx[(cnt < k) & (r[idx] < n)]
     # upper bound on kth-NN distance: meridional leg + parallel leg at the
     # most equatorward latitude reachable within the box
-    lat_lo = abs((gy) * lat_ext_deg - 90.0)
-    lat_hi = abs((gy + 1) * lat_ext_deg - 90.0)
-    band_min_abs = max(0.0, min(lat_lo, lat_hi) - (r + 1) * lat_ext_deg)
-    d_up = (r + 1) * lat_ext_m * (1.0 + 2.0 * np.cos(np.radians(band_min_abs)))
+    lat_lo = np.abs(gy * lat_ext_deg - 90.0)
+    lat_hi = np.abs((gy + 1) * lat_ext_deg - 90.0)
+    band_min = np.maximum(0.0, np.minimum(lat_lo, lat_hi)
+                          - (r + 1) * lat_ext_deg)
+    d_up = (r + 1) * lat_ext_m * (1.0 + 2.0 * np.cos(np.radians(band_min)))
     # y radius: great-circle distance >= meridional separation
-    ry = int(np.ceil(d_up / lat_ext_m))
+    ry = np.minimum(n, np.ceil(d_up / lat_ext_m).astype(np.int64))
     # x radius: distance >= (4/pi)*cos(band_max_abs)*lat_ext_m per lon cell,
     # with band_max_abs taken over every latitude reachable within ry
-    band_max_abs = min(90.0, max(lat_lo, lat_hi) + (ry + 1) * lat_ext_deg)
-    per_cell = (4.0 / np.pi) * np.cos(np.radians(band_max_abs)) * lat_ext_m
-    if per_cell <= d_up / n:  # polar degradation: cover all longitudes
-        rx = n
-    else:
-        rx = int(np.ceil(d_up / per_cell))
-    return min(rx, n), min(ry, n)
+    band_max = np.minimum(90.0, np.maximum(lat_lo, lat_hi)
+                          + (ry + 1) * lat_ext_deg)
+    per_cell = (4.0 / np.pi) * np.cos(np.radians(band_max)) * lat_ext_m
+    safe = np.where(per_cell > 0.0, per_cell, 1.0)
+    rx = np.where(per_cell <= d_up / n,  # polar: cover all longitudes
+                  n, np.minimum(float(n), np.ceil(d_up / safe))).astype(np.int64)
+    return rx, ry
 
 
 def _candidate_cells_udf(hist: _CellHistogram, k: int):
@@ -320,11 +324,13 @@ def _candidate_cells_udf(hist: _CellHistogram, k: int):
                                     lat.to_numpy(np.float64), hist.level)
         key = gx * np.int64(hist.n) + gy
         uniq, inverse = np.unique(key, return_inverse=True)
+        ux = (uniq // hist.n).astype(np.int64)
+        uy = (uniq % hist.n).astype(np.int64)
+        rx, ry = _search_radii(hist, ux, uy, k)  # one vectorized pass
         lists: list[list[int]] = []
-        for u in uniq:
-            ux, uy = int(u // hist.n), int(u % hist.n)
-            rx, ry = _search_radii(hist, ux, uy, k)
-            lists.append(hist.cells_in_box(ux, uy, rx, ry).tolist())
+        for j in range(uniq.shape[0]):
+            lists.append(hist.cells_in_box(int(ux[j]), int(uy[j]),
+                                           int(rx[j]), int(ry[j])).tolist())
         return pd.Series([lists[i] for i in inverse])
 
     return _cand

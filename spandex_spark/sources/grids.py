@@ -69,6 +69,22 @@ def multipart_zones_df(spark: SparkSession) -> DataFrame:
     return z.select("mz_id", geom.alias("geom"))
 
 
+def roads_df(spark: SparkSession) -> DataFrame:
+    """17 meridional 'road' linestrings at integer lon -8..8, each spanning
+    lat [-10, 10] with a mid vertex (so point-to-segment, not just
+    point-to-endpoint, is exercised). kind=2 = linestring; parts OPEN."""
+    r = spark.range(17).select(F.col("id").alias("road_id"))
+    x = (F.col("road_id") - 8).cast("double")
+    geom = F.struct(
+        F.lit(2).cast("tinyint").alias("kind"),
+        F.array(x, x, x).alias("xs"),
+        F.array(F.lit(-10.0), F.lit(0.0), F.lit(10.0)).alias("ys"),
+        F.array(F.lit(0), F.lit(3)).alias("ring_offsets"),
+        F.struct(x.alias("minx"), F.lit(-10.0).alias("miny"),
+                 x.alias("maxx"), F.lit(10.0).alias("maxy")).alias("bbox"))
+    return r.select("road_id", geom.alias("geom"))
+
+
 def derived_points(df: DataFrame, key_col: str) -> DataFrame:
     """Deterministic point per row: lon/lat on a 0.01-degree lattice in the
     ±10-degree world window, derived from an integer key by exact integer

@@ -142,3 +142,25 @@ class TestANN:
                                    n_tables=12, n_bits=6).collect()}
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5  # deterministic given the fixed seed
+
+
+class TestDuplicateClusters:
+    def test_components_chain_triangle_pair(self, spark):
+        from spandex_spark.operators.dedup import duplicate_clusters
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in duplicate_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_long_chain_converges(self, spark):
+        from spandex_spark.operators.dedup import duplicate_clusters
+        n = 16
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                      "id_a long, id_b long")
+        got = duplicate_clusters(pairs).collect()
+        assert len(got) == n + 1
+        assert all(r.cluster_id == 0 for r in got)

@@ -28,10 +28,14 @@ def test_no_collect_in_operators():
     Allowed: the skew planner's hot-cell list (tiny aggregate by design) and
     the ANN query-side matrix (broadcast-sized by contract — the corpus side
     streams via mapInPandas)."""
-    allowed = {"skew.py", "similarity.py", "tag.py", "knn.py"}
+    allowed = {"skew.py", "similarity.py", "tag.py", "knn.py", "lines.py",
+               "dedup.py"}
     # skew: hot-cell list (tiny aggregate); similarity/knn: query/feature
     # side collected when broadcast-sized by contract; tag: polygon rings
-    # captured by closure in the broadcast path (one copy per executor).
+    # captured by closure in the broadcast path (one copy per executor);
+    # lines: the line layer, broadcast-sized by contract (road networks);
+    # dedup: duplicate_clusters' convergence check — a 1-row sum aggregate
+    # per round, never data rows.
     offenders = []
     ops = os.path.join(PKG, "operators")
     for fn in os.listdir(ops):

@@ -157,3 +157,64 @@ class TestNonConvexTrim:
             got = G.rings_area(np.asarray(g.xs, float), np.asarray(g.ys, float),
                                np.asarray(g.ring_offsets))
             assert got == pytest.approx(expect, abs=1e-9), r.parcel_id
+
+
+class TestLines:
+    def test_line_length_planar_and_haversine(self, spark):
+        from spandex_spark.operators.lines import line_length
+        from spandex_spark.sources.grids import roads_df
+        out = line_length(roads_df(spark)).collect()
+        assert all(r.length == pytest.approx(20.0) for r in out)
+        outm = line_length(roads_df(spark), metric="haversine",
+                           out_col="length_m").collect()
+        # meridional 20-degree arc ≈ 20 * 111.19 km on the mean sphere
+        assert all(r.length_m == pytest.approx(20 * 111_194.9, rel=1e-4)
+                   for r in outm)
+
+    def test_nearest_line_k2_matches_bruteforce(self, spark):
+        from spandex_spark.operators.lines import nearest_line_join
+        from spandex_spark.sources.grids import roads_df
+        pts = _pts(spark, 300)
+        out = nearest_line_join(pts, roads_df(spark), k=2,
+                                point_id_col="pt_id", line_id_col="road_id")
+        rows = out.collect()
+        assert len(rows) == 600
+        coords = {r.pt_id: (r.lon, r.lat) for r in pts.collect()}
+        got = {(r.pt_id, r.rank): (r.road_id, r.dist_deg) for r in rows}
+        for pid, (lon, lat) in coords.items():
+            d = np.abs(lon - (np.arange(17) - 8.0))
+            order = np.lexsort((np.arange(17), d))[:2]
+            for rank, j in enumerate(order, 1):
+                rid, dd = got[(pid, rank)]
+                assert rid == j
+                assert dd == pytest.approx(d[j], abs=1e-12)
+
+    def test_multipart_line_distance(self, spark):
+        import pyspark.sql.types as T
+        from spandex_spark.operators.lines import nearest_line_join
+        from spandex_spark.operators.trim import _GEOM_TYPE
+        # two-part line: segments y=0 (x in [0,1]) and y=4 (x in [0,1])
+        lines = spark.createDataFrame(
+            [(7, {"kind": 2, "xs": [0.0, 1.0, 0.0, 1.0],
+                  "ys": [0.0, 0.0, 4.0, 4.0], "ring_offsets": [0, 2, 4],
+                  "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 1.0, "maxy": 4.0}})],
+            T.StructType([T.StructField("line_id", T.LongType()),
+                          T.StructField("geom", _GEOM_TYPE)]))
+        pts = spark.createDataFrame([(1, 0.5, 1.0), (2, 0.5, 3.5), (3, 2.0, 0.0)],
+                                    "pt_id long, lon double, lat double")
+        got = {r.pt_id: r.dist_deg for r in
+               nearest_line_join(pts, lines, k=1, point_id_col="pt_id",
+                                 line_id_col="line_id").collect()}
+        assert got[1] == pytest.approx(1.0)   # nearer part y=0
+        assert got[2] == pytest.approx(0.5)   # nearer part y=4
+        assert got[3] == pytest.approx(1.0)   # beyond segment end → endpoint
+
+    def test_cover_linestring_cells(self):
+        from spandex_spark import cells as C
+        xs = np.array([-8.0, -8.0, -8.0])
+        ys = np.array([-10.0, 0.0, 10.0])
+        cov = C.cover_linestring(xs, ys, 7)
+        # the meridian's cells must include the cell of every sample point
+        lats = np.linspace(-9.99, 9.99, 50)
+        pts = C.cell_of(np.full(50, -8.0), lats, 7)
+        assert set(pts.tolist()) <= set(cov.tolist())

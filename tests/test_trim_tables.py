@@ -37,12 +37,29 @@ class TestTrim:
                 got = abs(0.5 * np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
                 assert got == pytest.approx(want, abs=1e-12)
 
-    def test_nonconvex_boundary_rejected(self, spark, fixture_dir):
+    def test_nonconvex_boundary_triangulated(self, spark, fixture_dir):
+        """Round 2: non-convex boundaries are supported (ear-clip tiling);
+        trimmed area must equal the exact intersection kernel's."""
+        from spandex_spark import geom as G
         parcels = spark.read.parquet(os.path.join(fixture_dir, "parcels.parquet"))
         lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
         ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
-        with pytest.raises(ValueError):
-            trim(parcels, lx, ly)
+        out = trim(parcels, lx, ly).collect()
+        n_clipped = 0
+        for r in out:
+            sx = np.asarray(r.geom.xs, float)
+            sy = np.asarray(r.geom.ys, float)
+            want = G.polygon_intersection_area(sx, sy, lx, ly)
+            g = r.geom_trimmed
+            if g is None:
+                assert want == pytest.approx(0.0, abs=1e-12)
+            else:
+                n_clipped += 1
+                got = G.rings_area(np.asarray(g.xs, float),
+                                   np.asarray(g.ys, float),
+                                   np.asarray(g.ring_offsets))
+                assert got == pytest.approx(want, abs=1e-9)
+        assert n_clipped > 0
 
 
 class TestCompaction:
