@@ -61,6 +61,20 @@ def _poly_area(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(T.ArrayType(T.LongType()))
+def _bbox_cells_udf(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+                    maxy: pd.Series, level: pd.Series) -> pd.Series:
+    """Covering cells of each bbox (refpoint-dedup join key: the
+    bbox-intersection min corner is guaranteed inside one of these)."""
+    from spandex_spark import cells as _cells
+    lvl = int(level.iloc[0])
+    out = []
+    for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy):
+        out.append(_cells.cover_bbox(float(x0), float(y0),
+                                     float(x1), float(y1), lvl).tolist())
+    return pd.Series(out)
+
+
 def polygon_area_udf(geom_col):
     """ST_Area analog (even-odd multi-ring: holes subtract)."""
     return _poly_area(geom_col["xs"], geom_col["ys"], geom_col["ring_offsets"])
@@ -96,25 +110,56 @@ def rect_intersection_area_expr(a, b):
 def proportion_overlap(targets: DataFrame, overlays: DataFrame, *,
                        target_id_col: str, overlay_id_col: str,
                        level: int = 8, broadcast_overlays: bool = True,
-                       keep_pairs: bool = False) -> DataFrame:
+                       keep_pairs: bool = False,
+                       pair_dedup: str = "refpoint") -> DataFrame:
     """Fraction of each target polygon's area covered by the overlay layer.
 
     Returns (target_id_col, overlap_area, target_area, proportion_overlap);
     with ``keep_pairs`` returns per-(target, overlay) intersection rows
     instead (the trim/clip building block, O4).
+
+    ``pair_dedup``: a (target, overlay) pair meets in every cell both
+    covers; it must be counted once.
+    - 'refpoint' (default — the 100 TB shape, Patel & DeWitt's reference-
+      point method): cover both sides by their BBOXES and keep the pair
+      only in the cell containing the bbox-intersection min corner — that
+      corner provably lies in one bbox-cover cell of BOTH sides, and the
+      filter is a pure JVM column predicate → NO dedup shuffle. Extra
+      bbox-over-geometry candidate pairs die at the ``ix_area > 0`` test.
+    - 'shuffle': exact geometry covering (fewer candidate pairs) +
+      dropDuplicates on (tid, oid) — one extra shuffle. Better when
+      geometries are much smaller than their bboxes (sliver shapes).
     """
     tgt = targets.select(F.col(target_id_col).alias("_tid"),
                          F.col("geom").alias("_tgeom"))
     ovl = overlays.select(F.col(overlay_id_col).alias("_oid"),
                           F.col("geom").alias("_ogeom"))
 
-    tgt_cells = tgt.withColumn("cell", F.explode(cover_cells_udf(F.col("_tgeom"), level)))
-    ovl_cells = ovl.withColumn("cell", F.explode(cover_cells_udf(F.col("_ogeom"), level)))
+    if pair_dedup == "refpoint":
+        cover_t = _bbox_cells_udf(F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
+                                  F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"),
+                                  F.lit(level))
+        cover_o = _bbox_cells_udf(F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
+                                  F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"),
+                                  F.lit(level))
+    elif pair_dedup == "shuffle":
+        cover_t = cover_cells_udf(F.col("_tgeom"), level)
+        cover_o = cover_cells_udf(F.col("_ogeom"), level)
+    else:
+        raise ValueError(f"unknown pair_dedup {pair_dedup!r}")
+    tgt_cells = tgt.withColumn("cell", F.explode(cover_t))
+    ovl_cells = ovl.withColumn("cell", F.explode(cover_o))
     if broadcast_overlays:
         ovl_cells = F.broadcast(ovl_cells)
 
-    pairs = (tgt_cells.join(ovl_cells, "cell", "inner")
-             .dropDuplicates(["_tid", "_oid"]))
+    pairs = tgt_cells.join(ovl_cells, "cell", "inner")
+    if pair_dedup == "refpoint":
+        from spandex_spark.functions.cells_sql import cell_of_expr
+        ref_x = F.greatest(F.col("_tgeom.bbox.minx"), F.col("_ogeom.bbox.minx"))
+        ref_y = F.greatest(F.col("_tgeom.bbox.miny"), F.col("_ogeom.bbox.miny"))
+        pairs = pairs.filter(cell_of_expr(ref_x, ref_y, level) == F.col("cell"))
+    else:
+        pairs = pairs.dropDuplicates(["_tid", "_oid"])
 
     # split: rect×rect pairs stay entirely JVM-side (codegen); the rest run
     # the exact multi-ring kernel. One scan each — the filter is a cheap

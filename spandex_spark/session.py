@@ -31,6 +31,15 @@ def get_spark(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
                 "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # keep glibc from mmap()ing every Arrow-batch-sized allocation: 32
+    # Python workers that each mmap/munmap MBs per batch drive the KERNEL
+    # to 85-90% CPU (page-table churn + cross-core TLB shootdowns) and make
+    # local[32] 5x SLOWER than local[16] (measured: pip_tag_knn 50s -> 9.3s
+    # at 32 cores with these thresholds). Freed memory is recycled in-heap
+    # instead of returned page-by-page; workers hold a few extra MB each.
+    # Env propagates driver -> JVM -> pyspark worker daemon -> workers.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, str(64 * 1024 * 1024))
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -134,3 +134,21 @@ class TestCellsKnn:
         out = knn_join(pts, gaz, k=5, query_id_col="q", feature_id_col="poi_k",
                        strategy="cells", level=7)
         assert out.count() == 300  # n_features rows per query
+
+
+def test_overlay_refpoint_dedup_matches_shuffle_dedup(spark):
+    """The zero-shuffle reference-point pair dedup must equal the
+    dropDuplicates path — including holed/multipart overlays (where the
+    bbox-cover guarantee is what makes refpoint exact)."""
+    from spandex_spark.sources.grids import parcels_df, zones_df, donut_zones_df
+    for ovl, oid in [(zones_df(spark), "zone_id"),
+                     (donut_zones_df(spark), "dz_id")]:
+        a = {(r.parcel_id, r[oid], round(r.ix_area, 12)) for r in
+             proportion_overlap(parcels_df(spark), ovl,
+                                target_id_col="parcel_id", overlay_id_col=oid,
+                                keep_pairs=True, pair_dedup="refpoint").collect()}
+        b = {(r.parcel_id, r[oid], round(r.ix_area, 12)) for r in
+             proportion_overlap(parcels_df(spark), ovl,
+                                target_id_col="parcel_id", overlay_id_col=oid,
+                                keep_pairs=True, pair_dedup="shuffle").collect()}
+        assert a == b, oid
