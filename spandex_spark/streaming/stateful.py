@@ -30,7 +30,8 @@ _OUT_SCHEMA = T.StructType([
 ])
 
 
-def dedup_first_seen(pages_stream: DataFrame, *, state_ttl_minutes: int | None = None):
+def dedup_first_seen(pages_stream: DataFrame, *,
+                     state_ttl_minutes: float | None = None):
     """Streaming first-seen dedup by url. Returns the deduped stream (the
     earliest-in-batch row per url passes on first encounter; later batches
     emit nothing for that url)."""
@@ -52,7 +53,7 @@ def dedup_first_seen(pages_stream: DataFrame, *, state_ttl_minutes: int | None =
                 first = pdf.head(1)
         state.update((True,))
         if state_ttl_minutes:
-            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+            state.setTimeoutDuration(int(state_ttl_minutes * 60 * 1000))
         if first is None:
             return iter(())
         return iter([first[["url", "warc_ts", "text", "lang"]]])

@@ -152,3 +152,16 @@ def test_overlay_refpoint_dedup_matches_shuffle_dedup(spark):
                                 target_id_col="parcel_id", overlay_id_col=oid,
                                 keep_pairs=True, pair_dedup="shuffle").collect()}
         assert a == b, oid
+
+
+def test_zonal_shuffle_path_matches_broadcast(spark):
+    from spandex_spark.operators import zonal_stats
+    from spandex_spark.sources.grids import zones_df, raster_tiles_df
+    tiles = raster_tiles_df(spark)
+    a = {(r.zone_id, r.px_count, round(r.px_sum, 9)) for r in
+         zonal_stats(tiles, zones_df(spark), level=7,
+                     broadcast_zones=True).collect()}
+    b = {(r.zone_id, r.px_count, round(r.px_sum, 9)) for r in
+         zonal_stats(tiles, zones_df(spark), level=7,
+                     broadcast_zones=False).collect()}
+    assert a == b

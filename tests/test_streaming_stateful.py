@@ -45,3 +45,48 @@ def test_first_seen_dedup(spark, tmp_path):
     rows = {r.url: r.text for r in spark.sql("select * from dedup_out").collect()}
     assert rows == {"u1": "earlier u1 same batch", "u2": "first u2",
                     "u3": "first u3"}
+
+
+def test_ttl_evicts_state_and_url_passes_again(spark, tmp_path):
+    """ADVICE r1: the TTL option must actually evict state. A url seen,
+    expired (via an unrelated batch that fires the timeout), then seen
+    again must pass twice."""
+    import time
+
+    src = tmp_path / "in_ttl"
+    src.mkdir()
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src)))
+    out = dedup_first_seen(stream, state_ttl_minutes=0.02)  # 1.2s TTL
+    q = (out.writeStream.format("memory").queryName("ttl_out")
+         .outputMode("append")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        _write_batch(str(src), "a.parquet",
+                     [("u1", "2026-01-01T00:00:00", "first sighting")])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select * from ttl_out where url='u1'").count() == 1:
+                break
+            time.sleep(0.5)
+        time.sleep(2.5)  # let u1's 1.2s TTL expire
+        # unrelated batch: triggers the timeout path → u1 state evicted
+        _write_batch(str(src), "b.parquet",
+                     [("u9", "2026-01-01T00:10:00", "unrelated")])
+        while time.time() < deadline:
+            if spark.sql("select * from ttl_out where url='u9'").count() == 1:
+                break
+            time.sleep(0.5)
+        time.sleep(1.0)
+        _write_batch(str(src), "c.parquet",
+                     [("u1", "2026-01-02T00:00:00", "second sighting")])
+        while time.time() < deadline:
+            if spark.sql("select * from ttl_out where url='u1'").count() == 2:
+                break
+            time.sleep(0.5)
+        texts = sorted(r.text for r in spark.sql(
+            "select * from ttl_out where url='u1'").collect())
+        assert texts == ["first sighting", "second sighting"]
+    finally:
+        q.stop()
