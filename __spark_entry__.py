@@ -282,6 +282,22 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type", "n", "v_sum")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: the latest 'view' event at-or-before each
+    'purchase', per user — backward as-of join (one window over a single
+    shuffle; oracle is DuckDB's native ASOF LEFT JOIN)."""
+    from spandex_spark.operators.timeseries import asof_join
+    ev = _t(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    out = asof_join(purchases, views, on="ts", by="user_id",
+                    right_cols=("view_event",))
+    return out.select("event_id", "view_event")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spandex_spark.operators.dedup import exact_dedup
     return exact_dedup(_t(spark, sf_dir, "documents"))
@@ -482,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_segment": _q_revenue_by_segment,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
+        "asof_join": _q_asof_join,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -822,6 +839,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         FROM reach GROUP BY a
+    """
+    d["asof_join"] = """
+        WITH r AS (
+          SELECT user_id, ts, max(event_id) AS view_event
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        ), l AS (
+          SELECT event_id, user_id, ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id, r.view_event
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """
     d["nearest_road"] = f"""
         WITH p AS (SELECT c_custkey, lon FROM ({_PTS})),

@@ -43,3 +43,42 @@ def time_rollup(df: DataFrame, *, ts_col: str, value_col: str,
         out = out.unionByName(p)
     return out.select("granularity", "bucket_start", *group_cols,
                       "n", "v_sum", "v_avg", "v_min", "v_max")
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
+              by: str = "user_id",
+              right_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Backward as-of join: each left row picks the LATEST right row with
+    ``right.on <= left.on`` within the same ``by`` group (the
+    point-in-time lookup every event pipeline needs; PostgreSQL/PostGIS has
+    no native ASOF — the reference would emulate it with a correlated
+    subquery).
+
+    Spark realization (the scale shape): tag both sides, union, ONE window
+    over (by, on) carrying the right columns forward with
+    last(ignorenulls) — a single shuffle on the group key, no range join
+    explosion, no per-group collect. Right rows must be unique per
+    (by, on); pre-aggregate them if not (determinism).
+
+    Returns all left columns + right_cols (NULL when no right row precedes).
+    """
+    l = left
+    for c in right_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("_side", F.lit(1))
+    r = right.select(by, on, *right_cols)
+    for c in left.columns:
+        if c not in (by, on):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.withColumn("_side", F.lit(0)).select(*l.columns)
+    unioned = l.unionByName(r)
+    # right rows sort BEFORE left rows at equal ts → "<=" semantics
+    w = (Window.partitionBy(by)
+         .orderBy(F.col(on).asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in right_cols:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("_side") == 1).drop("_side")
+
+
+from pyspark.sql import Window  # noqa: E402

@@ -307,3 +307,20 @@ class TestReproject:
         x, y = _geom.lonlat_to_webmercator(out["lon"].to_numpy(), out["lat"].to_numpy())
         np.testing.assert_allclose(out["x"], x)
         np.testing.assert_allclose(out["y"], y)
+
+
+class TestAsofJoin:
+    def test_backward_asof_with_ties_and_missing(self, spark):
+        from spandex_spark.operators.timeseries import asof_join
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 205), (3, 10, 200), (4, 20, 50)],
+            "event_id long, user_id long, ts long")
+        right = spark.createDataFrame(
+            [(10, 100, 7), (10, 200, 8), (10, 300, 9), (30, 10, 99)],
+            "user_id long, ts long, v long")
+        out = {r.event_id: r.v for r in
+               asof_join(left, right, on="ts", by="user_id",
+                         right_cols=("v",)).collect()}
+        # ts=100 equal → inclusive (<=); ts=205 → latest prior (200);
+        # ts=200 equal → inclusive; user 20 has no right rows → NULL
+        assert out == {1: 7, 2: 8, 3: 8, 4: None}
