@@ -33,11 +33,14 @@ def get_spark(
         os.environ.setdefault(var, "1")
     # keep glibc from mmap()ing every Arrow-batch-sized allocation: 32
     # Python workers that each mmap/munmap MBs per batch drive the KERNEL
-    # to 85-90% CPU (page-table churn + cross-core TLB shootdowns) and make
-    # local[32] 5x SLOWER than local[16] (measured: pip_tag_knn 50s -> 9.3s
-    # at 32 cores with these thresholds). Freed memory is recycled in-heap
-    # instead of returned page-by-page; workers hold a few extra MB each.
-    # Env propagates driver -> JVM -> pyspark worker daemon -> workers.
+    # to 85-90% CPU (page-table churn + cross-core TLB shootdowns) for long
+    # stretches of the UDF stage. Paired A/B sampling of /proc/stat shows
+    # these thresholds shorten the kernel-storm phase (~3 vs 7+ storm
+    # samples per run), and the best observed local[32] headline time
+    # improved from 32.6s to 9.3s; co-tenant window noise remains the
+    # dominant run-to-run factor (see BENCH/BASELINE.md). Freed memory is
+    # recycled in-heap instead of returned page-by-page; workers hold a few
+    # extra MB each. Env propagates driver -> JVM -> worker daemon.
     for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
         os.environ.setdefault(var, str(64 * 1024 * 1024))
     if master is None:
@@ -55,7 +58,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPANDEX_ARROW_BATCH", "20000"))
         .config("spark.driver.memory", os.environ.get("SPANDEX_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
