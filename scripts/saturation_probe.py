@@ -67,7 +67,8 @@ from spandex_spark.functions.cells_sql import cell_of_expr
 from spandex_spark.sources.grids import derived_points
 spark = get_spark("jvm_twin", master="local[{n}]", shuffle_partitions={n * 4})
 base = spark.range(600_000).withColumn("b", F.col("id") * 8).repartition({n * 3})
-pts = derived_points(base.select((F.col("b") * 128 + F.explode(F.sequence(F.lit(0), F.lit(127)))).alias("pt_id")), "pt_id")
+keyed = base.select("b", F.explode(F.sequence(F.lit(0), F.lit(127))).alias("rep"))
+pts = derived_points(keyed.select((F.col("b") * 128 + F.col("rep")).alias("pt_id")), "pt_id")
 zones = spark.range(400).select(F.col("id").alias("zone_id"), (F.col("id") % 20 - 10).cast("double").alias("x0"), (F.col("id") / 20 - 10).cast("long").cast("double").alias("y0"))
 pts = pts.withColumn("cell", cell_of_expr(F.col("lon"), F.col("lat"), 9))
 pts.count()  # warm
