@@ -176,7 +176,8 @@ def main():
     # exactly the one that needs a retry. Every query gets >=2 attempts; a
     # third runs while the global deadline allows. min() approximates
     # quiet-window time, which is the number BASELINE.md's protocol records.
-    attempts = int(os.environ.get("SPANDEX_BENCH_ATTEMPTS", "3"))
+    # clamp: 0/negative would skip the loop entirely and crash on round(None)
+    attempts = max(1, int(os.environ.get("SPANDEX_BENCH_ATTEMPTS", "3")))
     deadline = time.time() + float(
         os.environ.get("SPANDEX_BENCH_DEADLINE_SEC", "1500"))
     for name, fn in QUERIES.items():

@@ -100,7 +100,13 @@ class CheckpointedStage:
     def completed_buckets(self) -> set[int]:
         done: set[int] = set()
         for rec in self._manifest_records():
-            done.update(rec["buckets"])
+            if "buckets" in rec:
+                done.update(rec["buckets"])
+            else:
+                # back-compat: pre-batch-commit manifests wrote one
+                # {"bucket": N} line per bucket — accept them so in-flight
+                # checkpoint roots from older runs stay resumable
+                done.add(rec["bucket"])
         return done
 
     def pending_buckets(self) -> list[int]:

@@ -57,10 +57,15 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
     if strategy == "kernel":
         return _knn_kernel(q, f, k=k, query_id_col=query_id_col,
                            feature_id_col=feature_id_col, metric=metric)
+    if metric not in ("haversine", "planar"):
+        raise ValueError(f"unknown metric {metric!r}")
     if strategy == "broadcast":
         cand = q.crossJoin(F.broadcast(f))
     elif strategy == "cells":
-        cand = _ring_candidates(q, f, k=k, level=level, max_rings=max_rings)
+        # metric matters here: the search-box derivation must bound the
+        # kth distance under the SAME metric the ranking uses (ADVICE r2)
+        cand = _ring_candidates(q, f, k=k, level=level, max_rings=max_rings,
+                                metric=metric)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -189,88 +194,148 @@ LAT_DEG_M = 111_194.9  # meters per degree of latitude (mean sphere)
 
 
 class _CellHistogram:
-    """Driver-side index of the feature layer's non-empty cells at one
-    level: dense count grid + 2D prefix sums (O(1) box counts, x-wrapped
-    across the antimeridian) + the non-empty cell coordinate list. Bounded
-    by 4^level regardless of feature count — the same broadcast-sized-
-    by-contract shape as PolygonIndex (the reference's GiST build)."""
+    """Radius oracle over the feature layer's cell counts at a COARSE level
+    (<= _HIST_MAX_LEVEL): dense count grid CROPPED to the occupied cell
+    bbox + 2D prefix sums (O(1) box counts; x optionally wraps at the
+    antimeridian). Memory is O(occupied extent), not O(4^level), and the
+    structure ships to executors as a Spark broadcast (round 2 pickled a
+    full 4^level grid into every task closure — ~67 MB at level 11)."""
 
     def __init__(self, gx: np.ndarray, gy: np.ndarray, counts: np.ndarray,
                  level: int):
         self.level = level
         self.n = 1 << level
-        n = self.n
-        grid = np.zeros((n, n), dtype=np.int64)  # [y, x]
-        grid[gy, gx] = counts
-        self.grid = grid
+        if gx.shape[0]:
+            self.x_off = int(gx.min())
+            self.y_off = int(gy.min())
+            w = int(gx.max()) - self.x_off + 1
+            h = int(gy.max()) - self.y_off + 1
+        else:
+            self.x_off = self.y_off = 0
+            w = h = 1
+        grid = np.zeros((h, w), dtype=np.int64)  # [y, x], window coords
+        if gx.shape[0]:
+            grid[gy - self.y_off, gx - self.x_off] = counts
+        self.h, self.w = h, w
         # prefix[y, x] = sum of grid[:y, :x]
-        self.prefix = np.zeros((n + 1, n + 1), dtype=np.int64)
+        self.prefix = np.zeros((h + 1, w + 1), dtype=np.int64)
         np.cumsum(np.cumsum(grid, axis=0), axis=1, out=self.prefix[1:, 1:])
         self.total = int(counts.sum())
-        self.ne_x = gx.astype(np.int64)
-        self.ne_y = gy.astype(np.int64)
 
-    def _col_range_count(self, y0, y1, x0, x1):
-        """Box count over y in [y0, y1] (clipped), x in [x0, x1] (NOT
-        wrapped; caller pre-splits). All args vectorized."""
-        y0 = np.clip(y0, 0, self.n - 1)
-        y1 = np.clip(y1, 0, self.n - 1)
-        x0c = np.clip(x0, 0, self.n - 1)
-        x1c = np.clip(x1, 0, self.n - 1)
-        empty = (x1 < 0) | (x0 > self.n - 1) | (x1c < x0c) | (y1 < y0)
+    def _window_count(self, y0, y1, x0, x1):
+        """Count over y in [y0, y1], x in [x0, x1] (inclusive, global grid
+        coords, NOT wrapped; caller pre-splits). Vectorized; ranges outside
+        the occupied window contribute 0."""
+        ylo = np.clip(np.asarray(y0) - self.y_off, 0, self.h)
+        yhi = np.clip(np.asarray(y1) - self.y_off + 1, 0, self.h)
+        xlo = np.clip(np.asarray(x0) - self.x_off, 0, self.w)
+        xhi = np.clip(np.asarray(x1) - self.x_off + 1, 0, self.w)
         p = self.prefix
-        c = (p[y1 + 1, x1c + 1] - p[y0, x1c + 1]
-             - p[y1 + 1, x0c] + p[y0, x0c])
-        return np.where(empty, 0, c)
+        c = p[yhi, xhi] - p[ylo, xhi] - p[yhi, xlo] + p[ylo, xlo]
+        return np.where((yhi > ylo) & (xhi > xlo), c, 0)
 
-    def box_count(self, gx, gy, rx, ry):
-        """Features within wrapped-x distance <= rx and y distance <= ry of
-        each (gx, gy). Vectorized; lon wraps (antimeridian), lat clips."""
+    def box_count(self, gx, gy, rx, ry, wrap: bool = True):
+        """Features within x-distance <= rx (wrapped when ``wrap``) and
+        y-distance <= ry of each (gx, gy). Vectorized; lat always clips."""
         gx = np.asarray(gx)
         gy = np.asarray(gy)
         y0, y1 = gy - ry, gy + ry
-        full_x = 2 * np.asarray(rx) + 1 >= self.n
+        if not wrap:
+            return self._window_count(y0, y1, gx - rx, gx + rx)
+        n = self.n
+        full_x = 2 * np.asarray(rx) + 1 >= n
         x0 = gx - rx
         x1 = gx + rx
         # wrapped box = up to two unwrapped column ranges
-        a = self._col_range_count(y0, y1, np.maximum(x0, 0),
-                                  np.minimum(x1, self.n - 1))
+        a = self._window_count(y0, y1, np.maximum(x0, 0),
+                               np.minimum(x1, n - 1))
         b = np.where(x0 < 0,
-                     self._col_range_count(y0, y1, x0 + self.n, np.full_like(x0, self.n - 1)),
-                     np.where(x1 > self.n - 1,
-                              self._col_range_count(y0, y1, np.zeros_like(x1), x1 - self.n),
+                     self._window_count(y0, y1, x0 + n,
+                                        np.full_like(x0, n - 1)),
+                     np.where(x1 > n - 1,
+                              self._window_count(y0, y1, np.zeros_like(x1),
+                                                 x1 - n),
                               0))
-        whole = self._col_range_count(y0, y1, np.zeros_like(x0),
-                                      np.full_like(x0, self.n - 1))
+        whole = self._window_count(y0, y1, np.zeros_like(x0),
+                                   np.full_like(x0, n - 1))
         return np.where(full_x, whole, a + b)
 
-    def cells_in_box(self, gx: int, gy: int, rx: int, ry: int) -> np.ndarray:
-        """Non-empty cell ids within the (wrapped-x, clipped-y) box of one
-        query cell. Two tiers: enumerate the block when it is smaller than
-        the non-empty list, else scan the non-empty list."""
-        n = self.n
-        block = (2 * min(rx, n // 2) + 1) * (2 * ry + 1)
-        if block <= self.ne_x.shape[0]:
-            xs = (np.arange(gx - rx, gx + rx + 1) % n)
-            if 2 * rx + 1 >= n:
-                xs = np.arange(n)
-            else:
-                xs = np.unique(xs)
-            ys = np.arange(max(0, gy - ry), min(n - 1, gy + ry) + 1)
-            xx, yy = np.meshgrid(xs, ys)
-            xx, yy = xx.ravel(), yy.ravel()
-            keep = self.grid[yy, xx] > 0
-            return _cells.xy_to_cell(xx[keep], yy[keep], self.level)
-        dx = np.abs(self.ne_x - gx)
-        dx = np.minimum(dx, n - dx)  # wrapped lon distance
-        keep = (dx <= rx) & (np.abs(self.ne_y - gy) <= ry)
-        return _cells.xy_to_cell(self.ne_x[keep], self.ne_y[keep], self.level)
+
+class _SparseCells:
+    """Sorted (row-major) non-empty FINE-level feature cells for candidate
+    enumeration: O(#non-empty-cells) memory regardless of level, so the
+    cells strategy works at level 13-15 where dense urban skew actually
+    lives (the round-2 dense grid capped level at 11 — ~20 km cells)."""
+
+    def __init__(self, gx: np.ndarray, gy: np.ndarray, level: int):
+        self.level = level
+        self.n = 1 << level
+        key = gy.astype(np.int64) * np.int64(self.n) + gx.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        self.keys = key[order]
+        self.gx = gx[order].astype(np.int64)
+        self.gy = gy[order].astype(np.int64)
+
+    def cells_in_ranges(self, x_ranges: list, y0: int, y1: int) -> np.ndarray:
+        """Fine cell ids with gy in [y0, y1] and gx in any inclusive
+        [a, b] of ``x_ranges``. Two tiers: per-row binary search when the
+        box has few rows, else one vectorized scan of the non-empty list
+        (bounds the cost at O(#non-empty) per distinct query cell)."""
+        m = self.keys.shape[0]
+        if m == 0 or not x_ranges:
+            return np.empty(0, dtype=np.int64)
+        y0 = max(0, y0)
+        y1 = min(self.n - 1, y1)
+        if y1 < y0:
+            return np.empty(0, dtype=np.int64)
+        nrows = y1 - y0 + 1
+        if nrows * 32 * len(x_ranges) < m:  # binary-search tier
+            parts = []
+            ys = np.arange(y0, y1 + 1, dtype=np.int64) * np.int64(self.n)
+            for a, b in x_ranges:
+                lo = np.searchsorted(self.keys, ys + a, side="left")
+                hi = np.searchsorted(self.keys, ys + b + 1, side="left")
+                lens = hi - lo
+                tot = int(lens.sum())
+                if tot:
+                    # vectorized multi-range gather
+                    starts = np.repeat(lo, lens)
+                    offs = (np.arange(tot)
+                            - np.repeat(np.cumsum(lens) - lens, lens))
+                    parts.append(starts + offs)
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            idx = np.concatenate(parts)
+        else:  # scan tier
+            ym = (self.gy >= y0) & (self.gy <= y1)
+            xm = np.zeros(m, dtype=bool)
+            for a, b in x_ranges:
+                xm |= (self.gx >= a) & (self.gx <= b)
+            idx = np.flatnonzero(ym & xm)
+        return _cells.xy_to_cell(self.gx[idx], self.gy[idx], self.level)
+
+
+def _x_ranges(gx: int, rx: int, n: int, wrap: bool) -> list:
+    """The 0..2 inclusive [a, b] column ranges of a box of half-width rx
+    around column gx (wrapped at the antimeridian iff ``wrap``)."""
+    if 2 * rx + 1 >= n:
+        return [(0, n - 1)]
+    x0, x1 = gx - rx, gx + rx
+    if not wrap:
+        x0, x1 = max(0, x0), min(n - 1, x1)
+        return [(x0, x1)] if x0 <= x1 else []
+    if x0 < 0:
+        return [(0, x1), (x0 + n, n - 1)]
+    if x1 > n - 1:
+        return [(x0, n - 1), (0, x1 - n)]
+    return [(x0, x1)]
 
 
 def _search_radii(hist: _CellHistogram, gx: np.ndarray, gy: np.ndarray,
                   k: int) -> tuple[np.ndarray, np.ndarray]:
     """Exact per-query-cell search boxes (rx, ry) guaranteeing the true kNN
-    set is inside, VECTORIZED over all distinct query cells at once:
+    set is inside under GREAT-CIRCLE distance, VECTORIZED over all distinct
+    query cells at once:
     (1) find a Chebyshev radius r whose box holds >= k features
     (exponential ladder on the O(1) prefix-sum box counts), (2) bound the
     kth distance d_up from above, (3) convert d_up back to cell radii with
@@ -311,59 +376,128 @@ def _search_radii(hist: _CellHistogram, gx: np.ndarray, gy: np.ndarray,
     return rx, ry
 
 
-def _candidate_cells_udf(hist: _CellHistogram, k: int):
-    """Per-query candidate cell list (array<long>): all non-empty feature
-    cells within the exact per-query-cell search box. Computed once per
-    DISTINCT query cell per Arrow batch and fanned back to rows."""
+def _search_radii_planar(hist: _CellHistogram, gx: np.ndarray,
+                         gy: np.ndarray, k: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact search boxes under the PLANAR (squared lon/lat degrees)
+    metric. Planar dlon does NOT wrap and the degree-space geometry is
+    latitude-independent, so the radii come from pure Chebyshev arithmetic
+    with no wrapping anywhere (round-2 reused the haversine radii here,
+    which under-covered above ~52 deg latitude and wrapped a box the
+    metric doesn't — ADVICE r2, medium)."""
+    n = hist.n
+    lon_ext = 360.0 / n
+    lat_ext = 180.0 / n
+    m = gx.shape[0]
+    if hist.total <= k:
+        full = np.full(m, n, dtype=np.int64)
+        return full, full.copy()
+    r = np.zeros(m, dtype=np.int64)
+    idx = np.flatnonzero(hist.box_count(gx, gy, r, r, wrap=False) < k)
+    while idx.size:
+        r[idx] = np.minimum(n, np.where(r[idx] == 0, 1, r[idx] * 2))
+        cnt = hist.box_count(gx[idx], gy[idx], r[idx], r[idx], wrap=False)
+        idx = idx[(cnt < k) & (r[idx] < n)]
+    # kth distance <= farthest corner of the (r+1)-cell box from any point
+    # of the query cell
+    d_up = np.hypot((r + 1) * lon_ext, (r + 1) * lat_ext)
+    # a feature at column distance c has |dlon| >= (c-1)*lon_ext, so
+    # rx = ceil(d_up/lon_ext) + 1 provably covers every feature within d_up
+    rx = np.minimum(n, np.ceil(d_up / lon_ext).astype(np.int64) + 1)
+    ry = np.minimum(n, np.ceil(d_up / lat_ext).astype(np.int64) + 1)
+    return rx, ry
+
+
+def _candidate_cells_udf(bc, k: int, metric: str):
+    """Per-query candidate cell list (array<long>): all non-empty FINE
+    feature cells within the exact per-query search box (radius logic at
+    the coarse histogram level), computed once per DISTINCT coarse query
+    cell per Arrow batch and fanned back to rows. ``bc`` is a Spark
+    Broadcast of (hist, sparse) — deserialized once per executor, not
+    pickled into each task closure."""
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _cand(lon: pd.Series, lat: pd.Series) -> pd.Series:
         if len(lon) == 0:
             return pd.Series([], dtype=object)
+        hist, sparse = bc.value
+        s = sparse.level - hist.level
         gx, gy = _cells.grid_coords(lon.to_numpy(np.float64),
                                     lat.to_numpy(np.float64), hist.level)
-        key = gx * np.int64(hist.n) + gy
+        key = gy * np.int64(hist.n) + gx
         uniq, inverse = np.unique(key, return_inverse=True)
-        ux = (uniq // hist.n).astype(np.int64)
-        uy = (uniq % hist.n).astype(np.int64)
-        rx, ry = _search_radii(hist, ux, uy, k)  # one vectorized pass
+        uy = (uniq // hist.n).astype(np.int64)
+        ux = (uniq % hist.n).astype(np.int64)
+        wrap = metric == "haversine"
+        if wrap:
+            rx, ry = _search_radii(hist, ux, uy, k)
+        else:
+            rx, ry = _search_radii_planar(hist, ux, uy, k)
         lists: list[list[int]] = []
         for j in range(uniq.shape[0]):
-            lists.append(hist.cells_in_box(int(ux[j]), int(uy[j]),
-                                           int(rx[j]), int(ry[j])).tolist())
+            # coarse box -> fine index ranges (scale by 2^s); the query
+            # point sits inside its coarse cell, so the fine enumeration of
+            # the coarse box is a superset of the exact fine box
+            xr = [((a << s), ((b + 1) << s) - 1)
+                  for a, b in _x_ranges(int(ux[j]), int(rx[j]), hist.n, wrap)]
+            y0 = max(0, int(uy[j] - ry[j])) << s
+            y1 = ((min(hist.n - 1, int(uy[j] + ry[j])) + 1) << s) - 1
+            lists.append(sparse.cells_in_ranges(xr, y0, y1).tolist())
         return pd.Series([lists[i] for i in inverse])
 
     return _cand
 
 
+_HIST_MAX_LEVEL = 11   # coarse radius-oracle grid: <= ~33 MB cropped dense
+_CELLS_MAX_LEVEL = 20  # fine join key: row-major key fits comfortably in i64
+
+
 def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
-                     max_rings: int) -> DataFrame:
-    """Cells-strategy candidate pairs in exactly TWO Spark jobs (the round-1
-    version looped count()/isEmpty() actions per ring and re-windowed a
-    growing union — O(rings) sequential jobs):
+                     max_rings: int, metric: str = "haversine") -> DataFrame:
+    """Cells-strategy candidate pairs in exactly TWO Spark jobs:
 
-    job 1  feature cell histogram (groupBy(cell).count() → driver; bounded
-           by 4^level non-empty cells, not by feature count);
-    job 2  queries emit their candidate cells from the histogram closure
-           (one pandas UDF, computed per distinct query cell), explode,
-           hash-join the feature side on cell. The caller's window top-k
-           runs in the same job.
+    job 1  feature cell histogram at the FINE level (groupBy(cell).count()
+           → driver; one row per non-empty cell);
+    job 2  queries emit their candidate cells from the broadcast index
+           (one pandas UDF, computed per distinct coarse query cell),
+           explode, hash-join the feature side on the fine cell. The
+           caller's window top-k runs in the same job.
 
-    Exact: the per-query search box provably contains the true kNN set
-    (latitude-aware bounds, lon wraps at the antimeridian, polar queries
-    degrade to all-longitude coverage). ``max_rings`` is retained for
-    signature compatibility but no longer bounds correctness.
+    The radius search runs on a cropped dense histogram at
+    min(level, 11); candidate enumeration runs on a SORTED SPARSE list of
+    the fine cells, so ``level`` may go to 15+ (urban-skew resolution)
+    without a 4^level grid. Both structures ship as ONE Spark broadcast.
+
+    Exact for both metrics: haversine boxes are latitude-aware and wrap at
+    the antimeridian; planar boxes are Chebyshev in degree space, unwrapped
+    (see _search_radii / _search_radii_planar). ``max_rings`` is retained
+    for signature compatibility but no longer bounds correctness.
     """
-    if level > 11:
-        raise ValueError("cells strategy supports level <= 11 "
-                         "(dense histogram grid)")
+    if level > _CELLS_MAX_LEVEL:
+        raise ValueError(f"cells strategy supports level <= {_CELLS_MAX_LEVEL}")
+    spark = q.sparkSession
     fc = f.withColumn("_cell", _cell_of_jvm(F.col("_flon"), F.col("_flat"), level))
     rows = fc.groupBy("_cell").count().collect()
     carr = np.array([r["_cell"] for r in rows], dtype=np.int64)
     cnts = np.array([r["count"] for r in rows], dtype=np.int64)
-    gx, gy = _cells.cell_xy(carr) if carr.shape[0] else (np.array([], np.int64),) * 2
-    hist = _CellHistogram(gx, gy, cnts, level)
-    cand_cells = _candidate_cells_udf(hist, k)
+    fx, fy = (_cells.cell_xy(carr) if carr.shape[0]
+              else (np.empty(0, np.int64), np.empty(0, np.int64)))
+    hlevel = min(level, _HIST_MAX_LEVEL)
+    sft = level - hlevel
+    if carr.shape[0]:
+        hx, hy = fx >> sft, fy >> sft
+        hkey = hy * np.int64(1 << hlevel) + hx
+        ukey, inv = np.unique(hkey, return_inverse=True)
+        hcnt = np.bincount(inv, weights=cnts.astype(np.float64)).astype(np.int64)
+        hist = _CellHistogram((ukey % (1 << hlevel)).astype(np.int64),
+                              (ukey // (1 << hlevel)).astype(np.int64),
+                              hcnt, hlevel)
+    else:
+        hist = _CellHistogram(np.empty(0, np.int64), np.empty(0, np.int64),
+                              np.empty(0, np.int64), hlevel)
+    sparse = _SparseCells(fx, fy, level)
+    bc = spark.sparkContext.broadcast((hist, sparse))
+    cand_cells = _candidate_cells_udf(bc, k, metric)
     qc = (q.withColumn("_cell", F.explode(cand_cells(F.col("_qlon"),
                                                      F.col("_qlat")))))
     return qc.join(fc, "_cell", "inner").drop("_cell")

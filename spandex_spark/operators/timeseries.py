@@ -62,6 +62,14 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
 
     Returns all left columns + right_cols (NULL when no right row precedes).
     """
+    clash = set(right_cols) & (set(left.columns) - {by, on})
+    if clash:
+        # mirrors pandas merge_asof suffix handling: overlapping value
+        # columns must be renamed by the caller, or the left column would be
+        # silently overwritten with the carried right value
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns; "
+            "rename them before the as-of join")
     l = left
     for c in right_cols:
         l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))

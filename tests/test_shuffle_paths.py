@@ -126,6 +126,62 @@ class TestCellsKnn:
         assert sparse <= dense + 1, (dense, sparse)
         assert dense <= 8, f"constant-bounded stage jobs, got {dense}"
 
+    def test_planar_high_latitude_exactness(self, spark):
+        """ADVICE r2 (medium): cells+planar reused the haversine radii,
+        which diverge from planar ranking above ~52 deg (meridionally-closer
+        features escape the haversine-derived ry) and wrap dlon while the
+        planar metric doesn't. The planar radii are now Chebyshev in degree
+        space, unwrapped; cells must equal broadcast at 60-88 deg AND
+        across the date line."""
+        import numpy as np
+        from spandex_spark.operators import knn_join
+        rng = np.random.default_rng(7)
+        q = spark.createDataFrame(
+            [(int(i), float(rng.uniform(-180, 180)), float(rng.uniform(55, 85)))
+             for i in range(1000)], "q long, lon double, lat double")
+        f = spark.createDataFrame(
+            [(int(i), float(rng.uniform(-180, 180)), float(rng.uniform(50, 88)))
+             for i in range(300)], "fid long, lon double, lat double")
+        a = {(r.q, r.rank, r.fid) for r in
+             knn_join(q, f, k=2, query_id_col="q", feature_id_col="fid",
+                      strategy="broadcast", metric="planar").collect()}
+        b = {(r.q, r.rank, r.fid) for r in
+             knn_join(q, f, k=2, query_id_col="q", feature_id_col="fid",
+                      strategy="cells", level=6, metric="planar").collect()}
+        assert a == b
+
+    def test_planar_antimeridian_no_wrap(self, spark):
+        """Under planar degrees a feature at lon -179.95 is ~360 deg away
+        from a query at 179.9, NOT 0.15 — the nearest must be the same-side
+        one at 170.0 (haversine would pick the across-the-line feature)."""
+        from spandex_spark.operators import knn_join
+        q = spark.createDataFrame([(i, 179.9, float(i) / 100) for i in range(20)],
+                                  "q long, lon double, lat double")
+        f = spark.createDataFrame(
+            [(0, -179.95, 0.0), (1, 170.0, 0.0)],
+            "fid long, lon double, lat double")
+        for strat in ("broadcast", "cells"):
+            out = knn_join(q, f, k=1, query_id_col="q", feature_id_col="fid",
+                           strategy=strat, level=7, metric="planar").collect()
+            assert len(out) == 20 and all(r.fid == 1 for r in out), strat
+
+    def test_fine_level_beyond_old_cap(self, spark):
+        """Round 2 capped the cells strategy at level 11 (dense 4^level
+        grid in the task closure). The sparse enumeration index lifts the
+        cap: level 13 must still equal broadcast exactly."""
+        from spandex_spark.sources.grids import derived_points, gazetteer_grid_df
+        from spandex_spark.operators import knn_join
+        pts = derived_points(
+            spark.range(30_000).select(F.col("id").alias("q")), "q")
+        gaz = gazetteer_grid_df(spark)
+        a = {(r.q, r.rank, r.poi_k) for r in
+             knn_join(pts, gaz, k=3, query_id_col="q", feature_id_col="poi_k",
+                      strategy="broadcast").collect()}
+        b = {(r.q, r.rank, r.poi_k) for r in
+             knn_join(pts, gaz, k=3, query_id_col="q", feature_id_col="poi_k",
+                      strategy="cells", level=13).collect()}
+        assert a == b
+
     def test_k_exceeding_features(self, spark):
         from spandex_spark.sources.grids import derived_points, gazetteer_grid_df
         from spandex_spark.operators import knn_join
