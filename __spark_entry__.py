@@ -476,6 +476,45 @@ def _q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(words)).alias("n_distinct"))
 
 
+def _q_trim_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: clip the parcel grid to a NON-CONVEX L-shaped study boundary
+    (ear-clip tiled Sutherland–Hodgman, operators/trim.py) and output each
+    clipped parcel's area. The L tiles into two disjoint rectangles, so the
+    oracle is exact rectangle-intersection arithmetic. Reference semantics:
+    spandex/spatialtoolz.py::trim (ST_Intersection clip)."""
+    import numpy as np
+    from spandex_spark.operators.trim import trim
+    from spandex_spark.functions.spatial import geom_area_udf
+    lx = np.array([-6.0, 6.0, 6.0, 0.0, 0.0, -6.0])
+    ly = np.array([-6.0, -6.0, 0.0, 0.0, 6.0, 6.0])
+    out = trim(parcels_df(spark), lx, ly)
+    return (out.filter(F.col("geom_trimmed").isNotNull())
+            .select("parcel_id",
+                    (F.round(geom_area_udf(F.col("geom_trimmed")), 6) + 0.0)
+                    .alias("clip_area")))
+
+
+def _q_geom_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: invalid-geometry check over the closed-form validity zoo
+    (bowties and collinear degenerates among valid squares/triangles);
+    oracle is pure case logic on gid. Reference semantics:
+    spandex/spatialtoolz.py::invalid_geometry_check (ST_IsValid)."""
+    from spandex_spark.operators.validate import invalid_geometry_check
+    from spandex_spark.sources.grids import validity_zoo_df
+    out = invalid_geometry_check(validity_zoo_df(spark), "gid")
+    return out.select("gid", "is_valid")
+
+
+def _q_geom_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: stacked-duplicate detection — every validity-zoo geometry
+    appears exactly twice (gid and gid+32 share coordinates). Reference
+    semantics: spandex/spatialtoolz.py::duplicate_stacked_geometry_check."""
+    from spandex_spark.operators.validate import duplicate_stacked_geometry_check
+    from spandex_spark.sources.grids import validity_zoo_df
+    out = duplicate_stacked_geometry_check(validity_zoo_df(spark), "gid")
+    return out.select(F.array_min("ids").alias("canonical_gid"), "n_stacked")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_tag": _q_pip_tag,
@@ -490,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal": _q_zonal,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
+        "trim_area": _q_trim_area,
+        "geom_validity": _q_geom_validity,
+        "geom_dups": _q_geom_dups,
         "nearest_road": _q_nearest_road,
         "geotag": _q_geotag,
         "scale_targets": _q_scale,
@@ -615,6 +657,27 @@ def oracle_sql() -> dict[str, str]:
                    poi_k
             FROM d
             QUALIFY rank <= 3
+        """,
+        "trim_area": f"""
+            WITH a AS (
+              SELECT parcel_id,
+                     GREATEST(0.0, LEAST(x1, 6.0) - GREATEST(x0, -6.0))
+                       * GREATEST(0.0, LEAST(y1, 0.0) - GREATEST(y0, -6.0))
+                   + GREATEST(0.0, LEAST(x1, 0.0) - GREATEST(x0, -6.0))
+                       * GREATEST(0.0, LEAST(y1, 6.0) - GREATEST(y0, 0.0)) AS area
+              FROM ({_PARCELS})
+            )
+            SELECT parcel_id, ROUND(area, 6) + 0.0 AS clip_area
+            FROM a WHERE area > 0.0
+        """,
+        "geom_validity": """
+            SELECT g AS gid, FALSE AS is_valid
+            FROM range(64) t(g)
+            WHERE (g % 32) % 4 IN (1, 2)
+        """,
+        "geom_dups": """
+            SELECT g AS canonical_gid, CAST(2 AS BIGINT) AS n_stacked
+            FROM range(32) t(g)
         """,
         "overlay": f"""
             SELECT p.parcel_id, z.zone_id,

@@ -189,3 +189,24 @@ def centroid_udf(geom_col):
     """ST_Centroid analog (used by spandex/spatialtoolz.py::tag for
     point-in-poly of polygon targets); signed-area weighted across rings."""
     return _centroid(geom_col["xs"], geom_col["ys"], geom_col["ring_offsets"])
+
+
+@pandas_udf(T.DoubleType())
+def _rings_area(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
+    out = np.empty(len(xs))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        if x is None:
+            out[i] = np.nan
+            continue
+        out[i] = _geom.rings_area(np.asarray(x, np.float64),
+                                  np.asarray(y, np.float64),
+                                  _off(offs.iloc[i]))
+    return pd.Series(out)
+
+
+def geom_area_udf(geom_col):
+    """ST_Area analog over the SoA geometry encoding: even-odd multi-ring
+    area (signed shoelace per ring — holes subtract, tiled multipolygon
+    pieces add). NULL geometry -> NaN (caller masks)."""
+    return _rings_area(geom_col["xs"], geom_col["ys"],
+                       geom_col["ring_offsets"])

@@ -153,3 +153,42 @@ def raster_tiles_df(spark: SparkSession) -> DataFrame:
     return t.select("tile_id", x0.alias("x0"), y0.alias("y0"),
                     res.alias("res"), F.lit(50).alias("nx"), F.lit(50).alias("ny"),
                     values.alias("values"))
+
+
+def validity_zoo_df(spark: SparkSession) -> DataFrame:
+    """64 closed-form geometries exercising O6 validation
+    (spandex/spatialtoolz.py::invalid_geometry_check /
+    ::duplicate_stacked_geometry_check): gid 0..63, base = gid % 32 (so
+    every geometry appears EXACTLY TWICE — stacked duplicates), placed on
+    an 8x4 grid of 2-degree slots. Type = base % 4:
+
+      0  valid CCW unit square
+      1  bowtie (self-intersecting quad)         -> invalid
+      2  four collinear points (zero area)       -> invalid
+      3  valid CCW triangle
+
+    All arithmetic is integer/half-integer, reproducible in any SQL engine
+    as pure case logic."""
+    g = spark.range(64).select(F.col("id").alias("gid"))
+    base = F.col("gid") % 32
+    t = base % 4
+    x0 = (-8 + (base % 8) * 2).cast("double")
+    y0 = (-8 + F.floor(base / 8) * 2).cast("double")
+    sq_xs = F.array(x0, x0 + 1.0, x0 + 1.0, x0)
+    sq_ys = F.array(y0, y0, y0 + 1.0, y0 + 1.0)
+    bow_ys = F.array(y0, y0 + 1.0, y0, y0 + 1.0)
+    col_xs = F.array(x0, x0 + 1.0, x0 + 2.0, x0 + 0.5)
+    col_ys = F.array(y0, y0, y0, y0)
+    tri_xs = F.array(x0, x0 + 1.0, x0)
+    tri_ys = F.array(y0, y0, y0 + 1.0)
+    xs = (F.when(t == 2, col_xs).when(t == 3, tri_xs).otherwise(sq_xs))
+    ys = (F.when(t == 1, bow_ys).when(t == 2, col_ys)
+          .when(t == 3, tri_ys).otherwise(sq_ys))
+    offs = F.when(t == 3, F.array(F.lit(0), F.lit(3))) \
+            .otherwise(F.array(F.lit(0), F.lit(4)))
+    geom = F.struct(
+        F.lit(3).cast("tinyint").alias("kind"),
+        xs.alias("xs"), ys.alias("ys"), offs.alias("ring_offsets"),
+        F.struct(x0.alias("minx"), y0.alias("miny"),
+                 (x0 + 2.0).alias("maxx"), (y0 + 2.0).alias("maxy")).alias("bbox"))
+    return g.select("gid", geom.alias("geom"))
