@@ -132,15 +132,19 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     rhs = capped.select(F.col("_band"), F.col("_bhash"),
                         F.col(id_col).alias("id_b"),
                         F.col("signature").alias("_sig_b"))
-    pairs = (lhs.join(rhs, ["_band", "_bhash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
     agree = F.zip_with("_sig_a", "_sig_b",
                        lambda x, y: (x == y).cast("int"))
-    return (pairs.withColumn(
-        "est_jaccard", F.aggregate(agree, F.lit(0), lambda acc, v: acc + v)
-        / F.lit(float(num_hashes)))
-        .select("id_a", "id_b", "est_jaccard"))
+    # est_jaccard is computed BEFORE the pair dedup (it is identical for
+    # every band-collision of a pair), so the dedup exchange carries
+    # (id_a, id_b, double) — not two 128-long signatures per row
+    return (lhs.join(rhs, ["_band", "_bhash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "est_jaccard",
+                F.aggregate(agree, F.lit(0), lambda acc, v: acc + v)
+                / F.lit(float(num_hashes)))
+            .select("id_a", "id_b", "est_jaccard")
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, *,

@@ -133,10 +133,17 @@ def ann_lsh(queries: DataFrame, corpus: DataFrame, *, k: int, dim: int,
          .withColumn("_b", F.explode(buckets(F.col("_qv")))))
     c = (corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
          .withColumn("_b", F.explode(buckets(F.col("_cv")))))
+    # cosine is computed BEFORE the pair dedup and the vectors dropped, so
+    # the dedup/top-k exchanges carry (id, id, double) — not two dim-wide
+    # embeddings per row (~6 KB/row at dim=768; round-2 shuffled them).
+    # A pair colliding in several tables evaluates cosine more than once,
+    # but identical inputs give bit-identical doubles, so the dedup stays
+    # deterministic and the extra evals are map-side-local.
     cand = (q.join(c, "_b")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"])
-            .withColumn("cosine", _cosine_pairs_udf(F.col("_qv"), F.col("_cv"))))
+            .withColumn("cosine", _cosine_pairs_udf(F.col("_qv"), F.col("_cv")))
+            .select("query_id", "neighbor_id", "cosine")
+            .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -215,10 +222,15 @@ def ann_ivf(queries: DataFrame, corpus: DataFrame, *, k: int,
          .withColumn("_bucket", F.element_at(c_assign(F.col("_cv")), 1)))
     q = (queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
          .withColumn("_bucket", F.explode(q_assign(F.col("_qv")))))
+    # same shuffle-width rule as ann_lsh: cosine pre-dedup, vectors never
+    # cross the exchange (each corpus row lives in exactly one bucket and
+    # the nprobe probe buckets are distinct, so the dedup is belt-and-
+    # braces; it costs nothing once the rows are narrow)
     cand = (q.join(c, "_bucket")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"])
-            .withColumn("cosine", _cosine_pairs_udf(F.col("_qv"), F.col("_cv"))))
+            .withColumn("cosine", _cosine_pairs_udf(F.col("_qv"), F.col("_cv")))
+            .select("query_id", "neighbor_id", "cosine")
+            .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
