@@ -187,6 +187,23 @@ def _q_nearest_road(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("dist_deg", 6) + 0.0).alias("dist_deg"))
 
 
+def _q_nearest_road_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linestring kNN via the BIG-both-sides route: segments explode into
+    exact covering cells, broadcast-index candidate boxes, pure-JVM
+    point-to-segment distance + min_by — no collect of the line layer.
+    Must equal the kernel-path oracle exactly (same SQL oracle as
+    `nearest_road`)."""
+    from spandex_spark.operators.lines import nearest_line_join
+    from spandex_spark.sources.grids import roads_df
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = nearest_line_join(pts, roads_df(spark), k=1,
+                            point_id_col="c_custkey", line_id_col="road_id",
+                            strategy="cells", level=7)
+    return out.select("c_custkey", "road_id",
+                      (F.round("dist_deg", 6) + 0.0).alias("dist_deg"))
+
+
 def _q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 extended: UTM zone 31N (EPSG:32631) forward projection of the
     in-zone points; the oracle reruns the identical Snyder series in SQL."""
@@ -533,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_validity": _q_geom_validity,
         "geom_dups": _q_geom_dups,
         "nearest_road": _q_nearest_road,
+        "nearest_road_cells": _q_nearest_road_cells,
         "geotag": _q_geotag,
         "scale_targets": _q_scale,
         "q1_pricing": _q_q1,
@@ -1000,4 +1018,5 @@ def oracle_sql() -> dict[str, str]:
     # so they share the same oracles
     d["tag_shuffle"] = d["pip_tag"]
     d["knn_cells"] = d["knn"]
+    d["nearest_road_cells"] = d["nearest_road"]
     return d

@@ -180,6 +180,34 @@ def cover_linestring(xs: np.ndarray, ys: np.ndarray, level: int,
     return np.unique(np.concatenate(out))
 
 
+def cover_segment(ax: float, ay: float, bx: float, by: float,
+                  level: int) -> np.ndarray:
+    """Cells whose CLOSED square intersects the segment (Liang-Barsky clip
+    over the segment-bbox candidate cells). Exactness contract for the
+    cells-strategy nearest-line join: a SUBSET proof for the radius ladder
+    (every returned cell really touches the segment, so a covered cell in
+    the search box bounds the line's distance) AND a superset of the
+    open-cell cover for candidate enumeration."""
+    cands = cover_bbox(min(ax, bx), min(ay, by), max(ax, bx), max(ay, by),
+                       level)
+    if cands.shape[0] <= 1:
+        return cands
+    lon0, lat0, lon1, lat1 = cell_bounds(cands)
+    dx, dy = bx - ax, by - ay
+    t0 = np.zeros(cands.shape[0])
+    t1 = np.ones(cands.shape[0])
+    for p, q0, q1 in ((dx, lon0 - ax, lon1 - ax), (dy, lat0 - ay, lat1 - ay)):
+        if p > 0:
+            t0 = np.maximum(t0, q0 / p)
+            t1 = np.minimum(t1, q1 / p)
+        elif p < 0:
+            t0 = np.maximum(t0, q1 / p)
+            t1 = np.minimum(t1, q0 / p)
+        else:  # axis-parallel: the segment stays at offset 0 on this axis
+            t0 = np.where((q0 > 0) | (q1 < 0), 2.0, t0)
+    return cands[t0 <= t1]
+
+
 def level_for_extent(extent_deg: float, target_cells_per_feature: float = 4.0) -> int:
     """Pick the cell level whose square is roughly the feature extent, so a
     typical feature explodes into ~target_cells_per_feature covering cells."""

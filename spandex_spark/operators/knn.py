@@ -267,7 +267,8 @@ class _SparseCells:
     cells strategy works at level 13-15 where dense urban skew actually
     lives (the round-2 dense grid capped level at 11 — ~20 km cells)."""
 
-    def __init__(self, gx: np.ndarray, gy: np.ndarray, level: int):
+    def __init__(self, gx: np.ndarray, gy: np.ndarray, level: int,
+                 counts: np.ndarray | None = None):
         self.level = level
         self.n = 1 << level
         key = gy.astype(np.int64) * np.int64(self.n) + gx.astype(np.int64)
@@ -275,12 +276,15 @@ class _SparseCells:
         self.keys = key[order]
         self.gx = gx[order].astype(np.int64)
         self.gy = gy[order].astype(np.int64)
+        self.cnt = (counts[order].astype(np.int64) if counts is not None
+                    else np.ones(self.keys.shape[0], np.int64))
 
-    def cells_in_ranges(self, x_ranges: list, y0: int, y1: int) -> np.ndarray:
-        """Fine cell ids with gy in [y0, y1] and gx in any inclusive
-        [a, b] of ``x_ranges``. Two tiers: per-row binary search when the
-        box has few rows, else one vectorized scan of the non-empty list
-        (bounds the cost at O(#non-empty) per distinct query cell)."""
+    def indices_in_ranges(self, x_ranges: list, y0: int, y1: int) -> np.ndarray:
+        """Indices (into the sorted arrays) of fine cells with gy in
+        [y0, y1] and gx in any inclusive [a, b] of ``x_ranges``. Two tiers:
+        per-row binary search when the box has few rows, else one
+        vectorized scan of the non-empty list (bounds the cost at
+        O(#non-empty) per distinct query cell)."""
         m = self.keys.shape[0]
         if m == 0 or not x_ranges:
             return np.empty(0, dtype=np.int64)
@@ -312,6 +316,10 @@ class _SparseCells:
             for a, b in x_ranges:
                 xm |= (self.gx >= a) & (self.gx <= b)
             idx = np.flatnonzero(ym & xm)
+        return idx
+
+    def cells_in_ranges(self, x_ranges: list, y0: int, y1: int) -> np.ndarray:
+        idx = self.indices_in_ranges(x_ranges, y0, y1)
         return _cells.xy_to_cell(self.gx[idx], self.gy[idx], self.level)
 
 
@@ -433,6 +441,10 @@ def _candidate_cells_udf(bc, k: int, metric: str):
             rx, ry = _search_radii(hist, ux, uy, k)
         else:
             rx, ry = _search_radii_planar(hist, ux, uy, k)
+        lon_ext_f = 360.0 / sparse.n
+        lat_ext_f = 180.0 / sparse.n
+        lon_ext_c = 360.0 / hist.n
+        lat_ext_c = 180.0 / hist.n
         lists: list[list[int]] = []
         for j in range(uniq.shape[0]):
             # coarse box -> fine index ranges (scale by 2^s); the query
@@ -442,7 +454,37 @@ def _candidate_cells_udf(bc, k: int, metric: str):
                   for a, b in _x_ranges(int(ux[j]), int(rx[j]), hist.n, wrap)]
             y0 = max(0, int(uy[j] - ry[j])) << s
             y1 = ((min(hist.n - 1, int(uy[j] + ry[j])) + 1) << s) - 1
-            lists.append(sparse.cells_in_ranges(xr, y0, y1).tolist())
+            idx = sparse.indices_in_ranges(xr, y0, y1)
+            if not wrap and idx.shape[0]:
+                # planar CELL-LEVEL PRUNE (exact-safe): the coarse search
+                # box over-covers badly when cells are wide relative to
+                # feature spacing. Sort the covered fine cells by their
+                # WORST-case distance from the query cell; D = the worst
+                # case of the smallest prefix holding >= k features — the
+                # true kth distance is <= D for every query point in this
+                # cell — then keep only cells whose BEST-case distance can
+                # beat D. (Haversine keeps the full box: degree gaps do
+                # not order great-circle distances.)
+                cx0 = sparse.gx[idx] * lon_ext_f - 180.0
+                cx1 = cx0 + lon_ext_f
+                cy0 = sparse.gy[idx] * lat_ext_f - 90.0
+                cy1 = cy0 + lat_ext_f
+                qx0 = ux[j] * lon_ext_c - 180.0
+                qx1 = qx0 + lon_ext_c
+                qy0 = uy[j] * lat_ext_c - 90.0
+                qy1 = qy0 + lat_ext_c
+                mind = np.hypot(
+                    np.maximum(0.0, np.maximum(cx0 - qx1, qx0 - cx1)),
+                    np.maximum(0.0, np.maximum(cy0 - qy1, qy0 - cy1)))
+                maxd = np.hypot(np.maximum(cx1 - qx0, qx1 - cx0),
+                                np.maximum(cy1 - qy0, qy1 - cy0))
+                order = np.argsort(maxd, kind="stable")
+                csum = np.cumsum(sparse.cnt[idx][order])
+                pos = int(np.searchsorted(csum, k))
+                if pos < order.shape[0]:
+                    idx = idx[mind <= maxd[order[pos]]]
+            lists.append(_cells.xy_to_cell(sparse.gx[idx], sparse.gy[idx],
+                                           sparse.level).tolist())
         return pd.Series([lists[i] for i in inverse])
 
     return _cand
@@ -450,6 +492,32 @@ def _candidate_cells_udf(bc, k: int, metric: str):
 
 _HIST_MAX_LEVEL = 11   # coarse radius-oracle grid: <= ~33 MB cropped dense
 _CELLS_MAX_LEVEL = 20  # fine join key: row-major key fits comfortably in i64
+
+
+def build_cell_index(spark, hist_rows, level: int):
+    """Build the (coarse dense histogram, fine sparse cell list) pair from
+    collected (cell, count) rows and ship it as ONE Spark broadcast.
+    Shared by the point kNN cells strategy and the nearest-line cells
+    strategy (operators/lines.py)."""
+    carr = np.array([r[0] for r in hist_rows], dtype=np.int64)
+    cnts = np.array([r[1] for r in hist_rows], dtype=np.int64)
+    fx, fy = (_cells.cell_xy(carr) if carr.shape[0]
+              else (np.empty(0, np.int64), np.empty(0, np.int64)))
+    hlevel = min(level, _HIST_MAX_LEVEL)
+    sft = level - hlevel
+    if carr.shape[0]:
+        hx, hy = fx >> sft, fy >> sft
+        hkey = hy * np.int64(1 << hlevel) + hx
+        ukey, inv = np.unique(hkey, return_inverse=True)
+        hcnt = np.bincount(inv, weights=cnts.astype(np.float64)).astype(np.int64)
+        hist = _CellHistogram((ukey % (1 << hlevel)).astype(np.int64),
+                              (ukey // (1 << hlevel)).astype(np.int64),
+                              hcnt, hlevel)
+    else:
+        hist = _CellHistogram(np.empty(0, np.int64), np.empty(0, np.int64),
+                              np.empty(0, np.int64), hlevel)
+    sparse = _SparseCells(fx, fy, level, cnts)
+    return spark.sparkContext.broadcast((hist, sparse))
 
 
 def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
@@ -478,25 +546,7 @@ def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
     spark = q.sparkSession
     fc = f.withColumn("_cell", _cell_of_jvm(F.col("_flon"), F.col("_flat"), level))
     rows = fc.groupBy("_cell").count().collect()
-    carr = np.array([r["_cell"] for r in rows], dtype=np.int64)
-    cnts = np.array([r["count"] for r in rows], dtype=np.int64)
-    fx, fy = (_cells.cell_xy(carr) if carr.shape[0]
-              else (np.empty(0, np.int64), np.empty(0, np.int64)))
-    hlevel = min(level, _HIST_MAX_LEVEL)
-    sft = level - hlevel
-    if carr.shape[0]:
-        hx, hy = fx >> sft, fy >> sft
-        hkey = hy * np.int64(1 << hlevel) + hx
-        ukey, inv = np.unique(hkey, return_inverse=True)
-        hcnt = np.bincount(inv, weights=cnts.astype(np.float64)).astype(np.int64)
-        hist = _CellHistogram((ukey % (1 << hlevel)).astype(np.int64),
-                              (ukey // (1 << hlevel)).astype(np.int64),
-                              hcnt, hlevel)
-    else:
-        hist = _CellHistogram(np.empty(0, np.int64), np.empty(0, np.int64),
-                              np.empty(0, np.int64), hlevel)
-    sparse = _SparseCells(fx, fy, level)
-    bc = spark.sparkContext.broadcast((hist, sparse))
+    bc = build_cell_index(spark, rows, level)
     cand_cells = _candidate_cells_udf(bc, k, metric)
     qc = (q.withColumn("_cell", F.explode(cand_cells(F.col("_qlon"),
                                                      F.col("_qlat")))))

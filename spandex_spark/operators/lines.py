@@ -6,13 +6,20 @@ KNN operator against line layers (spandex/spatialtoolz.py delegates all
 geometry types to PostGIS). Here lines use the same struct-of-arrays
 encoding (kind=2; ``ring_offsets`` delimits multi-part lines, parts OPEN).
 
-Nearest-line join follows the kernel pattern of operators/knn.py: the line
-layer is collected once (broadcast-sized by contract — road networks per
-partition/region, not per point) and closed over a mapInPandas scan; each
-Arrow batch computes a vectorized point-to-segment distance matrix. No
-join, no shuffle on the point stream; the window top-k only sees
-candidates. The big-both-sides path is cover_linestring cells + the same
-histogram plan as knn cells — recorded as the scale follow-up.
+Nearest-line join has two strategies (mirroring operators/knn.py):
+
+* ``kernel`` — the line layer is collected once (broadcast-sized by
+  contract: road networks per partition/region, not per point) and closed
+  over a mapInPandas scan; each Arrow batch computes a vectorized
+  point-to-segment distance matrix. No join, no shuffle on the point
+  stream.
+* ``cells`` — the BIG-both-sides path (k=1): lines explode into SEGMENTS
+  with their exact covering cells (cells.cover_segment, Liang-Barsky), the
+  segment-cell histogram drives the same two-job broadcast-index plan as
+  knn cells, and the candidate (point, segment) join computes the exact
+  point-to-segment distance with PURE JVM arithmetic (fixed-width segment
+  rows — no geometry arrays cross the shuffle). min_by aggregates segment
+  candidates to the nearest line with exact (dist, line_id) tie-break.
 """
 
 from __future__ import annotations
@@ -52,9 +59,18 @@ def line_length(df: DataFrame, *, geom_col: str = "geom",
 def nearest_line_join(points: DataFrame, lines: DataFrame, *, k: int,
                       point_id_col: str, line_id_col: str,
                       lon_col: str = "lon", lat_col: str = "lat",
-                      geom_col: str = "geom") -> DataFrame:
+                      geom_col: str = "geom", strategy: str = "kernel",
+                      level: int = 7) -> DataFrame:
     """k nearest linestrings per point (planar degrees; ties broken by
     (dist, line_id)). Returns (point_id, rank, line_id, dist_deg)."""
+    if strategy == "cells":
+        return _nearest_line_cells(points, lines, k=k,
+                                   point_id_col=point_id_col,
+                                   line_id_col=line_id_col, lon_col=lon_col,
+                                   lat_col=lat_col, geom_col=geom_col,
+                                   level=level)
+    if strategy != "kernel":
+        raise ValueError(f"unknown strategy {strategy!r}")
     rows = lines.select(F.col(line_id_col).alias("_lid"),
                         F.col(geom_col).alias("_g")).collect()
     entries = []
@@ -97,3 +113,119 @@ def nearest_line_join(points: DataFrame, lines: DataFrame, *, k: int,
         scan, schema=schema)
     return out.select(F.col("p").alias(point_id_col), "rank",
                       F.col("lid").alias(line_id_col), "dist_deg")
+
+
+_SEG_CELL_TYPE = T.ArrayType(T.StructType([
+    T.StructField("cell", T.LongType()),
+    T.StructField("ax", T.DoubleType()),
+    T.StructField("ay", T.DoubleType()),
+    T.StructField("bx", T.DoubleType()),
+    T.StructField("by", T.DoubleType()),
+]))
+
+
+def _segment_cells_udf(level: int):
+    """Per line: every (segment, covering-cell) pair as fixed-width structs.
+    Parts are OPEN (no closing segment); the cover is exact (Liang-Barsky
+    closed-cell intersection), which the radius ladder's distance bound
+    requires — a bbox cover would claim lines near cells they never
+    touch."""
+    from spandex_spark import cells as _cells
+
+    @pandas_udf(_SEG_CELL_TYPE)
+    def _segcells(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
+        out = []
+        for x, y, o in zip(xs, ys, offs):
+            sx = np.asarray(x, np.float64)
+            sy = np.asarray(y, np.float64)
+            oo = (np.asarray(o, np.int64)
+                  if o is not None and len(o) > 2 else None)
+            rows = []
+            for px_, py_ in _geom.rings_of(sx, sy, oo):
+                for i in range(px_.shape[0] - 1):
+                    cells = _cells.cover_segment(
+                        float(px_[i]), float(py_[i]),
+                        float(px_[i + 1]), float(py_[i + 1]), level)
+                    for c in cells:
+                        rows.append({"cell": int(c),
+                                     "ax": float(px_[i]), "ay": float(py_[i]),
+                                     "bx": float(px_[i + 1]),
+                                     "by": float(py_[i + 1])})
+            out.append(rows)
+        return pd.Series(out)
+
+    return _segcells
+
+
+def _nearest_line_cells(points: DataFrame, lines: DataFrame, *, k: int,
+                        point_id_col: str, line_id_col: str,
+                        lon_col: str, lat_col: str, geom_col: str,
+                        level: int) -> DataFrame:
+    """Big-both-sides nearest-line join (k=1), exactly TWO Spark jobs:
+
+    job 1  segment-cell histogram (groupBy(cell).count() -> driver);
+    job 2  points emit candidate cells from the broadcast index (planar
+           radius math, k=1: one covered cell in the search box proves a
+           line within the box's corner-distance bound, because the cover
+           is exact — cells.cover_segment), explode, equi-join the segment
+           table on cell, exact JVM point-to-segment distance, min_by.
+
+    Exact for k=1 under the planar (degree) metric; k>1 would need a
+    distinct-line lower bound per box that a cell-count histogram cannot
+    give (the same line covers many cells), so it stays on the kernel
+    path. PostGIS analog: `<->` against a line layer of any size.
+    """
+    if k != 1:
+        raise NotImplementedError(
+            "cells strategy for nearest-line is exact for k=1 only; "
+            "use strategy='kernel' for k>1")
+    from spandex_spark.operators.knn import (build_cell_index,
+                                             _candidate_cells_udf,
+                                             _CELLS_MAX_LEVEL)
+    if level > _CELLS_MAX_LEVEL:
+        raise ValueError(f"cells strategy supports level <= {_CELLS_MAX_LEVEL}")
+    spark = points.sparkSession
+    g = F.col(geom_col)
+    segs = (lines.select(F.col(line_id_col).alias("_lid"),
+                         F.explode(_segment_cells_udf(level)(
+                             g["xs"], g["ys"], g["ring_offsets"])).alias("_s"))
+            .select("_lid", F.col("_s.cell").alias("_cell"),
+                    "_s.ax", "_s.ay", "_s.bx", "_s.by"))
+    segs = segs.persist()
+    rows = segs.groupBy("_cell").count().collect()
+    bc = build_cell_index(spark, rows, level)
+    cand_cells = _candidate_cells_udf(bc, 1, "planar")
+    q = points.select(F.col(point_id_col).alias("_pid"),
+                      F.col(lon_col).alias("_plon"),
+                      F.col(lat_col).alias("_plat"))
+    qc = q.withColumn("_cell", F.explode(cand_cells(F.col("_plon"),
+                                                    F.col("_plat"))))
+    cand = qc.join(segs, "_cell").drop("_cell")
+    # exact point-to-segment distance, pure JVM codegen (same arithmetic
+    # as geom.points_to_linestring_dist)
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    len2 = dx * dx + dy * dy
+    tr = (F.col("_plon") - F.col("ax")) * dx + (F.col("_plat") - F.col("ay")) * dy
+    t = F.when(len2 > 0, F.greatest(F.lit(0.0), F.least(F.lit(1.0), tr / len2))
+               ).otherwise(F.lit(0.0))
+    ex = F.col("_plon") - (F.col("ax") + t * dx)
+    ey = F.col("_plat") - (F.col("ay") + t * dy)
+    cand = cand.withColumn("_d", F.sqrt(ex * ex + ey * ey))
+    # two-stage reduction, both HASH aggregates with map-side partials:
+    # stage 1 collapses segment candidates to one row per (point, line)
+    # (min over a double — hash-friendly); stage 2's (dist, line_id)
+    # tie-break needs min_by over a struct ordering, which Spark plans as
+    # SortAggregate — run it only on the tiny per-line reduction, never on
+    # the raw segment fan-out (a single-stage min_by sorted 124 M candidate
+    # rows at 1 M points on the road fixture)
+    per_line = (cand.groupBy("_pid", "_lid")
+                .agg(F.min("_d").alias("_dl")))
+    order = F.struct("_dl", "_lid")
+    best = (per_line.groupBy("_pid")
+            .agg(F.min_by("_lid", order).alias("_blid"),
+                 F.min("_dl").alias("_bd")))
+    return best.select(F.col("_pid").alias(point_id_col),
+                       F.lit(1).alias("rank"),
+                       F.col("_blid").alias(line_id_col),
+                       F.col("_bd").alias("dist_deg"))

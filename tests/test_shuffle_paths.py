@@ -221,3 +221,69 @@ def test_zonal_shuffle_path_matches_broadcast(spark):
          zonal_stats(tiles, zones_df(spark), level=7,
                      broadcast_zones=False).collect()}
     assert a == b
+
+
+class TestCellsNearestLine:
+    """Big-both-sides nearest-line join (segment-cell broadcast index)."""
+
+    def test_equality_at_1m_points(self, spark):
+        from spandex_spark.sources.grids import derived_points, roads_df
+        from spandex_spark.operators.lines import nearest_line_join
+        pts = derived_points(
+            spark.range(1_000_000).select(F.col("id").alias("p")), "p")
+        roads = roads_df(spark)
+        a = nearest_line_join(pts, roads, k=1, point_id_col="p",
+                              line_id_col="road_id", strategy="kernel")
+        b = nearest_line_join(pts, roads, k=1, point_id_col="p",
+                              line_id_col="road_id", strategy="cells", level=7)
+        sig = lambda df: df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("p") * F.col("road_id")).alias("dot"),
+            F.sum(F.round("dist_deg", 6)).alias("ds")).collect()[0]
+        sa, sb = sig(a), sig(b)
+        assert sa.n == sb.n == 1_000_000
+        assert sa.dot == sb.dot
+        assert abs(sa.ds - sb.ds) < 1e-6 * max(abs(sa.ds), 1.0)
+
+    def test_diagonal_lines_equality(self, spark):
+        """Random diagonal multi-vertex lines exercise the Liang-Barsky
+        segment cover (roads_df is axis-aligned, which a bbox cover would
+        also pass); cells must equal the kernel path exactly."""
+        import numpy as np
+        rng = np.random.default_rng(11)
+        from spandex_spark.operators.lines import nearest_line_join
+        lines = []
+        for lid in range(40):
+            vx = rng.uniform(-9, 9, 4)
+            vy = rng.uniform(-9, 9, 4)
+            lines.append((lid, {
+                "kind": 2, "xs": vx.tolist(), "ys": vy.tolist(),
+                "ring_offsets": [0, 4],
+                "bbox": {"minx": float(vx.min()), "miny": float(vy.min()),
+                         "maxx": float(vx.max()), "maxy": float(vy.max())}}))
+        ldf = spark.createDataFrame(
+            lines, "line_id long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        pts = spark.createDataFrame(
+            [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-10, 10, 2000), rng.uniform(-10, 10, 2000)))],
+            "p long, lon double, lat double")
+        a = {(r.p, r.line_id) for r in
+             nearest_line_join(pts, ldf, k=1, point_id_col="p",
+                               line_id_col="line_id",
+                               strategy="kernel").collect()}
+        b = {(r.p, r.line_id) for r in
+             nearest_line_join(pts, ldf, k=1, point_id_col="p",
+                               line_id_col="line_id", strategy="cells",
+                               level=6).collect()}
+        assert a == b
+
+    def test_k_gt_1_raises(self, spark):
+        from spandex_spark.sources.grids import derived_points, roads_df
+        from spandex_spark.operators.lines import nearest_line_join
+        import pytest as _pt
+        pts = derived_points(spark.range(10).select(F.col("id").alias("p")), "p")
+        with _pt.raises(NotImplementedError):
+            nearest_line_join(pts, roads_df(spark), k=2, point_id_col="p",
+                              line_id_col="road_id", strategy="cells")
