@@ -315,6 +315,22 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "view_event")
 
 
+def _q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe variant of `asof_join`: the window partitions by
+    (user, day bucket) with a per-bucket carry table, so one hot key can't
+    become a single straggler task. Same oracle as asof_join."""
+    from spandex_spark.operators.timeseries import asof_join
+    ev = _t(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    out = asof_join(purchases, views, on="ts", by="user_id",
+                    right_cols=("view_event",), bucket_seconds=86400)
+    return out.select("event_id", "view_event")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spandex_spark.operators.dedup import exact_dedup
     return exact_dedup(_t(spark, sf_dir, "documents"))
@@ -559,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
         "asof_join": _q_asof_join,
+        "asof_join_bucketed": _q_asof_join_bucketed,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -1019,4 +1036,5 @@ def oracle_sql() -> dict[str, str]:
     d["tag_shuffle"] = d["pip_tag"]
     d["knn_cells"] = d["knn"]
     d["nearest_road_cells"] = d["nearest_road"]
+    d["asof_join_bucketed"] = d["asof_join"]
     return d

@@ -47,7 +47,8 @@ def time_rollup(df: DataFrame, *, ts_col: str, value_col: str,
 
 def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
               by: str = "user_id",
-              right_cols: tuple[str, ...] = ()) -> DataFrame:
+              right_cols: tuple[str, ...] = (),
+              bucket_seconds: int | None = None) -> DataFrame:
     """Backward as-of join: each left row picks the LATEST right row with
     ``right.on <= left.on`` within the same ``by`` group (the
     point-in-time lookup every event pipeline needs; PostgreSQL/PostGIS has
@@ -60,6 +61,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
     explosion, no per-group collect. Right rows must be unique per
     (by, on); pre-aggregate them if not (determinism).
 
+    ``bucket_seconds`` selects the SKEW-SAFE two-pass variant: the window
+    partitions by (by, time-range bucket) so one pathological key no longer
+    maps to one straggler task; values cross bucket boundaries via a tiny
+    per-(key, bucket) carry table (see _asof_join_bucketed). Identical
+    output, equality-tested in tests/test_operators.py.
+
     Returns all left columns + right_cols (NULL when no right row precedes).
     """
     clash = set(right_cols) & (set(left.columns) - {by, on})
@@ -70,6 +77,10 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
         raise ValueError(
             f"right_cols {sorted(clash)} collide with left columns; "
             "rename them before the as-of join")
+    if bucket_seconds is not None:
+        return _asof_join_bucketed(left, right, on=on, by=by,
+                                   right_cols=right_cols,
+                                   bucket_seconds=bucket_seconds)
     l = left
     for c in right_cols:
         l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
@@ -87,6 +98,75 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
     for c in right_cols:
         unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return unioned.filter(F.col("_side") == 1).drop("_side")
+
+
+def _asof_join_bucketed(left: DataFrame, right: DataFrame, *, on: str,
+                        by: str, right_cols: tuple[str, ...],
+                        bucket_seconds: int) -> DataFrame:
+    """Skew-safe backward as-of join. The single-window path partitions by
+    ``by`` alone, so one hot key (a bot user with 100 M events) becomes one
+    straggler task. Here the window key is (by, floor(ts / bucket_seconds))
+    — a hot key splits across its time range — and correctness across
+    bucket boundaries comes from a carry table that is small by
+    construction (one row per (key, bucket) that has right rows):
+
+    pass 1  union + window over (by, bucket): right values carried forward
+            WITHIN each bucket (rows whose predecessor is in an earlier
+            bucket stay NULL for now);
+    carry   per-(by, bucket) LAST right values (max_by over ts — right rows
+            are unique per (by, ts) by contract), then a window over the
+            per-bucket summary partitioned by ``by`` ordered by bucket,
+            last(ignorenulls) over [unboundedPreceding, -1]: the latest
+            right values from any STRICTLY EARLIER bucket. This window sees
+            #buckets rows per key, not #events — the straggler bound;
+    pass 2  join the carry on (by, bucket) — same key as pass 1's shuffle —
+            and coalesce(in-bucket value, carry value).
+
+    A right row in an earlier bucket always has ts < the left bucket's
+    start <= left ts, so the carry never violates the <= rule; equal-ts
+    rows share a bucket and resolve in pass 1 (right sorts first)."""
+    bkt = F.floor(F.unix_timestamp(F.col(on).cast("timestamp"))
+                  / F.lit(int(bucket_seconds)))
+    l = left
+    for c in right_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("_side", F.lit(1))
+    r = right.select(by, on, *right_cols)
+    for c in left.columns:
+        if c not in (by, on):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.withColumn("_side", F.lit(0)).select(*l.columns)
+    unioned = l.unionByName(r).withColumn("_bkt", bkt)
+    w = (Window.partitionBy(by, "_bkt")
+         .orderBy(F.col(on).asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in right_cols:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # carry: last right values per (by, bucket) that HAS right rows, then
+    # for every left (by, bucket) the latest such summary from a STRICTLY
+    # earlier bucket — union + window on the tiny summary table, with left
+    # bucket-rows sorted BEFORE same-bucket summary rows so an equal-bucket
+    # summary (not "earlier") is never picked up
+    per_bkt = (right.withColumn("_bkt", bkt)
+               .groupBy(by, "_bkt")
+               .agg(F.max_by(F.struct(*[F.col(c) for c in right_cols]),
+                             F.col(on)).alias("_vals")))
+    need = unioned.filter(F.col("_side") == 1).select(by, "_bkt").distinct()
+    cu = (per_bkt.withColumn("_o", F.lit(1))
+          .unionByName(need.withColumn("_vals", F.lit(None)
+                                       .cast(per_bkt.schema["_vals"].dataType))
+                       .withColumn("_o", F.lit(0))))
+    wn = (Window.partitionBy(by).orderBy(F.col("_bkt").asc(),
+                                         F.col("_o").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (cu.withColumn("_carry",
+                            F.last("_vals", ignorenulls=True).over(wn))
+              .filter(F.col("_o") == 0).select(by, "_bkt", "_carry"))
+    out = (unioned.filter(F.col("_side") == 1)
+           .join(filled, [by, "_bkt"], "left"))
+    for c in right_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col("_carry")[c]))
+    return out.drop("_side", "_bkt", "_carry")
 
 
 from pyspark.sql import Window  # noqa: E402

@@ -324,3 +324,32 @@ class TestAsofJoin:
         # ts=100 equal → inclusive (<=); ts=205 → latest prior (200);
         # ts=200 equal → inclusive; user 20 has no right rows → NULL
         assert out == {1: 7, 2: 8, 3: 8, 4: None}
+
+    def test_bucketed_equals_single_window(self, spark):
+        """Skew-safe bucketed variant == single-window path, on a fixture
+        with a deliberately HOT key (one user owning 80% of both sides),
+        bucket boundaries landing between/on event times, and left buckets
+        with no right rows (exercises the cross-bucket carry)."""
+        import random
+        from spandex_spark.operators.timeseries import asof_join
+        rng = random.Random(7)
+        lrows, rrows = [], []
+        eid = 0
+        for user, n in ((1, 800), (2, 50), (3, 1)):
+            for _ in range(n):
+                eid += 1
+                lrows.append((eid, user, rng.randrange(0, 5000)))
+            seen = set()   # right rows unique per (user, ts) by contract
+            while len(seen) < max(1, n // 2):
+                seen.add(rng.randrange(0, 5000))
+            rrows += [(user, ts, user * 100000 + ts) for ts in seen]
+        left = spark.createDataFrame(lrows, "event_id long, user_id long, ts long")
+        right = spark.createDataFrame(rrows, "user_id long, ts long, v long")
+        base = {r.event_id: r.v for r in
+                asof_join(left, right, on="ts", by="user_id",
+                          right_cols=("v",)).collect()}
+        for bs in (1, 97, 1000, 100000):   # 100000 → everything one bucket
+            got = {r.event_id: r.v for r in
+                   asof_join(left, right, on="ts", by="user_id",
+                             right_cols=("v",), bucket_seconds=bs).collect()}
+            assert got == base, f"bucket_seconds={bs} diverges"
