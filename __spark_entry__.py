@@ -149,6 +149,34 @@ def _q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("ix_area", 9).alias("ix_area"))
 
 
+def _q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic (spherical m², ST_Area(geography) analog) areas of the
+    holed donut zones — Chamberlain-Duquette kernel, holes subtract; the
+    oracle is the exact closed-form spherical rectangle difference
+    R²Δλ(sin φ1 − sin φ0), to which the line integral reduces on lattice
+    rings. Output in km² (3 dp) to absorb libm last-ulp differences."""
+    from spandex_spark.operators.overlay import spherical_area_udf
+    from spandex_spark.sources.grids import donut_zones_df
+    dz = donut_zones_df(spark)
+    return dz.select("dz_id",
+                     (F.round(spherical_area_udf(F.col("geom")) / 1e6, 3)
+                      + 0.0).alias("area_km2"))
+
+
+def _q_overlay_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 geodesic variant: per-(parcel, zone) intersection areas in
+    spherical m² — rect×rect pairs take the exact closed-form JVM path
+    (area_unit='sph_m2'), matching the oracle's identical formula."""
+    from spandex_spark.operators import proportion_overlap
+    pairs = proportion_overlap(parcels_df(spark), zones_df(spark),
+                               target_id_col="parcel_id",
+                               overlay_id_col="zone_id", level=8,
+                               keep_pairs=True, area_unit="sph_m2")
+    return pairs.select("parcel_id", "zone_id",
+                        (F.round(F.col("ix_area") / 1e6, 3)
+                         + 0.0).alias("ix_km2"))
+
+
 def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7: zonal statistics of the synthetic raster over the zone grid."""
     from spandex_spark.operators import zonal_stats
@@ -559,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index": _q_cell_index,
         "knn": _q_knn,
         "overlay": _q_overlay,
+        "overlay_m2": _q_overlay_m2,
+        "geodesic_area": _q_geodesic_area,
         "zonal": _q_zonal,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
@@ -718,6 +748,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.parcel_id, z.zone_id,
                    round((LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0))
                        * (LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0)), 9) AS ix_area
+            FROM ({_PARCELS}) p
+            CROSS JOIN (
+              SELECT z AS zone_id,
+                     CAST(z % 20 AS DOUBLE) - 10.0 AS zx0,
+                     CAST(z // 20 AS DOUBLE) - 10.0 AS zy0,
+                     CAST(z % 20 AS DOUBLE) - 9.0 AS zx1,
+                     CAST(z // 20 AS DOUBLE) - 9.0 AS zy1
+              FROM range(400) t(z)
+            ) z
+            WHERE LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0) > 0
+              AND LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0) > 0
+        """,
+        "geodesic_area": """
+            SELECT dz_id,
+                   round((40589753129677.44 * radians(4.0)
+                            * (sin(radians(y0 + 4.0)) - sin(radians(y0)))
+                          - 40589753129677.44 * radians(2.0)
+                            * (sin(radians(y0 + 3.0)) - sin(radians(y0 + 1.0)))
+                         ) / 1e6, 3) + 0.0 AS area_km2
+            FROM (SELECT z AS dz_id,
+                         CAST((z - z % 4) / 4 AS DOUBLE) * 4.0 - 8.0 AS y0
+                  FROM range(16) t(z))
+        """,
+        "overlay_m2": f"""
+            SELECT p.parcel_id, z.zone_id,
+                   round(40589753129677.44
+                         * radians(LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0))
+                         * (sin(radians(LEAST(p.y1, z.zy1)))
+                            - sin(radians(GREATEST(p.y0, z.zy0))))
+                         / 1e6, 3) + 0.0 AS ix_km2
             FROM ({_PARCELS}) p
             CROSS JOIN (
               SELECT z AS zone_id,

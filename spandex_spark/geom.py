@@ -83,6 +83,35 @@ def rings_area(xs: np.ndarray, ys: np.ndarray, offsets=None) -> float:
     return float(sum(shoelace_area(rx, ry) for rx, ry in rings))
 
 
+EARTH_R_M = 6371008.8  # IUGG mean Earth radius, meters
+
+
+def spherical_ring_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Signed spherical area (m²) of an OPEN lon/lat ring on the mean-Earth
+    sphere — Chamberlain & Duquette (JPL 2007) line integral:
+    A = -R²/2 · Σ Δλ_i · (2 + sin φ_i + sin φ_{i+1}), CCW positive.
+    Exact for rings whose edges follow parallels/meridians (every lattice
+    fixture); the standard small-edge approximation otherwise (PostGIS
+    geography uses the same family). Δλ wraps to (-π, π] so dateline-
+    crossing edges take the short way around."""
+    lam = np.radians(xs)
+    phi = np.radians(ys)
+    dlam = np.roll(lam, -1) - lam
+    dlam = np.mod(dlam + np.pi, 2.0 * np.pi) - np.pi
+    s = float(np.sum(dlam * (2.0 + np.sin(phi) + np.sin(np.roll(phi, -1)))))
+    return -0.5 * EARTH_R_M * EARTH_R_M * s
+
+
+def spherical_rings_area(xs: np.ndarray, ys: np.ndarray, offsets=None) -> float:
+    """Even-odd region spherical area (m²): Σ signed ring areas (CCW outer
+    positive, CW hole negative) — the ST_Area(geography) analog, mirroring
+    rings_area's single-ring |area| back-compat."""
+    rings = rings_of(xs, ys, offsets)
+    if len(rings) == 1:
+        return abs(spherical_ring_area(rings[0][0], rings[0][1]))
+    return float(sum(spherical_ring_area(rx, ry) for rx, ry in rings))
+
+
 def rings_bbox(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float, float, float]:
     return bbox(xs, ys)  # bbox over the concatenation == bbox over all rings
 

@@ -80,6 +80,33 @@ def polygon_area_udf(geom_col):
     return _poly_area(geom_col["xs"], geom_col["ys"], geom_col["ring_offsets"])
 
 
+@pandas_udf(T.DoubleType())
+def _sph_area(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
+    out = np.empty(len(xs))
+    for i in range(len(xs)):
+        o = offs.iloc[i]
+        out[i] = _geom.spherical_rings_area(
+            np.asarray(xs.iloc[i], np.float64), np.asarray(ys.iloc[i], np.float64),
+            np.asarray(o, np.int64) if o is not None and len(o) > 2 else None)
+    return pd.Series(out)
+
+
+def spherical_area_udf(geom_col):
+    """ST_Area(geography) analog in m² (mean-Earth sphere, Chamberlain-
+    Duquette line integral — geom.spherical_rings_area; holes subtract)."""
+    return _sph_area(geom_col["xs"], geom_col["ys"], geom_col["ring_offsets"])
+
+
+def rect_spherical_area_expr(x0, y0, x1, y1):
+    """EXACT spherical area (m²) of the lon/lat rectangle [x0,x1]×[y0,y1]
+    as pure column arithmetic: R²·Δλ·(sin φ1 − sin φ0). For a rectangle
+    the Chamberlain-Duquette integral reduces to this closed form, so the
+    JVM path and the kernel agree to FP round-off."""
+    r2 = F.lit(_geom.EARTH_R_M * _geom.EARTH_R_M)
+    return (r2 * F.radians(x1 - x0)
+            * (F.sin(F.radians(y1)) - F.sin(F.radians(y0))))
+
+
 def intersection_area_udf(geom_a, geom_b):
     """ST_Area(ST_Intersection(a, b)) analog (multi-ring aware)."""
     return _ix_area(geom_a["xs"], geom_a["ys"], geom_a["ring_offsets"],
@@ -111,12 +138,22 @@ def proportion_overlap(targets: DataFrame, overlays: DataFrame, *,
                        target_id_col: str, overlay_id_col: str,
                        level: int = 8, broadcast_overlays: bool = True,
                        keep_pairs: bool = False,
-                       pair_dedup: str = "refpoint") -> DataFrame:
+                       pair_dedup: str = "refpoint",
+                       area_unit: str = "deg2") -> DataFrame:
     """Fraction of each target polygon's area covered by the overlay layer.
 
     Returns (target_id_col, overlap_area, target_area, proportion_overlap);
     with ``keep_pairs`` returns per-(target, overlay) intersection rows
     instead (the trim/clip building block, O4).
+
+    ``area_unit``: 'deg2' (planar square degrees — the oracle-exact
+    default) or 'sph_m2' (geodesic m² on the mean-Earth sphere, the
+    ST_Area(geography) shape): rect×rect intersections get the EXACT
+    closed-form spherical rectangle area, still pure JVM codegen; general
+    intersections scale the planar area by (πR/180)²·cos(mid-lat of the
+    intersection bbox) — the first-order geodesic correction, documented
+    approximation (the intersection polygon itself is never materialized).
+    target_area under 'sph_m2' is the exact spherical kernel.
 
     ``pair_dedup``: a (target, overlay) pair meets in every cell both
     covers; it must be counted once.
@@ -165,10 +202,33 @@ def proportion_overlap(targets: DataFrame, overlays: DataFrame, *,
     # the exact multi-ring kernel. One scan each — the filter is a cheap
     # column predicate, and Catalyst reuses the deduped pair exchange.
     both_rect = is_canonical_rect(F.col("_tgeom")) & is_canonical_rect(F.col("_ogeom"))
-    rect_pairs = pairs.filter(both_rect).withColumn(
-        "ix_area", rect_intersection_area_expr(F.col("_tgeom"), F.col("_ogeom")))
+    if area_unit not in ("deg2", "sph_m2"):
+        raise ValueError(f"unknown area_unit {area_unit!r}")
+    if area_unit == "sph_m2":
+        a, b = F.col("_tgeom"), F.col("_ogeom")
+        ix0 = F.greatest(a["xs"][0], b["xs"][0])
+        ix1 = F.least(a["xs"][1], b["xs"][1])
+        iy0 = F.greatest(a["ys"][0], b["ys"][0])
+        iy1 = F.least(a["ys"][2], b["ys"][2])
+        rect_area = F.when((ix1 > ix0) & (iy1 > iy0),
+                           rect_spherical_area_expr(ix0, iy0, ix1, iy1)
+                           ).otherwise(F.lit(0.0))
+        # general pairs: planar deg² × first-order geodesic scale at the
+        # intersection-bbox mid-latitude
+        gx0 = F.greatest(a["bbox"]["minx"], b["bbox"]["minx"])
+        gx1 = F.least(a["bbox"]["maxx"], b["bbox"]["maxx"])
+        gy0 = F.greatest(a["bbox"]["miny"], b["bbox"]["miny"])
+        gy1 = F.least(a["bbox"]["maxy"], b["bbox"]["maxy"])
+        deg_m = _geom.EARTH_R_M * np.pi / 180.0
+        gen_scale = (F.lit(deg_m * deg_m)
+                     * F.cos(F.radians((gy0 + gy1) / 2.0)))
+    else:
+        rect_area = rect_intersection_area_expr(F.col("_tgeom"), F.col("_ogeom"))
+        gen_scale = F.lit(1.0)
+    rect_pairs = pairs.filter(both_rect).withColumn("ix_area", rect_area)
     gen_pairs = pairs.filter(~both_rect).withColumn(
-        "ix_area", intersection_area_udf(F.col("_tgeom"), F.col("_ogeom")))
+        "ix_area",
+        intersection_area_udf(F.col("_tgeom"), F.col("_ogeom")) * gen_scale)
     pairs = rect_pairs.unionByName(gen_pairs)
     pairs = pairs.filter(F.col("ix_area") > 0.0)
 
@@ -176,8 +236,9 @@ def proportion_overlap(targets: DataFrame, overlays: DataFrame, *,
         return pairs.select(F.col("_tid").alias(target_id_col),
                             F.col("_oid").alias(overlay_id_col), "ix_area")
 
-    tgt_area = tgt.withColumn("target_area", polygon_area_udf(F.col("_tgeom"))) \
-                  .select("_tid", "target_area")
+    t_area = (spherical_area_udf(F.col("_tgeom")) if area_unit == "sph_m2"
+              else polygon_area_udf(F.col("_tgeom")))
+    tgt_area = tgt.withColumn("target_area", t_area).select("_tid", "target_area")
     agg = pairs.groupBy("_tid").agg(F.sum("ix_area").alias("overlap_area"))
     out = (tgt_area.join(agg, "_tid", "left")
            .withColumn("overlap_area", F.coalesce(F.col("overlap_area"), F.lit(0.0)))

@@ -414,3 +414,60 @@ class TestUTM:
         _, y = geom.lonlat_to_utm(np.array([3.0]), np.array([-0.001]), 31,
                                   north=False)
         assert 0 < 10_000_000.0 - y[0] < 200.0
+
+
+class TestSphericalArea:
+    def test_rectangle_equals_closed_form(self):
+        R2 = geom.EARTH_R_M ** 2
+        rng = np.random.default_rng(3)
+        for _ in range(50):
+            x0, y0 = rng.uniform(-170, 160), rng.uniform(-80, 70)
+            w, h = rng.uniform(0.01, 9, 2)
+            xs = np.array([x0, x0 + w, x0 + w, x0])
+            ys = np.array([y0, y0, y0 + h, y0 + h])
+            closed = R2 * np.radians(w) * (np.sin(np.radians(y0 + h))
+                                           - np.sin(np.radians(y0)))
+            got = geom.spherical_ring_area(xs, ys)
+            assert got == pytest.approx(closed, rel=1e-12)
+            # CW listing flips the sign
+            assert geom.spherical_ring_area(xs[::-1], ys[::-1]) == \
+                pytest.approx(-closed, rel=1e-12)
+
+    def test_holes_subtract_and_single_ring_abs(self):
+        xs = np.array([-8., -4., -4., -8., -7., -7., -5., -5.])
+        ys = np.array([-8., -8., -4., -4., -7., -5., -5., -7.])
+        offs = np.array([0, 4, 8])
+        outer = geom.spherical_rings_area(xs[:4], ys[:4])
+        hole = geom.spherical_rings_area(xs[4:], ys[4:])   # abs despite CW
+        assert hole > 0
+        assert geom.spherical_rings_area(xs, ys, offs) == \
+            pytest.approx(outer - hole, rel=1e-12)
+
+    def test_dateline_wrap_takes_short_way(self):
+        # 2-deg-wide rect straddling the antimeridian, vertices in ±180
+        xs = np.array([179.0, -179.0, -179.0, 179.0])
+        ys = np.array([0.0, 0.0, 1.0, 1.0])
+        R2 = geom.EARTH_R_M ** 2
+        closed = R2 * np.radians(2.0) * (np.sin(np.radians(1.0)) - 0.0)
+        assert geom.spherical_ring_area(xs, ys) == pytest.approx(closed, rel=1e-9)
+
+    def test_whole_band_matches_sphere_fraction(self):
+        # ring around the globe between two parallels = zonal band area
+        # (vertices include both ±180 endpoints so the band closes fully)
+        lons = np.linspace(-180, 180, 361)
+        xs = np.concatenate([lons, lons[::-1]])
+        ys = np.concatenate([np.full(361, 10.0), np.full(361, 30.0)])
+        R2 = geom.EARTH_R_M ** 2
+        band = 2 * np.pi * R2 * (np.sin(np.radians(30.)) - np.sin(np.radians(10.)))
+        assert geom.spherical_rings_area(xs, ys) == pytest.approx(band, rel=1e-9)
+
+    def test_small_polygon_approaches_planar_coslat(self):
+        # tiny diamond at 45N: spherical area ≈ planar deg² × (πR/180)²·cos45
+        cx, cy, r = 12.0, 45.0, 0.001
+        xs = np.array([cx - r, cx, cx + r, cx])
+        ys = np.array([cy, cy - r, cy, cy + r])
+        planar = abs(geom.shoelace_area(xs, ys))
+        deg_m = geom.EARTH_R_M * np.pi / 180.0
+        approx = planar * deg_m * deg_m * np.cos(np.radians(cy))
+        got = abs(geom.spherical_ring_area(xs, ys))
+        assert got == pytest.approx(approx, rel=1e-4)

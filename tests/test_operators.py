@@ -136,6 +136,27 @@ class TestOverlay:
         # parcel (row 21, col 21) spans [0.75,1.25]^2 → straddles 4 zones
         assert per_parcel[(21 * 40) + 21] == 4
 
+    def test_spherical_m2_fully_covered_proportions_are_one(self, spark,
+                                                            fixture_dir):
+        """area_unit='sph_m2': the zone lattice covers every parcel, so
+        Σ spherical piece areas == spherical parcel area ⇒ proportion 1
+        (rect pieces use the exact closed form, the target area uses the
+        Chamberlain-Duquette kernel — the identity crosses both paths)."""
+        zones = load(spark, fixture_dir, "zones")
+        parcels = load(spark, fixture_dir, "parcels")
+        out = proportion_overlap(parcels, zones, target_id_col="parcel_id",
+                                 overlay_id_col="zone_id",
+                                 area_unit="sph_m2").collect()
+        assert len(out) == 1600
+        for r in out:
+            assert r.proportion_overlap == pytest.approx(1.0, abs=1e-9)
+        # full-size 0.5-deg interior parcel near (0.9°, 0.9°): spherical
+        # area within a fraction of a % of the cos-lat planar estimate,
+        # far from the raw deg² number
+        mid = {r.parcel_id: r.target_area for r in out}[21 * 40 + 21]
+        est = 0.25 * (111194.9266 ** 2) * np.cos(np.radians(1.0))
+        assert mid == pytest.approx(est, rel=2e-3)
+
     def test_zone_coverage_fraction(self, spark, fixture_dir):
         zones = load(spark, fixture_dir, "zones")
         parcels = load(spark, fixture_dir, "parcels")
