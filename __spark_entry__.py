@@ -555,6 +555,27 @@ def _q_trim_area(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("clip_area")))
 
 
+def _q_trim_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 + dissolve: same L-shape clip but the triangle-tiled pieces are
+    merged back into minimal rings (geom.dissolve_rings). Because the L is
+    simply connected and parcels are convex, every clipped parcel must
+    come back as exactly ONE ring with the identical closed-form area —
+    both facts checked by the oracle."""
+    import numpy as np
+    from spandex_spark.operators.trim import trim
+    from spandex_spark.functions.spatial import geom_area_udf
+    lx = np.array([-6.0, 6.0, 6.0, 0.0, 0.0, -6.0])
+    ly = np.array([-6.0, -6.0, 0.0, 0.0, 6.0, 6.0])
+    out = trim(parcels_df(spark), lx, ly, dissolve=True)
+    g = F.col("geom_trimmed")
+    n_rings = F.when(F.coalesce(F.size(g["ring_offsets"]), F.lit(0)) > 2,
+                     F.size(g["ring_offsets"]) - 1).otherwise(F.lit(1))
+    return (out.filter(g.isNotNull())
+            .select("parcel_id",
+                    (F.round(geom_area_udf(g), 6) + 0.0).alias("clip_area"),
+                    n_rings.cast("long").alias("n_rings")))
+
+
 def _q_geom_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6: invalid-geometry check over the closed-form validity zoo
     (bowties and collinear degenerates among valid squares/triangles);
@@ -593,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
         "trim_area": _q_trim_area,
+        "trim_dissolved": _q_trim_dissolved,
         "geom_validity": _q_geom_validity,
         "geom_dups": _q_geom_dups,
         "nearest_road": _q_nearest_road,
@@ -733,6 +755,19 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_PARCELS})
             )
             SELECT parcel_id, ROUND(area, 6) + 0.0 AS clip_area
+            FROM a WHERE area > 0.0
+        """,
+        "trim_dissolved": f"""
+            WITH a AS (
+              SELECT parcel_id,
+                     GREATEST(0.0, LEAST(x1, 6.0) - GREATEST(x0, -6.0))
+                       * GREATEST(0.0, LEAST(y1, 0.0) - GREATEST(y0, -6.0))
+                   + GREATEST(0.0, LEAST(x1, 0.0) - GREATEST(x0, -6.0))
+                       * GREATEST(0.0, LEAST(y1, 6.0) - GREATEST(y0, 0.0)) AS area
+              FROM ({_PARCELS})
+            )
+            SELECT parcel_id, ROUND(area, 6) + 0.0 AS clip_area,
+                   CAST(1 AS BIGINT) AS n_rings
             FROM a WHERE area > 0.0
         """,
         "geom_validity": """

@@ -423,6 +423,80 @@ def ear_clip_triangulate(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int,
     return tris
 
 
+def dissolve_rings(rings: list, quant: float = 1e-9) -> list:
+    """Merge a tiling of non-overlapping rings (shared edges traversed once
+    in EACH direction, e.g. trim's triangle-tiled clip output) into its
+    minimal boundary rings.
+
+    Directed-edge cancellation: every interior edge of the tiling appears
+    once as (a→b) and once as (b→a) — delete matched opposite pairs (vertex
+    keys quantized to ``quant`` degrees to absorb FP differences between
+    the two triangles' clip arithmetic); the surviving directed edges are
+    exactly the region boundary, chained back into rings and stripped of
+    straight-through collinear vertices. Orientation survives (outer CCW,
+    holes CW), so even-odd semantics and area are preserved identically.
+    At a pinch vertex (two boundary loops touching) chaining picks an
+    arbitrary continuation — the edge SET, hence region and area, is
+    still exact."""
+    def qk(x: float, y: float):
+        return (round(x / quant), round(y / quant))
+
+    edges: dict = {}
+    for rx, ry in rings:
+        n = rx.shape[0]
+        for i in range(n):
+            j = (i + 1) % n
+            a, b = qk(rx[i], ry[i]), qk(rx[j], ry[j])
+            if a == b:
+                continue
+            edges.setdefault((a, b), []).append((float(rx[i]), float(ry[i])))
+    for a, b in list(edges.keys()):
+        if a < b and (b, a) in edges:
+            k = min(len(edges[(a, b)]), len(edges[(b, a)]))
+            for key in ((a, b), (b, a)):
+                del edges[key][:k]
+                if not edges[key]:
+                    del edges[key]
+    succ: dict = {}
+    for (a, b), pts in edges.items():
+        for p in pts:
+            succ.setdefault(a, []).append((b, p))
+    out: list = []
+    while succ:
+        start = next(iter(succ))
+        cur = start
+        pts: list = []
+        while True:
+            nxt, p = succ[cur].pop()
+            if not succ[cur]:
+                del succ[cur]
+            pts.append(p)
+            cur = nxt
+            if cur == start or cur not in succ:
+                break
+        if len(pts) < 3:
+            continue
+        px = np.array([p[0] for p in pts])
+        py = np.array([p[1] for p in pts])
+        # strip straight-through collinear vertices (triangulation-diagonal
+        # endpoints that landed on a boundary edge)
+        keep = np.ones(px.shape[0], bool)
+        m = px.shape[0]
+        for i in range(m):
+            h, j = (i - 1) % m, (i + 1) % m
+            cross = ((px[i] - px[h]) * (py[j] - py[i])
+                     - (py[i] - py[h]) * (px[j] - px[i]))
+            dot = ((px[i] - px[h]) * (px[j] - px[i])
+                   + (py[i] - py[h]) * (py[j] - py[i]))
+            scale = max(abs(px[i]) + abs(py[i]), 1.0)
+            if abs(cross) <= 1e-12 * scale and dot > 0:
+                keep[i] = False
+        if keep.sum() >= 3:
+            px, py = px[keep], py[keep]
+        out.append((px, py))
+    return out
+
+
 def polygon_intersection_area(xs1: np.ndarray, ys1: np.ndarray,
                               xs2: np.ndarray, ys2: np.ndarray) -> float:
     """Exact intersection area of two simple polygons.

@@ -33,9 +33,15 @@ _GEOM_TYPE = T.StructType([
 
 
 def trim(targets: DataFrame, boundary_xs: np.ndarray, boundary_ys: np.ndarray,
-         *, geom_col: str = "geom", out_col: str = "geom_trimmed") -> DataFrame:
+         *, geom_col: str = "geom", out_col: str = "geom_trimmed",
+         dissolve: bool = False) -> DataFrame:
     """Clip every target polygon to the (convex, CCW) boundary ring.
-    Rows whose geometry is entirely outside get a NULL ``out_col``."""
+    Rows whose geometry is entirely outside get a NULL ``out_col``.
+
+    ``dissolve=True`` merges the non-convex path's triangle-tiled pieces
+    into minimal boundary rings (geom.dissolve_rings — directed-edge
+    cancellation), so downstream consumers see ST_Intersection-shaped
+    geometry instead of a tiling; region and area are unchanged."""
     bx = np.asarray(boundary_xs, np.float64)
     by = np.asarray(boundary_ys, np.float64)
     if _geom.shoelace_area(bx, by) < 0:
@@ -69,6 +75,8 @@ def trim(targets: DataFrame, boundary_xs: np.ndarray, boundary_ys: np.ndarray,
                     cx, cy = _geom.clip_polygon_convex(rx, ry, px_, py_)
                     if cx.shape[0] >= 3 and abs(_geom.shoelace_area(cx, cy)) >= 1e-300:
                         out_rings.append((cx, cy))
+            if dissolve and len(out_rings) > 1:
+                out_rings = _geom.dissolve_rings(out_rings)
             if not out_rings:
                 kinds.append(None)
                 oxs.append(None)

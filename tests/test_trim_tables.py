@@ -61,6 +61,59 @@ class TestTrim:
                 assert got == pytest.approx(want, abs=1e-9)
         assert n_clipped > 0
 
+    def test_dissolve_unit(self):
+        """Two triangles tiling the unit square dissolve to one 4-vertex
+        ring with the same area; a square ring plus a disjoint one stay
+        two rings (nothing to cancel)."""
+        from spandex_spark import geom as G
+        t1 = (np.array([0.0, 1.0, 1.0]), np.array([0.0, 0.0, 1.0]))
+        t2 = (np.array([0.0, 1.0, 0.0]), np.array([0.0, 1.0, 1.0]))
+        rings = G.dissolve_rings([t1, t2])
+        assert len(rings) == 1
+        rx, ry = rings[0]
+        assert rx.shape[0] == 4
+        assert G.shoelace_area(rx, ry) == pytest.approx(1.0)
+        sq = (np.array([3.0, 4.0, 4.0, 3.0]), np.array([0.0, 0.0, 1.0, 1.0]))
+        rings = G.dissolve_rings([t1, t2, sq])
+        assert len(rings) == 2
+        assert sum(G.shoelace_area(rx, ry) for rx, ry in rings) == \
+            pytest.approx(2.0)
+
+    def test_nonconvex_dissolved_minimal_and_area_exact(self, spark,
+                                                        fixture_dir):
+        """dissolve=True: same region/area as the tiled output, but pieces
+        merged to minimal rings — a parcel fully inside the L-boundary
+        comes back as ONE 4-vertex ring, and a parcel straddling the
+        notch dissolves to a single ring too."""
+        from spandex_spark import geom as G
+        parcels = spark.read.parquet(os.path.join(fixture_dir, "parcels.parquet"))
+        lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        out = {r.parcel_id: r.geom_trimmed
+               for r in trim(parcels, lx, ly, dissolve=True).collect()}
+        tiled = {r.parcel_id: r.geom_trimmed
+                 for r in trim(parcels, lx, ly).collect()}
+        n_multi_tiled = n_multi_diss = 0
+        for pid, g in out.items():
+            t = tiled[pid]
+            assert (g is None) == (t is None)
+            if g is None:
+                continue
+            ga = G.rings_area(np.asarray(g.xs, float), np.asarray(g.ys, float),
+                              np.asarray(g.ring_offsets))
+            ta = G.rings_area(np.asarray(t.xs, float), np.asarray(t.ys, float),
+                              np.asarray(t.ring_offsets))
+            assert ga == pytest.approx(ta, rel=1e-12)
+            n_multi_tiled += len(t.ring_offsets or [0, 0]) > 2
+            n_multi_diss += len(g.ring_offsets or [0, 0]) > 2
+            # every dissolved ring is simple enough to have >= 3 vertices
+            offs = np.asarray(g.ring_offsets or [0, len(g.xs)])
+            assert (np.diff(offs) >= 3).all()
+        # the tiling produced multi-piece rows; dissolve merged them all
+        # (the L is simply connected, so each clip is one ring)
+        assert n_multi_tiled > 0
+        assert n_multi_diss == 0
+
 
 class TestCompaction:
     def test_compact_rewrites_and_preserves_rows(self, spark, tmp_path):
