@@ -38,6 +38,22 @@ CHECKS = {
                       ("HashAggregate", "hash aggregation"),
                       ("PushedFilters: \\[IsNotNull\\(l_quantity\\), GreaterThan",
                        "filter pushed to parquet scan")],
+    "nearest_road (cells two-job path)": [
+        ("Generate explode", "candidate cells explode (broadcast-index box)"),
+        ("HashAggregate", "stage-1 min-per-(point,line) is HASH aggregate "
+                          "with map-side combine — SortAggregate only ever "
+                          "sees the tiny per-line reduction"),
+    ],
+    "asof_join bucketed (skew-safe)": [
+        (r"windowspecdefinition\([^)]*_bkt", "carry window keyed by "
+         "(group, time bucket) — a hot key splits across its range"),
+        ("HashAggregate", "per-(key,bucket) carry summary is hash agg"),
+    ],
+    "overlay sph_m2 (geodesic)": [
+        (r"SIN\(|sin\(", "spherical rect area (R²Δλ·Δsinφ) inside JVM "
+                         "codegen — no Python for rect×rect pairs"),
+        ("BroadcastHashJoin", "overlay side broadcast"),
+    ],
 }
 
 
@@ -77,6 +93,21 @@ def main():
     plans["q1 relational"] = (
         li.filter(F.col("l_quantity") > 10)
         .groupBy("l_returnflag").agg(F.sum("l_extendedprice").alias("rev")))
+    plans["nearest_road (cells two-job path)"] = nearest_line_join(
+        pts, roads_df(spark), k=1, point_id_col="c_custkey",
+        line_id_col="road_id", strategy="cells", level=7)
+    from spandex_spark.operators.timeseries import asof_join
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("event_id").alias("v")))
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts")
+    plans["asof_join bucketed (skew-safe)"] = asof_join(
+        purchases, views, on="ts", by="user_id", right_cols=("v",),
+        bucket_seconds=86400)
+    plans["overlay sph_m2 (geodesic)"] = proportion_overlap(
+        parcels_df(spark), zones_df(spark), target_id_col="parcel_id",
+        overlay_id_col="zone_id", level=8, area_unit="sph_m2")
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
