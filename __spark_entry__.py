@@ -149,6 +149,21 @@ def _q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("ix_area", 9).alias("ix_area"))
 
 
+def _q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin analog: every (point, gazetteer feature) pair within 0.5
+    planar degrees — pure-JVM cell-box range join (operators/distance.py);
+    the oracle is the brute-force cross join with the identical sqrt
+    predicate."""
+    from spandex_spark.operators.distance import within_distance_join
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = within_distance_join(pts, gazetteer_grid_df(spark), radius=0.5,
+                               point_id_col="c_custkey",
+                               feature_id_col="poi_k", metric="planar")
+    return out.select("c_custkey", "poi_k",
+                      (F.round("dist", 6) + 0.0).alias("dist"))
+
+
 def _q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic (spherical m², ST_Area(geography) analog) areas of the
     holed donut zones — Chamberlain-Duquette kernel, holes subtract; the
@@ -607,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "cell_index": _q_cell_index,
         "knn": _q_knn,
+        "dwithin": _q_dwithin,
         "overlay": _q_overlay,
         "overlay_m2": _q_overlay_m2,
         "geodesic_area": _q_geodesic_area,
@@ -730,6 +746,15 @@ def oracle_sql() -> dict[str, str]:
                  | (((gy >> 3) & 1) << 7) | (((gy >> 4) & 1) << 9) AS cell,
                    count(*) AS n_points
             FROM g GROUP BY 1
+        """,
+        "dwithin": f"""
+            SELECT q.c_custkey, f.poi_k,
+                   round(sqrt((f.lon - q.lon) * (f.lon - q.lon)
+                            + (f.lat - q.lat) * (f.lat - q.lat)), 6) + 0.0
+                     AS dist
+            FROM ({_PTS}) q CROSS JOIN ({_GAZ}) f
+            WHERE sqrt((f.lon - q.lon) * (f.lon - q.lon)
+                     + (f.lat - q.lat) * (f.lat - q.lat)) <= 0.5
         """,
         "knn": f"""
             WITH d AS (

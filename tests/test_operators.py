@@ -374,3 +374,78 @@ class TestAsofJoin:
                    asof_join(left, right, on="ts", by="user_id",
                              right_cols=("v",), bucket_seconds=bs).collect()}
             assert got == base, f"bucket_seconds={bs} diverges"
+
+
+class TestWithinDistance:
+    """ST_DWithin range join (pure-JVM cell-box plan, operators/distance.py)."""
+
+    def _brute(self, prows, frows, radius, metric):
+        from spandex_spark import geom as G
+        out = set()
+        for pid, plon, plat in prows:
+            for fid, flon, flat in frows:
+                if metric == "planar":
+                    d = np.hypot(plon - flon, plat - flat)
+                else:
+                    d = float(G.haversine_m(np.array([plon]), np.array([plat]),
+                                            np.array([flon]), np.array([flat]))[0])
+                if d <= radius:
+                    out.add((pid, fid))
+        return out
+
+    def test_planar_equals_bruteforce(self, spark):
+        from spandex_spark.operators.distance import within_distance_join
+        rng = np.random.default_rng(5)
+        prows = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-10, 10, 400), rng.uniform(-10, 10, 400)))]
+        frows = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-10, 10, 300), rng.uniform(-10, 10, 300)))]
+        p = spark.createDataFrame(prows, "pid long, lon double, lat double")
+        f = spark.createDataFrame(frows, "fid long, lon double, lat double")
+        got = {(r.pid, r.fid) for r in
+               within_distance_join(p, f, radius=0.7, point_id_col="pid",
+                                    feature_id_col="fid",
+                                    metric="planar").collect()}
+        assert got == self._brute(prows, frows, 0.7, "planar")
+
+    def test_haversine_high_latitude(self, spark):
+        """70-80N: the lon radius widens ~3-6x vs the equator; the per-row
+        adaptive box must still cover every true pair."""
+        from spandex_spark.operators.distance import within_distance_join
+        rng = np.random.default_rng(9)
+        prows = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-5, 5, 200), rng.uniform(70, 80, 200)))]
+        frows = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-5, 5, 200), rng.uniform(70, 80, 200)))]
+        p = spark.createDataFrame(prows, "pid long, lon double, lat double")
+        f = spark.createDataFrame(frows, "fid long, lon double, lat double")
+        r = 60_000.0  # meters
+        got = {(r_.pid, r_.fid) for r_ in
+               within_distance_join(p, f, radius=r, point_id_col="pid",
+                                    feature_id_col="fid").collect()}
+        assert got == self._brute(prows, frows, r, "haversine")
+
+    def test_antimeridian_wrap(self, spark):
+        from spandex_spark.operators.distance import within_distance_join
+        p = spark.createDataFrame([(1, 179.8, 0.0)],
+                                  "pid long, lon double, lat double")
+        f = spark.createDataFrame([(1, -179.9, 0.0), (2, 178.0, 0.0)],
+                                  "fid long, lon double, lat double")
+        got = {(r.pid, r.fid) for r in
+               within_distance_join(p, f, radius=50_000.0, point_id_col="pid",
+                                    feature_id_col="fid").collect()}
+        # 179.8 -> -179.9 is 0.3 deg (~33km) THROUGH the dateline; 178.0 is
+        # 1.8 deg (~200km) away
+        assert got == {(1, 1)}
+
+    def test_no_duplicate_pairs(self, spark):
+        from spandex_spark.operators.distance import within_distance_join
+        from spandex_spark.sources.grids import derived_points, gazetteer_grid_df
+        pts = derived_points(
+            spark.range(5000).select(F.col("id").alias("p")), "p")
+        out = within_distance_join(pts, gazetteer_grid_df(spark), radius=1.2,
+                                   point_id_col="p", feature_id_col="poi_k",
+                                   metric="planar")
+        n = out.count()
+        nd = out.select("p", "poi_k").distinct().count()
+        assert n == nd > 0
