@@ -591,6 +591,24 @@ def _q_trim_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_rings.cast("long").alias("n_rings")))
 
 
+def _q_clip_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Centroid after clip: centroid of each parcel's dissolved L-clip
+    (possibly non-convex single ring). The oracle is the closed-form
+    area-weighted mean of the two rectangle pieces the L decomposes into —
+    the kernel must integrate the actual dissolved ring to match it."""
+    import numpy as np
+    from spandex_spark.operators.trim import trim
+    from spandex_spark.functions.spatial import geom_centroid_udf
+    lx = np.array([-6.0, 6.0, 6.0, 0.0, 0.0, -6.0])
+    ly = np.array([-6.0, -6.0, 0.0, 0.0, 6.0, 6.0])
+    out = trim(parcels_df(spark), lx, ly, dissolve=True)
+    c = geom_centroid_udf(F.col("geom_trimmed"))
+    return (out.filter(F.col("geom_trimmed").isNotNull())
+            .select("parcel_id",
+                    (F.round(c["cx"], 6) + 0.0).alias("cx"),
+                    (F.round(c["cy"], 6) + 0.0).alias("cy")))
+
+
 def _q_geom_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6: invalid-geometry check over the closed-form validity zoo
     (bowties and collinear degenerates among valid squares/triangles);
@@ -631,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm": _q_reproject_utm,
         "trim_area": _q_trim_area,
         "trim_dissolved": _q_trim_dissolved,
+        "clip_centroid": _q_clip_centroid,
         "geom_validity": _q_geom_validity,
         "geom_dups": _q_geom_dups,
         "nearest_road": _q_nearest_road,
@@ -794,6 +813,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT parcel_id, ROUND(area, 6) + 0.0 AS clip_area,
                    CAST(1 AS BIGINT) AS n_rings
             FROM a WHERE area > 0.0
+        """,
+        "clip_centroid": f"""
+            WITH a AS (
+              SELECT parcel_id,
+                     GREATEST(0.0, LEAST(x1, 6.0) - GREATEST(x0, -6.0))
+                       * GREATEST(0.0, LEAST(y1, 0.0) - GREATEST(y0, -6.0))
+                       AS a1,
+                     (GREATEST(x0, -6.0) + LEAST(x1, 6.0)) / 2 AS c1x,
+                     (GREATEST(y0, -6.0) + LEAST(y1, 0.0)) / 2 AS c1y,
+                     GREATEST(0.0, LEAST(x1, 0.0) - GREATEST(x0, -6.0))
+                       * GREATEST(0.0, LEAST(y1, 6.0) - GREATEST(y0, 0.0))
+                       AS a2,
+                     (GREATEST(x0, -6.0) + LEAST(x1, 0.0)) / 2 AS c2x,
+                     (GREATEST(y0, 0.0) + LEAST(y1, 6.0)) / 2 AS c2y
+              FROM ({_PARCELS})
+            )
+            SELECT parcel_id,
+                   ROUND((a1 * c1x + a2 * c2x) / (a1 + a2), 6) + 0.0 AS cx,
+                   ROUND((a1 * c1y + a2 * c2y) / (a1 + a2), 6) + 0.0 AS cy
+            FROM a WHERE a1 + a2 > 0.0
         """,
         "geom_validity": """
             SELECT g AS gid, FALSE AS is_valid

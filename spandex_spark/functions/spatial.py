@@ -210,3 +210,31 @@ def geom_area_udf(geom_col):
     pieces add). NULL geometry -> NaN (caller masks)."""
     return _rings_area(geom_col["xs"], geom_col["ys"],
                        geom_col["ring_offsets"])
+
+
+_CENTROID_TYPE = T.StructType([T.StructField("cx", T.DoubleType()),
+                               T.StructField("cy", T.DoubleType())])
+
+
+@pandas_udf(_CENTROID_TYPE)
+def _rings_centroid(xs: pd.Series, ys: pd.Series,
+                    offs: pd.Series) -> pd.DataFrame:
+    cx = np.full(len(xs), np.nan)
+    cy = np.full(len(xs), np.nan)
+    for i in range(len(xs)):
+        x, y = xs.iloc[i], ys.iloc[i]
+        if x is None:
+            continue
+        cx[i], cy[i] = _geom.rings_centroid(np.asarray(x, np.float64),
+                                            np.asarray(y, np.float64),
+                                            _off(offs.iloc[i]))
+    return pd.DataFrame({"cx": cx, "cy": cy})
+
+
+def geom_centroid_udf(geom_col):
+    """ST_Centroid analog (signed-area-weighted across rings — holes pull
+    away, disjoint multipolygon parts weight by area). The reference uses
+    ST_Centroid for polygon-target tagging (spandex/spatialtoolz.py::tag);
+    this exposes the same kernel as a column function. NULL -> NaN pair."""
+    return _rings_centroid(geom_col["xs"], geom_col["ys"],
+                           geom_col["ring_offsets"])
