@@ -498,7 +498,15 @@ def build_cell_index(spark, hist_rows, level: int):
     """Build the (coarse dense histogram, fine sparse cell list) pair from
     collected (cell, count) rows and ship it as ONE Spark broadcast.
     Shared by the point kNN cells strategy and the nearest-line cells
-    strategy (operators/lines.py)."""
+    strategy (operators/lines.py).
+
+    Measured broadcast size (pickled, BENCH/BASELINE.md): ~66 B per
+    OCCUPIED cell, independent of level — 0.28 MB for 1M lattice features
+    (2k cells), 62-66 MB worst-case for 1M uniformly scattered features at
+    level 11-15. Memory is O(min(#features, 4^level)): beyond ~10M
+    scattered features choose a coarser ``level`` (more candidates per
+    cell, bounded index) — the coarse histogram is capped at
+    _HIST_MAX_LEVEL regardless."""
     carr = np.array([r[0] for r in hist_rows], dtype=np.int64)
     cnts = np.array([r[1] for r in hist_rows], dtype=np.int64)
     fx, fy = (_cells.cell_xy(carr) if carr.shape[0]
