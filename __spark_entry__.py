@@ -591,6 +591,32 @@ def _q_trim_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_rings.cast("long").alias("n_rings")))
 
 
+def _q_buffer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer analog: 16-gon buffers with PER-ROW radii generated
+    entirely in JVM codegen (transform/sequence — no UDF), then area via
+    the shoelace kernel and perimeter via a JVM aggregate over the ring.
+    Oracle: the regular-polygon identities ½nr²sin(2π/n) and 2nr·sin(π/n).
+    """
+    from spandex_spark.operators.buffer import buffer_points
+    from spandex_spark.functions.spatial import geom_area_udf
+    n = 16
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    r = F.lit(0.05) + F.lit(0.01) * (F.col("c_custkey") % 5).cast("double")
+    out = buffer_points(pts, radius=r, segments=n)
+    xs, ys = F.col("geom.xs"), F.col("geom.ys")
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    per = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, k: acc + F.sqrt(
+            (F.element_at(xs, F.pmod(k + 1, n) + 1) - F.element_at(xs, k + 1)) ** 2
+            + (F.element_at(ys, F.pmod(k + 1, n) + 1) - F.element_at(ys, k + 1)) ** 2))
+    return out.select("c_custkey",
+                      (F.round(geom_area_udf(F.col("geom")), 9) + 0.0)
+                      .alias("buf_area"),
+                      (F.round(per, 9) + 0.0).alias("buf_perimeter"))
+
+
 def _q_clip_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Centroid after clip: centroid of each parcel's dissolved L-clip
     (possibly non-convex single ring). The oracle is the closed-form
@@ -650,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_area": _q_trim_area,
         "trim_dissolved": _q_trim_dissolved,
         "clip_centroid": _q_clip_centroid,
+        "buffer_stats": _q_buffer_stats,
         "geom_validity": _q_geom_validity,
         "geom_dups": _q_geom_dups,
         "nearest_road": _q_nearest_road,
@@ -813,6 +840,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT parcel_id, ROUND(area, 6) + 0.0 AS clip_area,
                    CAST(1 AS BIGINT) AS n_rings
             FROM a WHERE area > 0.0
+        """,
+        "buffer_stats": f"""
+            SELECT c_custkey,
+                   ROUND(0.5 * 16 * r * r * sin(2 * pi() / 16), 9) + 0.0
+                     AS buf_area,
+                   ROUND(2 * 16 * r * sin(pi() / 16), 9) + 0.0
+                     AS buf_perimeter
+            FROM (SELECT c_custkey,
+                         0.05 + 0.01 * CAST(c_custkey % 5 AS DOUBLE) AS r
+                  FROM ({_PTS}))
         """,
         "clip_centroid": f"""
             WITH a AS (

@@ -449,3 +449,50 @@ class TestWithinDistance:
         n = out.count()
         nd = out.select("p", "poi_k").distinct().count()
         assert n == nd > 0
+
+
+class TestBuffer:
+    def test_shape_and_area_identity(self, spark):
+        from spandex_spark.operators.buffer import buffer_points
+        from spandex_spark import geom as G
+        p = spark.createDataFrame([(1, 2.0, 3.0)],
+                                  "pid long, lon double, lat double")
+        g = buffer_points(p, radius=0.5, segments=32).collect()[0].geom
+        xs, ys = np.asarray(g.xs), np.asarray(g.ys)
+        assert xs.shape[0] == 32
+        a = G.shoelace_area(xs, ys)
+        assert a > 0  # CCW
+        assert a == pytest.approx(0.5 * 32 * 0.25 * np.sin(2 * np.pi / 32),
+                                  rel=1e-12)
+        assert (g.bbox.minx, g.bbox.maxx) == (1.5, 2.5)
+        # all vertices on the circle
+        assert np.hypot(xs - 2.0, ys - 3.0) == pytest.approx(0.5, rel=1e-12)
+
+    def test_haversine_lon_stretch(self, spark):
+        from spandex_spark.operators.buffer import buffer_points
+        p = spark.createDataFrame([(1, 0.0, 60.0)],
+                                  "pid long, lon double, lat double")
+        g = buffer_points(p, radius=111_194.9, segments=8,
+                          metric="haversine").collect()[0].geom
+        xs, ys = np.asarray(g.xs), np.asarray(g.ys)
+        # ~1 deg of latitude; longitude half-width = 1/cos(60) = 2 deg
+        assert (ys.max() - ys.min()) / 2 == pytest.approx(1.0, rel=1e-3)
+        assert (xs.max() - xs.min()) / 2 == pytest.approx(2.0, rel=1e-3)
+
+    def test_buffers_flow_into_overlay(self, spark, fixture_dir):
+        """Buffers are standard geometry structs: overlay them against the
+        zone lattice; interior buffers must be fully covered (Σ proportion
+        = 1) with total intersection area == the n-gon area."""
+        from spandex_spark.operators.buffer import buffer_points
+        zones = load(spark, fixture_dir, "zones")
+        pts = spark.createDataFrame(
+            [(i, -5.0 + i * 1.3, 2.0 + (i % 3)) for i in range(8)],
+            "pid long, lon double, lat double")
+        buf = buffer_points(pts, radius=0.4, segments=16)
+        out = proportion_overlap(buf, zones, target_id_col="pid",
+                                 overlay_id_col="zone_id").collect()
+        ngon = 0.5 * 16 * 0.16 * np.sin(2 * np.pi / 16)
+        assert len(out) == 8
+        for r in out:
+            assert r.proportion_overlap == pytest.approx(1.0, abs=1e-9)
+            assert r.target_area == pytest.approx(ngon, rel=1e-12)
