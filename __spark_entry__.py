@@ -247,6 +247,21 @@ def _q_nearest_road_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("dist_deg", 6) + 0.0).alias("dist_deg"))
 
 
+def _q_nearest_road_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 linestring kNN on the cells route (distinct-line indicator
+    histogram bounds the 3rd-nearest distance). Oracle: top-3 integer-lon
+    roads per point by (|lon - road_lon|, road_id)."""
+    from spandex_spark.operators.lines import nearest_line_join
+    from spandex_spark.sources.grids import roads_df
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = nearest_line_join(pts, roads_df(spark), k=3,
+                            point_id_col="c_custkey", line_id_col="road_id",
+                            strategy="cells", level=7)
+    return out.select("c_custkey", "rank", "road_id",
+                      (F.round("dist_deg", 6) + 0.0).alias("dist_deg"))
+
+
 def _q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 extended: UTM zone 31N (EPSG:32631) forward projection of the
     in-zone points; the oracle reruns the identical Snyder series in SQL."""
@@ -681,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_dups": _q_geom_dups,
         "nearest_road": _q_nearest_road,
         "nearest_road_cells": _q_nearest_road_cells,
+        "nearest_road_k3": _q_nearest_road_k3,
         "geotag": _q_geotag,
         "scale_targets": _q_scale,
         "q1_pricing": _q_q1,
@@ -1160,6 +1176,22 @@ def oracle_sql() -> dict[str, str]:
                round(abs(lon - (GREATEST(0, LEAST(16, k0)) - 8.0)), 6) + 0.0
                  AS dist_deg
         FROM k
+    """
+    d["nearest_road_k3"] = f"""
+        WITH p AS (SELECT c_custkey, lon FROM ({_PTS})),
+        d AS (
+          SELECT p.c_custkey, r.road_id,
+                 abs(p.lon - (r.road_id - 8.0)) AS dist_deg,
+                 row_number() OVER (
+                   PARTITION BY p.c_custkey
+                   ORDER BY abs(p.lon - (r.road_id - 8.0)), r.road_id)
+                   AS rank
+          FROM p CROSS JOIN (SELECT CAST(g AS BIGINT) AS road_id
+                             FROM range(17) t(g)) r
+        )
+        SELECT c_custkey, CAST(rank AS INT) AS rank, road_id,
+               round(dist_deg, 6) + 0.0 AS dist_deg
+        FROM d WHERE rank <= 3
     """
     # UTM zone 31N forward series (Snyder 1987), mirroring geom.lonlat_to_utm
     # operation-for-operation; rounded to 2 decimals on both sides

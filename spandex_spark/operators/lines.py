@@ -13,13 +13,14 @@ Nearest-line join has two strategies (mirroring operators/knn.py):
   over a mapInPandas scan; each Arrow batch computes a vectorized
   point-to-segment distance matrix. No join, no shuffle on the point
   stream.
-* ``cells`` — the BIG-both-sides path (k=1): lines explode into SEGMENTS
-  with their exact covering cells (cells.cover_segment, Liang-Barsky), the
-  segment-cell histogram drives the same two-job broadcast-index plan as
-  knn cells, and the candidate (point, segment) join computes the exact
-  point-to-segment distance with PURE JVM arithmetic (fixed-width segment
-  rows — no geometry arrays cross the shuffle). min_by aggregates segment
-  candidates to the nearest line with exact (dist, line_id) tie-break.
+* ``cells`` — the BIG-both-sides path (any k): lines explode into SEGMENTS
+  with their exact covering cells (cells.cover_segment, Liang-Barsky), a
+  distinct-line INDICATOR histogram drives the same two-job
+  broadcast-index plan as knn cells, and the candidate (point, segment)
+  join computes the exact point-to-segment distance with PURE JVM
+  arithmetic (fixed-width segment rows — no geometry arrays cross the
+  shuffle). k=1 reduces via min_by with exact (dist, line_id) tie-break;
+  k>1 via a window top-k over the tiny per-(point, line) reduction.
 """
 
 from __future__ import annotations
@@ -161,24 +162,28 @@ def _nearest_line_cells(points: DataFrame, lines: DataFrame, *, k: int,
                         point_id_col: str, line_id_col: str,
                         lon_col: str, lat_col: str, geom_col: str,
                         level: int) -> DataFrame:
-    """Big-both-sides nearest-line join (k=1), exactly TWO Spark jobs:
+    """Big-both-sides nearest-line join, exactly TWO Spark jobs:
 
-    job 1  segment-cell histogram (groupBy(cell).count() -> driver);
+    job 1  distinct-line indicator histogram per cell -> driver;
     job 2  points emit candidate cells from the broadcast index (planar
-           radius math, k=1: one covered cell in the search box proves a
-           line within the box's corner-distance bound, because the cover
-           is exact — cells.cover_segment), explode, equi-join the segment
-           table on cell, exact JVM point-to-segment distance, min_by.
+           radius math: a covered cell that >= k distinct lines all touch
+           bounds the kth line distance by the cell's far corner, because
+           the cover is exact — cells.cover_segment), explode, equi-join
+           the segment table on cell, exact JVM point-to-segment distance,
+           then min_by (k=1) or window top-k (k>1).
 
-    Exact for k=1 under the planar (degree) metric; k>1 would need a
-    distinct-line lower bound per box that a cell-count histogram cannot
-    give (the same line covers many cells), so it stays on the kernel
-    path. PostGIS analog: `<->` against a line layer of any size.
+    Exact for any k under the planar (degree) metric. The k>1 subtlety: a
+    SEGMENT-count histogram cannot lower-bound distinct lines in a box
+    (one line covers many cells), so the histogram counts are
+    k·(distinct lines covering the cell >= k) — an INDICATOR: the radius
+    ladder stops when the box holds a single cell that k distinct lines
+    all touch, which bounds the kth line distance by that cell's far
+    corner (every such line passes through the cell). The candidate prune
+    inherits the same bound through the identical cumsum-over-cnt test.
+    If NO cell anywhere holds k distinct lines (very sparse layer /
+    too-fine level) the plan degrades honestly to all covered cells.
+    PostGIS analog: `<->` against a line layer of any size.
     """
-    if k != 1:
-        raise NotImplementedError(
-            "cells strategy for nearest-line is exact for k=1 only; "
-            "use strategy='kernel' for k>1")
     from spandex_spark.operators.knn import (build_cell_index,
                                              _candidate_cells_udf,
                                              _CELLS_MAX_LEVEL)
@@ -192,9 +197,11 @@ def _nearest_line_cells(points: DataFrame, lines: DataFrame, *, k: int,
             .select("_lid", F.col("_s.cell").alias("_cell"),
                     "_s.ax", "_s.ay", "_s.bx", "_s.by"))
     segs = segs.persist()
-    rows = segs.groupBy("_cell").count().collect()
+    rows = (segs.groupBy("_cell")
+            .agg(F.when(F.count_distinct("_lid") >= k, F.lit(k))
+                 .otherwise(F.lit(0)).alias("_cnt")).collect())
     bc = build_cell_index(spark, rows, level)
-    cand_cells = _candidate_cells_udf(bc, 1, "planar")
+    cand_cells = _candidate_cells_udf(bc, k, "planar")
     q = points.select(F.col(point_id_col).alias("_pid"),
                       F.col(lon_col).alias("_plon"),
                       F.col(lat_col).alias("_plat"))
@@ -221,11 +228,20 @@ def _nearest_line_cells(points: DataFrame, lines: DataFrame, *, k: int,
     # rows at 1 M points on the road fixture)
     per_line = (cand.groupBy("_pid", "_lid")
                 .agg(F.min("_d").alias("_dl")))
-    order = F.struct("_dl", "_lid")
-    best = (per_line.groupBy("_pid")
-            .agg(F.min_by("_lid", order).alias("_blid"),
-                 F.min("_dl").alias("_bd")))
-    return best.select(F.col("_pid").alias(point_id_col),
-                       F.lit(1).alias("rank"),
-                       F.col("_blid").alias(line_id_col),
-                       F.col("_bd").alias("dist_deg"))
+    if k == 1:
+        order = F.struct("_dl", "_lid")
+        best = (per_line.groupBy("_pid")
+                .agg(F.min_by("_lid", order).alias("_blid"),
+                     F.min("_dl").alias("_bd")))
+        return best.select(F.col("_pid").alias(point_id_col),
+                           F.lit(1).alias("rank"),
+                           F.col("_blid").alias(line_id_col),
+                           F.col("_bd").alias("dist_deg"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("_pid").orderBy(F.col("_dl").asc(),
+                                           F.col("_lid").asc())
+    ranked = per_line.withColumn("rank", F.row_number().over(w))
+    return (ranked.filter(F.col("rank") <= k)
+            .select(F.col("_pid").alias(point_id_col), "rank",
+                    F.col("_lid").alias(line_id_col),
+                    F.col("_dl").alias("dist_deg")))

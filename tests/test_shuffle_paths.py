@@ -279,11 +279,48 @@ class TestCellsNearestLine:
                                level=6).collect()}
         assert a == b
 
-    def test_k_gt_1_raises(self, spark):
+    def test_k3_equals_kernel(self, spark):
+        """k>1 cells path (distinct-line indicator histogram) must equal
+        the kernel path exactly, ranks included — on the meridional roads
+        AND on random diagonal lines where a cell may hold < k lines."""
+        import numpy as np
         from spandex_spark.sources.grids import derived_points, roads_df
         from spandex_spark.operators.lines import nearest_line_join
-        import pytest as _pt
-        pts = derived_points(spark.range(10).select(F.col("id").alias("p")), "p")
-        with _pt.raises(NotImplementedError):
-            nearest_line_join(pts, roads_df(spark), k=2, point_id_col="p",
-                              line_id_col="road_id", strategy="cells")
+        pts = derived_points(
+            spark.range(20_000).select(F.col("id").alias("p")), "p")
+        a = {(r.p, r.rank, r.road_id) for r in
+             nearest_line_join(pts, roads_df(spark), k=3, point_id_col="p",
+                               line_id_col="road_id",
+                               strategy="kernel").collect()}
+        b = {(r.p, r.rank, r.road_id) for r in
+             nearest_line_join(pts, roads_df(spark), k=3, point_id_col="p",
+                               line_id_col="road_id", strategy="cells",
+                               level=7).collect()}
+        assert a == b
+        rng = np.random.default_rng(23)
+        lines = []
+        for lid in range(30):
+            vx = rng.uniform(-9, 9, 3)
+            vy = rng.uniform(-9, 9, 3)
+            lines.append((lid, {
+                "kind": 2, "xs": vx.tolist(), "ys": vy.tolist(),
+                "ring_offsets": [0, 3],
+                "bbox": {"minx": float(vx.min()), "miny": float(vy.min()),
+                         "maxx": float(vx.max()), "maxy": float(vy.max())}}))
+        ldf = spark.createDataFrame(
+            lines, "line_id long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        p2 = spark.createDataFrame(
+            [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-10, 10, 1000), rng.uniform(-10, 10, 1000)))],
+            "p long, lon double, lat double")
+        a2 = {(r.p, r.rank, r.line_id) for r in
+              nearest_line_join(p2, ldf, k=2, point_id_col="p",
+                                line_id_col="line_id",
+                                strategy="kernel").collect()}
+        b2 = {(r.p, r.rank, r.line_id) for r in
+              nearest_line_join(p2, ldf, k=2, point_id_col="p",
+                                line_id_col="line_id", strategy="cells",
+                                level=6).collect()}
+        assert a2 == b2
