@@ -389,6 +389,15 @@ def _q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "view_event")
 
 
+def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (spandex_spark.corpus.corpus_select):
+    exact dedup -> lang filter -> quality floor -> token floor, one
+    shuffle, all JVM. Oracle recomputes every stage in SQL."""
+    from spandex_spark.corpus import corpus_select
+    return corpus_select(_t(spark, sf_dir, "documents"), langs=("en", "fr"),
+                         min_quality=0.45, min_tokens=5)
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spandex_spark.operators.dedup import exact_dedup
     return exact_dedup(_t(spark, sf_dir, "documents"))
@@ -707,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
         "exact_dedup": _q_exact_dedup,
+        "corpus_select": _q_corpus_select,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
@@ -1251,6 +1261,52 @@ def oracle_sql() -> dict[str, str]:
                     WHEN en >= de THEN 'en'
                     ELSE 'de' END AS lang_pred
         FROM h
+    """
+    d["corpus_select"] = r"""
+        WITH canon AS (
+          SELECT * FROM (
+            SELECT d.*,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS _c
+            FROM documents d)
+          WHERE doc_id = _c
+        ), t AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 len(text) AS n_chars,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_words
+          FROM canon
+        ), h AS (
+          SELECT doc_id, n_chars, n_words,
+                 len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in'))) AS en,
+                 len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','los'))) AS es,
+                 len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist'))) AS de,
+                 len(list_filter(toks, x -> lower(x) IN ('le','la','les','des','est'))) AS fr,
+                 len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                 len(list_filter(list_transform(toks, x -> lower(x)),
+                                 x -> x IN ('the','and','of','to','in'))) AS n_stop
+          FROM t
+        ), s AS (
+          SELECT doc_id, n_words AS n_tokens,
+                 CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                      WHEN fr >= es AND fr >= en AND fr >= de THEN 'fr'
+                      WHEN es >= en AND es >= de THEN 'es'
+                      WHEN en >= de THEN 'en'
+                      ELSE 'de' END AS lang_pred,
+                 LEAST(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1) * 1.25,
+                       1.0) * 0.5
+                 + LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5.0,
+                         1.0) * 0.3
+                 + CASE WHEN CAST(n_chars AS DOUBLE) / GREATEST(n_words, 1)
+                             BETWEEN 3.0 AND 12.0
+                        THEN 0.2 ELSE 0.0 END AS quality
+          FROM h
+        )
+        SELECT doc_id, lang_pred, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(quality, 6) + 0.0 AS quality
+        FROM s
+        WHERE lang_pred IN ('en', 'fr') AND quality >= 0.45 AND n_tokens >= 5
     """
     d["bpe_piece_count"] = r"""
         SELECT doc_id,

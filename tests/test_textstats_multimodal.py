@@ -77,3 +77,29 @@ class TestMultimodal:
         assert len(frames) == sum(
             len(range(0, max(v.duration_ms, 1), 1000)) for v in vids)
         assert all(len(f.frame_digest) == 16 for f in frames)
+
+
+class TestCorpusSelect:
+    def test_invariants_and_single_shuffle(self, spark):
+        from spandex_spark.corpus import corpus_select
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = corpus_select(docs, langs=("en", "fr"), min_quality=0.45,
+                            min_tokens=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        # the dedup window is the pipeline's ONLY shuffle
+        assert len(re.findall(r"Exchange (?:hash|range)partitioning",
+                              plan)) == 1
+        rows = out.collect()
+        assert rows
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids))
+        for r in rows:
+            assert r.lang_pred in ("en", "fr")
+            assert r.quality >= 0.45 and r.n_tokens >= 5
+        # constructed duplicates: re-adding every text under higher ids
+        # must not change the selection at all (min-id canonical wins)
+        dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        out2 = corpus_select(docs.unionByName(dup), langs=("en", "fr"),
+                             min_quality=0.45, min_tokens=5)
+        assert sorted(ids) == sorted(r.doc_id for r in out2.collect())
