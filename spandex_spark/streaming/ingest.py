@@ -55,6 +55,38 @@ def stream_geotag_pages(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def stream_tag_pages(spark: SparkSession, input_dir: str, output_dir: str,
+                     checkpoint_dir: str, zones: DataFrame,
+                     gazetteer: DataFrame | None = None, level: int = 9,
+                     available_now: bool = True):
+    """Full SPATIAL JOIN inside the stream: file source → geotag →
+    two-phase PIP tag against the (static, broadcast) zone layer → Parquet
+    append sink. tag_points is a stateless broadcast join + refine, so it
+    composes with Structured Streaming unchanged — streaming micro-batches
+    over N files equal the batch run over their union (parity-asserted in
+    tests/test_streaming.py)."""
+    from spandex_spark.operators.tag import tag_points
+    pages = (spark.readStream.schema(PAGES_SCHEMA)
+             .option("maxFilesPerTrigger", 8)
+             .parquet(input_dir))
+    pts = geotag(pages, gazetteer).filter(F.col("lon").isNotNull())
+    # assume_disjoint: zone layers don't overlap, so the min-id resolver
+    # groupBy is skipped — the plan is join+filter only, which is what
+    # makes it legal in streaming append mode (inner semantics: only
+    # points inside some zone are emitted)
+    tagged = tag_points(pts, zones, poly_id_col="zone_id",
+                        point_id_col="url", level=level,
+                        poly_attr_cols=("zclass",), assume_disjoint=True)
+    writer = (tagged.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_page_rates(spark: SparkSession, input_dir: str,
                       checkpoint_dir: str, window: str = "1 hour",
                       watermark: str = "2 hours"):

@@ -46,3 +46,31 @@ def test_windowed_rates(spark, fixture_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select sum(n_pages) as n from page_rates").collect()[0].n
     assert got == spark.read.parquet(src).count()
+
+
+def test_stream_spatial_tag_matches_batch(spark, fixture_dir, tmp_path):
+    """Full PIP tag inside the stream == batch tag over the same files
+    (the two-phase broadcast join is stateless, so micro-batching cannot
+    change results), zone ids verified against the closed-form lattice."""
+    import numpy as np
+    from spandex_spark.operators.tag import tag_points
+    from spandex_spark.streaming.ingest import stream_tag_pages
+    src = _stage_dir(fixture_dir, tmp_path, "in3")
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    zones = spark.read.parquet(os.path.join(fixture_dir, "zones.parquet"))
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    q = stream_tag_pages(spark, src, out, ckpt, zones, gazetteer=gaz)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    pts = geotag(spark.read.parquet(src), gaz).filter(F.col("lon").isNotNull())
+    batch = tag_points(pts, zones, poly_id_col="zone_id",
+                       point_id_col="url", level=9,
+                       poly_attr_cols=("zclass",), assume_disjoint=True)
+    a = {(r.url, r.zone_id) for r in got.select("url", "zone_id").collect()}
+    b = {(r.url, r.zone_id) for r in batch.select("url", "zone_id").collect()}
+    assert a == b and len(a) == batch.count() > 0
+    for r in got.select("lon", "lat", "zone_id").collect():
+        assert -10 <= r.lon < 10 and -10 <= r.lat < 10  # inner semantics
+        assert r.zone_id == int((np.floor(r.lat) + 10) * 20
+                                + (np.floor(r.lon) + 10))
