@@ -203,6 +203,18 @@ def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
+def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 geodesic variant: area-weighted zonal stats — each pixel carries
+    its exact spherical area, so means no longer over-represent high
+    latitudes. Oracle recomputes the identical per-pixel weight formula."""
+    from spandex_spark.operators import zonal_stats
+    out = zonal_stats(raster_tiles_df(spark), zones_df(spark), level=7,
+                      weight="sph_area")
+    return out.select("zone_id", "px_count",
+                      (F.round("px_area_km2", 3) + 0.0).alias("px_area_km2"),
+                      (F.round("px_wmean", 6) + 0.0).alias("px_wmean"))
+
+
 def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5: EPSG:4326 → 3857 analytic reprojection."""
     from spandex_spark.operators import reproject
@@ -695,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_m2": _q_overlay_m2,
         "geodesic_area": _q_geodesic_area,
         "zonal": _q_zonal,
+        "zonal_weighted": _q_zonal_weighted,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
         "trim_area": _q_trim_area,
@@ -951,6 +964,20 @@ def oracle_sql() -> dict[str, str]:
             ) z
             WHERE LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0) > 0
               AND LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0) > 0
+        """,
+        "zonal_weighted": f"""
+            WITH px AS (
+              SELECT sin(lon_c) + cos(lat_c) AS v,
+                     40589753129677.44 * radians(0.05)
+                       * (sin(radians(lat_c + 0.025))
+                          - sin(radians(lat_c - 0.025))) AS w,
+                     CAST((floor(lat_c) + 10) * 20 + (floor(lon_c) + 10) AS BIGINT) AS zone_id
+              FROM ({_PIXELS})
+            )
+            SELECT zone_id, count(*) AS px_count,
+                   round(sum(w) / 1e6, 3) + 0.0 AS px_area_km2,
+                   round(sum(w * v) / sum(w), 6) + 0.0 AS px_wmean
+            FROM px GROUP BY 1
         """,
         "zonal": f"""
             WITH px AS (

@@ -38,14 +38,26 @@ _PARTIAL_SCHEMA = T.StructType([
     T.StructField("s2", T.DoubleType()),
     T.StructField("mn", T.DoubleType()),
     T.StructField("mx", T.DoubleType()),
+    T.StructField("wa", T.DoubleType()),
+    T.StructField("ws", T.DoubleType()),
 ])
 
 
 def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                 zone_id_col: str = "zone_id", level: int = 7,
-                broadcast_zones: bool = True) -> DataFrame:
+                broadcast_zones: bool = True,
+                weight: str = "none") -> DataFrame:
     """Per-zone count/sum/mean/min/max/stddev of raster pixel values whose
-    pixel CENTER falls in the zone (rasterstats default semantics)."""
+    pixel CENTER falls in the zone (rasterstats default semantics).
+
+    ``weight='sph_area'`` adds geodesic area weighting: each pixel carries
+    its EXACT spherical area R²·Δλ·(sin(lat+res/2) − sin(lat−res/2)) m²
+    (pixels shrink toward the poles, so an unweighted mean over a
+    lon/lat raster over-represents high latitudes). Output then is
+    (zone, px_count, px_area_km2, px_wmean, px_min, px_max)."""
+    if weight not in ("none", "sph_area"):
+        raise ValueError(f"unknown weight {weight!r}")
+    weighted = weight == "sph_area"
     zc = zones.select(F.col(zone_id_col).alias("_zid"),
                       F.col("geom")["xs"].alias("_zxs"),
                       F.col("geom")["ys"].alias("_zys"),
@@ -78,6 +90,14 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                 py = float(row["y0"]) + (np.arange(ny) + 0.5) * res
                 lon, lat = np.meshgrid(px, py)
                 lon, lat = lon.ravel(), lat.ravel()
+                if weighted:
+                    r2 = _geom.EARTH_R_M * _geom.EARTH_R_M
+                    wrow = (r2 * np.radians(res)
+                            * (np.sin(np.radians(py + res / 2.0))
+                               - np.sin(np.radians(py - res / 2.0))))
+                    w_full = np.repeat(wrow, nx)
+                else:
+                    w_full = None
                 for z in row["_zones"]:
                     xs = np.asarray(z["_zxs"], np.float64)
                     ys = np.asarray(z["_zys"], np.float64)
@@ -94,20 +114,35 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                     if not mask.any():
                         continue
                     v = vals[box][mask]
+                    if weighted:
+                        wsub = w_full[box][mask]
+                        wa, ws = float(wsub.sum()), float((wsub * v).sum())
+                    else:
+                        wa = ws = 0.0
                     rows.append((int(z["_zid"]), int(v.shape[0]), float(v.sum()),
-                                 float((v * v).sum()), float(v.min()), float(v.max())))
-            yield pd.DataFrame(rows, columns=["zone_id", "cnt", "s", "s2", "mn", "mx"])
+                                 float((v * v).sum()), float(v.min()),
+                                 float(v.max()), wa, ws))
+            yield pd.DataFrame(rows, columns=["zone_id", "cnt", "s", "s2",
+                                              "mn", "mx", "wa", "ws"])
 
     partials = tj.mapInPandas(compute_partials, schema=_PARTIAL_SCHEMA)
 
-    out = (partials.groupBy("zone_id")
-           .agg(F.sum("cnt").alias("px_count"),
-                F.sum("s").alias("px_sum"),
-                F.min("mn").alias("px_min"),
-                F.max("mx").alias("px_max"),
-                (F.sum("s") / F.sum("cnt")).alias("px_mean"),
-                F.sqrt(F.sum("s2") / F.sum("cnt")
-                       - (F.sum("s") / F.sum("cnt")) ** 2).alias("px_std")))
+    if weighted:
+        out = (partials.groupBy("zone_id")
+               .agg(F.sum("cnt").alias("px_count"),
+                    (F.sum("wa") / 1e6).alias("px_area_km2"),
+                    (F.sum("ws") / F.sum("wa")).alias("px_wmean"),
+                    F.min("mn").alias("px_min"),
+                    F.max("mx").alias("px_max")))
+    else:
+        out = (partials.groupBy("zone_id")
+               .agg(F.sum("cnt").alias("px_count"),
+                    F.sum("s").alias("px_sum"),
+                    F.min("mn").alias("px_min"),
+                    F.max("mx").alias("px_max"),
+                    (F.sum("s") / F.sum("cnt")).alias("px_mean"),
+                    F.sqrt(F.sum("s2") / F.sum("cnt")
+                           - (F.sum("s") / F.sum("cnt")) ** 2).alias("px_std")))
     return out.withColumnRenamed("zone_id", zone_id_col)
 
 
