@@ -203,6 +203,40 @@ def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
+def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Simplify analog: every parcel ring is densified to 64 vertices
+    (15 exactly-collinear interpolants per edge, binary-exact t=i/16
+    lattice arithmetic, built JVM-side), then Douglas-Peucker with tol=0
+    must recover EXACTLY the 4 corners with the exact rectangle area."""
+    from spandex_spark.operators.simplify import simplify
+    from spandex_spark.functions.spatial import geom_area_udf
+    p = parcels_df(spark)
+    g = F.col("geom")
+    x0, y0 = g["xs"][0], g["ys"][0]
+    x1, y1 = g["xs"][1], g["ys"][2]
+    corners = [(x0, y0, x1, y0), (x1, y0, x1, y1),
+               (x1, y1, x0, y1), (x0, y1, x0, y0)]
+    seq = F.sequence(F.lit(0), F.lit(15))
+
+    def _interp(a, b):
+        return F.transform(seq, lambda k: a + (b - a)
+                           * k.cast("double") / F.lit(16.0))
+
+    xs = F.flatten(F.array(*[_interp(ax, bx)
+                             for ax, ay, bx, by in corners]))
+    ys = F.flatten(F.array(*[_interp(ay, by)
+                             for ax, ay, bx, by in corners]))
+    dense = p.withColumn("geom", F.struct(
+        F.lit(3).cast("tinyint").alias("kind"), xs.alias("xs"), ys.alias("ys"),
+        F.array(F.lit(0), F.lit(64)).alias("ring_offsets"),
+        g["bbox"].alias("bbox")))
+    out = simplify(dense, tolerance=0.0)
+    sg = F.col("geom_simplified")
+    return out.select("parcel_id",
+                      F.size(sg["xs"]).cast("long").alias("n_vertices"),
+                      (F.round(geom_area_udf(sg), 9) + 0.0).alias("area"))
+
+
 def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 geodesic variant: area-weighted zonal stats — each pixel carries
     its exact spherical area, so means no longer over-represent high
@@ -708,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_area": _q_geodesic_area,
         "zonal": _q_zonal,
         "zonal_weighted": _q_zonal_weighted,
+        "simplify_parcels": _q_simplify,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
         "trim_area": _q_trim_area,
@@ -964,6 +999,11 @@ def oracle_sql() -> dict[str, str]:
             ) z
             WHERE LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0) > 0
               AND LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0) > 0
+        """,
+        "simplify_parcels": f"""
+            SELECT parcel_id, CAST(4 AS BIGINT) AS n_vertices,
+                   round((x1 - x0) * (y1 - y0), 9) + 0.0 AS area
+            FROM ({_PARCELS})
         """,
         "zonal_weighted": f"""
             WITH px AS (

@@ -423,6 +423,59 @@ def ear_clip_triangulate(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int,
     return tris
 
 
+def simplify_chain(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask for an OPEN polyline (endpoints always
+    kept): drop every vertex within ``tol`` perpendicular distance of the
+    local anchor chord. Iterative stack, numpy distance per span."""
+    n = xs.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        ax, ay, bx, by = xs[i], ys[i], xs[j], ys[j]
+        mx = xs[i + 1:j]
+        my = ys[i + 1:j]
+        dx, dy = bx - ax, by - ay
+        L = np.hypot(dx, dy)
+        if L == 0.0:
+            d = np.hypot(mx - ax, my - ay)
+        else:
+            d = np.abs(dx * (my - ay) - dy * (mx - ax)) / L
+        kmax = int(np.argmax(d))
+        if d[kmax] > tol:
+            k = i + 1 + kmax
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def simplify_ring(xs: np.ndarray, ys: np.ndarray,
+                  tol: float) -> tuple[np.ndarray, np.ndarray]:
+    """Douglas-Peucker for a CLOSED ring (open storage): anchor at vertex 0
+    and the vertex farthest from it, simplify the two chains, rejoin.
+    Returns the kept (xs, ys); may drop below 3 vertices for degenerate
+    rings (caller decides whether to discard)."""
+    n = xs.shape[0]
+    if n <= 2:
+        return xs, ys
+    m = int(np.argmax(np.hypot(xs - xs[0], ys - ys[0])))
+    if m == 0:
+        return xs[:1], ys[:1]  # all vertices coincide
+    cx = np.concatenate([xs[m:], xs[:1]])
+    cy = np.concatenate([ys[m:], ys[:1]])
+    k1 = simplify_chain(xs[:m + 1], ys[:m + 1], tol)
+    k2 = simplify_chain(cx, cy, tol)
+    keep = np.zeros(n, dtype=bool)
+    keep[:m + 1] = k1
+    keep[m:] |= k2[:-1]
+    keep[0] |= k2[-1]
+    return xs[keep], ys[keep]
+
+
 def dissolve_rings(rings: list, quant: float = 1e-9) -> list:
     """Merge a tiling of non-overlapping rings (shared edges traversed once
     in EACH direction, e.g. trim's triangle-tiled clip output) into its

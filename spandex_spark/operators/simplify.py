@@ -1,0 +1,68 @@
+"""Geometry simplification — the ST_Simplify (Douglas-Peucker) analog.
+
+Reference semantics: PostGIS `ST_Simplify(geom, tol)` — drop vertices
+within ``tol`` of the local anchor chord, per ring; spandex-scale layers
+(parcel boundaries traced from rasters) arrive heavily over-digitized and
+every downstream kernel pays per-vertex, so simplification is a standard
+pre-pass. Rings that collapse below 3 vertices are dropped; a geometry
+losing every ring becomes NULL (mirrors trim's contract).
+
+Per-feature Arrow-batched pandas UDF over the numpy kernel
+(geom.simplify_ring) — the same per-feature-not-per-point shape as
+overlay/trim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spandex_spark import geom as _geom
+from spandex_spark.operators.trim import _GEOM_TYPE
+
+
+def simplify(df: DataFrame, *, tolerance: float, geom_col: str = "geom",
+             out_col: str = "geom_simplified") -> DataFrame:
+    """Append a Douglas-Peucker-simplified copy of ``geom_col``."""
+    tol = float(tolerance)
+
+    @pandas_udf(_GEOM_TYPE)
+    def _simp(xs: pd.Series, ys: pd.Series, roffs: pd.Series) -> pd.DataFrame:
+        kinds, oxs, oys, offs, bboxes = [], [], [], [], []
+        for x_arr, y_arr, o_arr in zip(xs, ys, roffs):
+            sx = np.asarray(x_arr, np.float64)
+            sy = np.asarray(y_arr, np.float64)
+            o = (np.asarray(o_arr, np.int64)
+                 if o_arr is not None and len(o_arr) > 2 else None)
+            out_rings = []
+            for rx, ry in _geom.rings_of(sx, sy, o):
+                kx, ky = _geom.simplify_ring(rx, ry, tol)
+                if kx.shape[0] >= 3:
+                    out_rings.append((kx, ky))
+            if not out_rings:
+                kinds.append(None)
+                oxs.append(None)
+                oys.append(None)
+                offs.append(None)
+                bboxes.append(None)
+            else:
+                ax = np.concatenate([r[0] for r in out_rings])
+                ay = np.concatenate([r[1] for r in out_rings])
+                ro = np.cumsum([0] + [r[0].shape[0] for r in out_rings])
+                kinds.append(3 if len(out_rings) == 1 else 6)
+                oxs.append(ax.tolist())
+                oys.append(ay.tolist())
+                offs.append([int(v) for v in ro])
+                bboxes.append({"minx": float(ax.min()), "miny": float(ay.min()),
+                               "maxx": float(ax.max()), "maxy": float(ay.max())})
+        return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
+                             "xs": oxs, "ys": oys,
+                             "ring_offsets": offs, "bbox": bboxes})
+
+    g = F.col(geom_col)
+    out = df.withColumn(out_col, _simp(g["xs"], g["ys"], g["ring_offsets"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))

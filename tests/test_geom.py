@@ -471,3 +471,62 @@ class TestSphericalArea:
         approx = planar * deg_m * deg_m * np.cos(np.radians(cy))
         got = abs(geom.spherical_ring_area(xs, ys))
         assert got == pytest.approx(approx, rel=1e-4)
+
+
+class TestSimplify:
+    def test_collinear_removed_exactly(self):
+        # square with 3 collinear interpolants per edge
+        base = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        xs, ys = [], []
+        for i in range(4):
+            ax, ay = base[i]
+            bx, by = base[(i + 1) % 4]
+            for t in (0.0, 0.25, 0.5, 0.75):
+                xs.append(ax + (bx - ax) * t)
+                ys.append(ay + (by - ay) * t)
+        kx, ky = geom.simplify_ring(np.array(xs), np.array(ys), 0.0)
+        assert kx.shape[0] == 4
+        assert set(zip(kx, ky)) == {(0.0, 0.0), (4.0, 0.0),
+                                    (4.0, 4.0), (0.0, 4.0)}
+
+    def test_tolerance_threshold(self):
+        # bump of height 0.1 on one edge: kept at tol<0.1, dropped above
+        xs = np.array([0.0, 2.0, 4.0, 4.0, 0.0])
+        ys = np.array([0.0, 0.1, 0.0, 4.0, 4.0])
+        kx, _ = geom.simplify_ring(xs, ys, 0.05)
+        assert kx.shape[0] == 5
+        kx2, ky2 = geom.simplify_ring(xs, ys, 0.2)
+        assert kx2.shape[0] == 4
+        assert 2.0 not in kx2[np.abs(ky2 - 0.1) < 1e-9] if kx2.shape[0] else True
+
+    def test_idempotent(self):
+        rng = np.random.default_rng(2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 60))
+        xs = np.cos(ang) * (1 + rng.uniform(-0.05, 0.05, 60))
+        ys = np.sin(ang) * (1 + rng.uniform(-0.05, 0.05, 60))
+        k1 = geom.simplify_ring(xs, ys, 0.03)
+        k2 = geom.simplify_ring(k1[0], k1[1], 0.03)
+        assert k1[0].shape == k2[0].shape
+        assert (k1[0] == k2[0]).all() and (k1[1] == k2[1]).all()
+
+    def test_operator_preserves_holes_and_nulls_degenerate(self, spark):
+        from spandex_spark.operators.simplify import simplify
+        donut = {"kind": 6,
+                 "xs": [0.0, 2.0, 4.0, 4.0, 0.0, 1.0, 1.0, 3.0, 3.0],
+                 "ys": [0.0, 0.0, 0.0, 4.0, 4.0, 1.0, 3.0, 3.0, 1.0],
+                 "ring_offsets": [0, 5, 9],
+                 "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 4.0, "maxy": 4.0}}
+        flat = {"kind": 3, "xs": [0.0, 1.0, 2.0], "ys": [0.0, 0.0, 0.0],
+                "ring_offsets": [0, 3],
+                "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 2.0, "maxy": 0.0}}
+        df = spark.createDataFrame(
+            [(1, donut), (2, flat)],
+            "gid long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        out = {r.gid: r.geom_simplified
+               for r in simplify(df, tolerance=0.0).collect()}
+        g = out[1]
+        assert list(g.ring_offsets) == [0, 4, 8]   # collinear (2,0) removed
+        assert len(g.xs) == 8                      # hole ring untouched
+        assert out[2] is None                      # degenerate ring -> NULL
