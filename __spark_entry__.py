@@ -203,6 +203,27 @@ def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
+def _q_dissolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ST_Union analog: 2x2 blocks of the parcel fabric dissolve
+    into single rectangles — shared edges cancel, the interior cross
+    vertex vanishes, boundary mid-points strip as collinear, leaving
+    EXACTLY 4 corners with the closed-form block area."""
+    from spandex_spark.operators.dissolve import dissolve_by
+    from spandex_spark.functions.spatial import geom_area_udf
+    p = parcels_df(spark)
+    row = F.floor(F.col("parcel_id") / 40)
+    col = F.col("parcel_id") % 40
+    p = p.withColumn("group_id",
+                     (F.floor(row / 2) * 20 + F.floor(col / 2)).cast("long"))
+    out = dissolve_by(p, key_col="group_id")
+    g = F.col("geom")
+    return out.select("group_id",
+                      (F.size(g["ring_offsets"]) - 1).cast("long")
+                      .alias("n_rings"),
+                      F.size(g["xs"]).cast("long").alias("n_vertices"),
+                      (F.round(geom_area_udf(g), 9) + 0.0).alias("area"))
+
+
 def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Simplify analog: every parcel ring is densified to 64 vertices
     (15 exactly-collinear interpolants per edge, binary-exact t=i/16
@@ -743,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal": _q_zonal,
         "zonal_weighted": _q_zonal_weighted,
         "simplify_parcels": _q_simplify,
+        "dissolve_groups": _q_dissolve_groups,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
         "trim_area": _q_trim_area,
@@ -999,6 +1021,16 @@ def oracle_sql() -> dict[str, str]:
             ) z
             WHERE LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0) > 0
               AND LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0) > 0
+        """,
+        "dissolve_groups": """
+            SELECT g AS group_id, CAST(1 AS BIGINT) AS n_rings,
+                   CAST(4 AS BIGINT) AS n_vertices,
+                   round((LEAST(-9.75 + CAST(g % 20 AS DOUBLE) + 1.0, 10.0)
+                          - (-9.75 + CAST(g % 20 AS DOUBLE)))
+                       * (LEAST(-9.75 + CAST((g - g % 20) / 20 AS DOUBLE) + 1.0, 10.0)
+                          - (-9.75 + CAST((g - g % 20) / 20 AS DOUBLE))), 9)
+                     + 0.0 AS area
+            FROM range(400) t(g)
         """,
         "simplify_parcels": f"""
             SELECT parcel_id, CAST(4 AS BIGINT) AS n_vertices,

@@ -1,0 +1,67 @@
+"""Dissolve-by-attribute — the `GROUP BY ST_Union(geom)` aggregate.
+
+Reference semantics: PostGIS aggregate union (merge every geometry
+sharing a key into one (multi)polygon — counties from parcels, regions
+from zones). For layers whose members TILE their union (share edges
+without overlapping — the overwhelmingly common dissolve input: parcel
+fabrics, admin hierarchies, grid cells), the boundary is exactly the
+directed-edge cancellation of the member rings (geom.dissolve_rings —
+the same kernel trim's dissolve uses), computed per group inside one
+``applyInPandas``.
+
+OVERLAPPING members are NOT unioned geometrically (that needs a full
+polygon-clipping union); callers with overlapping inputs should overlay/
+clip first. The even-odd interpretation still makes the output region
+correct when overlaps have even multiplicity, but this operator's
+contract is the tiling case.
+
+Scale shape: ONE shuffle on the group key; each group's vertex set must
+fit an executor (true for admin-hierarchy fan-ins; a county is ~10^5
+vertices). Degenerate groups (all edges cancel — e.g. a ring and its
+reverse) produce NULL geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spandex_spark import geom as _geom
+from spandex_spark.operators.trim import _GEOM_TYPE
+
+
+def dissolve_by(df: DataFrame, *, key_col: str, geom_col: str = "geom",
+                out_col: str = "geom") -> DataFrame:
+    """One row per ``key_col`` with the dissolved boundary of all member
+    geometries (holes and multi-parts of members participate ring-wise)."""
+    import pyspark.sql.types as T
+    schema = T.StructType([df.schema[key_col],
+                           T.StructField(out_col, _GEOM_TYPE)])
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        rings = []
+        for g in pdf["_g"]:
+            sx = np.asarray(g["xs"], np.float64)
+            sy = np.asarray(g["ys"], np.float64)
+            o = g["ring_offsets"]
+            o = (np.asarray(o, np.int64)
+                 if o is not None and len(o) > 2 else None)
+            rings.extend(_geom.rings_of(sx, sy, o))
+        merged = _geom.dissolve_rings(rings)
+        if not merged:
+            return pd.DataFrame({key_col: [key], out_col: [None]})
+        ax = np.concatenate([r[0] for r in merged])
+        ay = np.concatenate([r[1] for r in merged])
+        ro = np.cumsum([0] + [r[0].shape[0] for r in merged])
+        geom = {"kind": 3 if len(merged) == 1 else 6,
+                "xs": ax.tolist(), "ys": ay.tolist(),
+                "ring_offsets": [int(v) for v in ro],
+                "bbox": {"minx": float(ax.min()), "miny": float(ay.min()),
+                         "maxx": float(ax.max()), "maxy": float(ay.max())}}
+        return pd.DataFrame({key_col: [key], out_col: [geom]})
+
+    src = df.select(key_col, F.col(geom_col).alias("_g"))
+    return src.groupBy(key_col).applyInPandas(_merge, schema=schema)

@@ -135,3 +135,53 @@ class TestCompaction:
         t.append(spark.range(300, 310).select(F.col("id").alias("cell"),
                                               (F.col("id") * 2).alias("v")))
         assert t.read(spark).count() == 310
+
+
+class TestDissolveBy:
+    def test_holes_participate_ringwise(self, spark):
+        """Two donut halves sharing their middle edges dissolve into one
+        outer ring + one hole ring; area = outer - hole."""
+        from spandex_spark import geom as G
+        from spandex_spark.operators.dissolve import dissolve_by
+        # left half: outer [0,2]x[0,4] with hole-half [1,2]x[1,3] cut as
+        # rings; right half mirrored — constructed so shared edges match
+        def rect(x0, y0, x1, y1, cw=False):
+            xs = [x0, x1, x1, x0]
+            ys = [y0, y0, y1, y1]
+            return (xs[::-1], ys[::-1]) if cw else (xs, ys)
+        rows = []
+        for gid, (x0, x1) in ((0, (0.0, 2.0)), (0, (2.0, 4.0))):
+            oxs, oys = rect(x0, 0.0, x1, 4.0)
+            hxs, hys = rect(max(x0, 1.0), 1.0, min(x1, 3.0), 3.0, cw=True)
+            rows.append((gid, {
+                "kind": 6, "xs": list(map(float, oxs + hxs)),
+                "ys": list(map(float, oys + hys)),
+                "ring_offsets": [0, 4, 8],
+                "bbox": {"minx": x0, "miny": 0.0, "maxx": x1, "maxy": 4.0}}))
+        df = spark.createDataFrame(
+            rows, "gid long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        out = dissolve_by(df, key_col="gid").collect()
+        assert len(out) == 1
+        g = out[0].geom
+        assert len(g.ring_offsets) - 1 == 2     # one outer + one hole
+        area = G.rings_area(np.asarray(g.xs), np.asarray(g.ys),
+                            np.asarray(g.ring_offsets))
+        assert area == pytest.approx(4.0 * 4.0 - 2.0 * 2.0)
+
+    def test_full_cancellation_gives_null(self, spark):
+        from spandex_spark.operators.dissolve import dissolve_by
+        sq = {"kind": 3, "xs": [0.0, 1.0, 1.0, 0.0],
+              "ys": [0.0, 0.0, 1.0, 1.0], "ring_offsets": [0, 4],
+              "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 1.0, "maxy": 1.0}}
+        rv = {"kind": 3, "xs": [0.0, 1.0, 1.0, 0.0][::-1],
+              "ys": [0.0, 0.0, 1.0, 1.0][::-1], "ring_offsets": [0, 4],
+              "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 1.0, "maxy": 1.0}}
+        df = spark.createDataFrame(
+            [(7, sq), (7, rv)],
+            "gid long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        out = dissolve_by(df, key_col="gid").collect()
+        assert len(out) == 1 and out[0].geom is None
