@@ -113,15 +113,50 @@ class IcebergishTable:
                 return snaps[i:]
         return snaps
 
-    def read(self, spark: SparkSession, *, all_snapshots: bool = True) -> DataFrame:
+    def read(self, spark: SparkSession, *, all_snapshots: bool = True,
+             as_of: str | int | None = None) -> DataFrame:
         """Read the table (union of live snapshot files — append log since
-        the last compaction), or only the current snapshot's files."""
-        snaps = self._live_snapshots() if all_snapshots else [self.current_snapshot()]
+        the last compaction), or only the current snapshot's files.
+
+        ``as_of`` time-travels to a past state: a snapshot_id, a sequence
+        number, or a timestamp_ms (the latest snapshot at or before that
+        time) — the Iceberg `VERSION AS OF` / `TIMESTAMP AS OF` analog.
+        Old files survive compaction on disk precisely to keep every
+        pre-rewrite state readable until a GC removes them."""
+        if as_of is not None:
+            snaps = self._snapshots_as_of(as_of)
+        else:
+            snaps = (self._live_snapshots() if all_snapshots
+                     else [self.current_snapshot()])
         paths = [os.path.join(self.root, f["path"])
                  for s in snaps if s for f in s["files"]]
         if not paths:
             raise FileNotFoundError(f"empty Icebergish table at {self.root}")
         return spark.read.parquet(*paths)
+
+    def _snapshots_as_of(self, as_of: str | int) -> list[dict]:
+        """Snapshots contributing to the state as of a snapshot_id, a
+        sequence number, or (large ints) a timestamp_ms cutoff."""
+        snaps = self.snapshots()
+        cut = None
+        for i, s in enumerate(snaps):
+            if isinstance(as_of, str):
+                if s["snapshot_id"] == as_of:
+                    cut = i
+                    break
+            elif as_of >= 10_000_000:  # timestamp_ms
+                if s["timestamp_ms"] <= as_of:
+                    cut = i
+            elif s["sequence"] == as_of:
+                cut = i
+                break
+        if cut is None:
+            raise KeyError(f"no snapshot matching as_of={as_of!r}")
+        upto = snaps[:cut + 1]
+        for i in range(len(upto) - 1, -1, -1):
+            if upto[i].get("kind") == "rewrite":
+                return upto[i:]
+        return upto
 
     def total_rows(self) -> int:
         return sum(s["total_rows"] for s in self._live_snapshots())

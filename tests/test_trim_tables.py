@@ -185,3 +185,29 @@ class TestDissolveBy:
             " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
         out = dissolve_by(df, key_col="gid").collect()
         assert len(out) == 1 and out[0].geom is None
+
+
+class TestTimeTravel:
+    def test_as_of_snapshot_sequence_and_timestamp(self, spark, tmp_path):
+        t = IcebergishTable(str(tmp_path / "tt"))
+        ids = []
+        for i in range(3):
+            ids.append(t.append(spark.range(i * 10, (i + 1) * 10)
+                                .select(F.col("id").alias("v"))))
+        snaps = t.snapshots()
+        # VERSION AS OF by snapshot_id and by sequence
+        assert t.read(spark, as_of=ids[0]).count() == 10
+        assert t.read(spark, as_of=1).count() == 20
+        assert t.read(spark, as_of=ids[2]).count() == 30
+        # TIMESTAMP AS OF: cutoff at the middle snapshot's timestamp
+        assert t.read(spark, as_of=snaps[1]["timestamp_ms"]).count() == 20
+        # compaction preserves pre-rewrite states
+        t.compact(spark, "v", n_files=2)
+        assert t.read(spark).count() == 30
+        assert t.read(spark, as_of=ids[1]).count() == 20
+        # as-of AFTER the rewrite reads only the rewrite
+        rw = t.snapshots()[-1]
+        assert t.read(spark, as_of=rw["snapshot_id"]).count() == 30
+        import pytest as _pt
+        with _pt.raises(KeyError):
+            t.read(spark, as_of="nope")
