@@ -203,6 +203,20 @@ def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
+def _q_hull_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ConvexHull analog: densified parcel rings + a strictly interior
+    center vertex; the hull must drop the interior point AND all collinear
+    boundary interpolants, leaving exactly the 4 corners (monotone chain,
+    geom.convex_hull). Same closed-form oracle family as simplify."""
+    from spandex_spark.operators.simplify import convex_hull
+    from spandex_spark.functions.spatial import geom_area_udf
+    out = convex_hull(_densified_parcels(spark, extra_center=True))
+    sg = F.col("geom_hull")
+    return out.select("parcel_id",
+                      F.size(sg["xs"]).cast("long").alias("n_vertices"),
+                      (F.round(geom_area_udf(sg), 9) + 0.0).alias("area"))
+
+
 def _q_dissolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ST_Union analog: 2x2 blocks of the parcel fabric dissolve
     into single rectangles — shared edges cancel, the interior cross
@@ -224,13 +238,11 @@ def _q_dissolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round(geom_area_udf(g), 9) + 0.0).alias("area"))
 
 
-def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST_Simplify analog: every parcel ring is densified to 64 vertices
-    (15 exactly-collinear interpolants per edge, binary-exact t=i/16
-    lattice arithmetic, built JVM-side), then Douglas-Peucker with tol=0
-    must recover EXACTLY the 4 corners with the exact rectangle area."""
-    from spandex_spark.operators.simplify import simplify
-    from spandex_spark.functions.spatial import geom_area_udf
+def _densified_parcels(spark: SparkSession, extra_center: bool = False):
+    """Parcel rects densified to 64 vertices (15 exactly-collinear
+    interpolants per edge, binary-exact t=i/16 lattice arithmetic, all
+    JVM-side); ``extra_center`` appends the rect's center as a 65th
+    (strictly interior) vertex."""
     p = parcels_df(spark)
     g = F.col("geom")
     x0, y0 = g["xs"][0], g["ys"][0]
@@ -247,11 +259,24 @@ def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
                              for ax, ay, bx, by in corners]))
     ys = F.flatten(F.array(*[_interp(ay, by)
                              for ax, ay, bx, by in corners]))
-    dense = p.withColumn("geom", F.struct(
+    n = 64
+    if extra_center:
+        xs = F.concat(xs, F.array((x0 + x1) / 2.0))
+        ys = F.concat(ys, F.array((y0 + y1) / 2.0))
+        n = 65
+    return p.withColumn("geom", F.struct(
         F.lit(3).cast("tinyint").alias("kind"), xs.alias("xs"), ys.alias("ys"),
-        F.array(F.lit(0), F.lit(64)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(n)).alias("ring_offsets"),
         g["bbox"].alias("bbox")))
-    out = simplify(dense, tolerance=0.0)
+
+
+def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Simplify analog: Douglas-Peucker with tol=0 over the densified
+    parcel rings must recover EXACTLY the 4 corners with the exact
+    rectangle area."""
+    from spandex_spark.operators.simplify import simplify
+    from spandex_spark.functions.spatial import geom_area_udf
+    out = simplify(_densified_parcels(spark), tolerance=0.0)
     sg = F.col("geom_simplified")
     return out.select("parcel_id",
                       F.size(sg["xs"]).cast("long").alias("n_vertices"),
@@ -765,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted": _q_zonal_weighted,
         "simplify_parcels": _q_simplify,
         "dissolve_groups": _q_dissolve_groups,
+        "hull_parcels": _q_hull_parcels,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
         "trim_area": _q_trim_area,
@@ -1021,6 +1047,11 @@ def oracle_sql() -> dict[str, str]:
             ) z
             WHERE LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0) > 0
               AND LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0) > 0
+        """,
+        "hull_parcels": f"""
+            SELECT parcel_id, CAST(4 AS BIGINT) AS n_vertices,
+                   round((x1 - x0) * (y1 - y0), 9) + 0.0 AS area
+            FROM ({_PARCELS})
         """,
         "dissolve_groups": """
             SELECT g AS group_id, CAST(1 AS BIGINT) AS n_rings,

@@ -423,6 +423,41 @@ def ear_clip_triangulate(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int,
     return tris
 
 
+def convex_hull(xs: np.ndarray, ys: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Convex hull of a point set (Andrew monotone chain), returned as a
+    CCW ring of the STRICT hull vertices (collinear boundary points
+    dropped). Degenerate inputs (all collinear) return the 2 extreme
+    points; a single point returns itself."""
+    pts = np.unique(np.column_stack([xs, ys]), axis=0)  # lex sort + dedup
+    n = pts.shape[0]
+    if n <= 2:
+        return pts[:, 0].copy(), pts[:, 1].copy()
+
+    def chain(p):
+        out = []
+        for i in range(p.shape[0]):
+            while len(out) >= 2:
+                ox1, oy1 = out[-2]
+                ox2, oy2 = out[-1]
+                if ((ox2 - ox1) * (p[i, 1] - oy1)
+                        - (oy2 - oy1) * (p[i, 0] - ox1)) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((p[i, 0], p[i, 1]))
+        return out[:-1]  # endpoint belongs to the other chain
+
+    lower = chain(pts)
+    upper = chain(pts[::-1])
+    ring = lower + upper
+    if len(ring) < 3:  # all collinear
+        ext = np.array([pts[0], pts[-1]])
+        return ext[:, 0].copy(), ext[:, 1].copy()
+    arr = np.array(ring)
+    return arr[:, 0].copy(), arr[:, 1].copy()
+
+
 def simplify_chain(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker keep-mask for an OPEN polyline (endpoints always
     kept): drop every vertex within ``tol`` perpendicular distance of the

@@ -66,3 +66,39 @@ def simplify(df: DataFrame, *, tolerance: float, geom_col: str = "geom",
     out = df.withColumn(out_col, _simp(g["xs"], g["ys"], g["ring_offsets"]))
     return out.withColumn(
         out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))
+
+
+def convex_hull(df: DataFrame, *, geom_col: str = "geom",
+                out_col: str = "geom_hull") -> DataFrame:
+    """ST_ConvexHull analog: hull of every vertex of the geometry (all
+    rings — holes cannot extend a hull). Degenerate (<3 strict hull
+    vertices) geometries yield NULL."""
+
+    @pandas_udf(_GEOM_TYPE)
+    def _hull(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        kinds, oxs, oys, offs, bboxes = [], [], [], [], []
+        for x_arr, y_arr in zip(xs, ys):
+            sx = np.asarray(x_arr, np.float64)
+            sy = np.asarray(y_arr, np.float64)
+            hx, hy = _geom.convex_hull(sx, sy)
+            if hx.shape[0] < 3:
+                kinds.append(None)
+                oxs.append(None)
+                oys.append(None)
+                offs.append(None)
+                bboxes.append(None)
+            else:
+                kinds.append(3)
+                oxs.append(hx.tolist())
+                oys.append(hy.tolist())
+                offs.append([0, int(hx.shape[0])])
+                bboxes.append({"minx": float(hx.min()), "miny": float(hy.min()),
+                               "maxx": float(hx.max()), "maxy": float(hy.max())})
+        return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
+                             "xs": oxs, "ys": oys,
+                             "ring_offsets": offs, "bbox": bboxes})
+
+    g = F.col(geom_col)
+    out = df.withColumn(out_col, _hull(g["xs"], g["ys"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))

@@ -530,3 +530,39 @@ class TestSimplify:
         assert list(g.ring_offsets) == [0, 4, 8]   # collinear (2,0) removed
         assert len(g.xs) == 8                      # hole ring untouched
         assert out[2] is None                      # degenerate ring -> NULL
+
+
+class TestConvexHull:
+    @given(st.lists(st.tuples(st.floats(-50, 50), st.floats(-50, 50)),
+                    min_size=3, max_size=80))
+    @settings(max_examples=80, deadline=None)
+    def test_hull_properties(self, pts):
+        arr = np.array(pts, dtype=np.float64)
+        hx, hy = geom.convex_hull(arr[:, 0], arr[:, 1])
+        m = hx.shape[0]
+        pset = set(zip(arr[:, 0], arr[:, 1]))
+        assert set(zip(hx, hy)) <= pset  # hull vertices are input points
+        if m < 3:
+            # degenerate output is only legal when every input point is
+            # collinear with the two extremes returned
+            dx, dy = hx[-1] - hx[0], hy[-1] - hy[0]
+            cr = dx * (arr[:, 1] - hy[0]) - dy * (arr[:, 0] - hx[0])
+            scale = 1 + np.abs(arr).max()
+            assert (np.abs(cr) <= 1e-7 * scale * scale).all()
+            return
+        # strict convexity, CCW
+        x2, y2 = np.roll(hx, -1), np.roll(hy, -1)
+        x3, y3 = np.roll(hx, -2), np.roll(hy, -2)
+        cr = (x2 - hx) * (y3 - hy) - (y2 - hy) * (x3 - hx)
+        assert (cr > 0).all()
+        # every input point inside or on the hull (within FP slack)
+        for px, py in pts:
+            d = (x2 - hx) * (py - hy) - (y2 - hy) * (px - hx)
+            assert (d >= -1e-7 * (1 + abs(px) + abs(py))).all()
+
+    def test_collinear_degenerate(self):
+        xs = np.array([0.0, 1.0, 2.0, 3.0])
+        ys = np.array([0.0, 1.0, 2.0, 3.0])
+        hx, hy = geom.convex_hull(xs, ys)
+        assert hx.shape[0] == 2
+        assert {(hx[0], hy[0]), (hx[1], hy[1])} == {(0.0, 0.0), (3.0, 3.0)}
