@@ -203,6 +203,22 @@ def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
+def _q_extent_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Extent analog: PIP-tag the points, then the bbox aggregate of
+    each zone's points — pure JVM min/max after the two-phase spatial
+    join. Oracle: floor-lattice zone assignment + the same aggregate."""
+    from spandex_spark.operators import tag_points
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    tagged = tag_points(pts, zones_df(spark), poly_id_col="zone_id",
+                        point_id_col="c_custkey", level=9)
+    return (tagged.filter(F.col("zone_id").isNotNull())
+            .groupBy("zone_id")
+            .agg(F.count("*").alias("n_pts"),
+                 F.min("lon").alias("minx"), F.min("lat").alias("miny"),
+                 F.max("lon").alias("maxx"), F.max("lat").alias("maxy")))
+
+
 def _q_hull_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_ConvexHull analog: densified parcel rings + a strictly interior
     center vertex; the hull must drop the interior point AND all collinear
@@ -791,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_parcels": _q_simplify,
         "dissolve_groups": _q_dissolve_groups,
         "hull_parcels": _q_hull_parcels,
+        "extent_by_zone": _q_extent_by_zone,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
         "trim_area": _q_trim_area,
@@ -1047,6 +1064,18 @@ def oracle_sql() -> dict[str, str]:
             ) z
             WHERE LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0) > 0
               AND LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0) > 0
+        """,
+        "extent_by_zone": f"""
+            WITH t AS (
+              SELECT CAST((floor(lat) + 10) * 20 + (floor(lon) + 10) AS BIGINT)
+                       AS zone_id, lon, lat
+              FROM ({_PTS})
+              WHERE lon >= -10 AND lon < 10 AND lat >= -10 AND lat < 10
+            )
+            SELECT zone_id, count(*) AS n_pts,
+                   min(lon) AS minx, min(lat) AS miny,
+                   max(lon) AS maxx, max(lat) AS maxy
+            FROM t GROUP BY 1
         """,
         "hull_parcels": f"""
             SELECT parcel_id, CAST(4 AS BIGINT) AS n_vertices,
