@@ -203,6 +203,31 @@ def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
+def _q_clip_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rastertoolz clip2shp analog: pixels whose centers fall inside the
+    non-convex L boundary. Pixel centers sit strictly off the boundary
+    lattice, so membership is unambiguous closed-form rect logic."""
+    import numpy as np
+    from spandex_spark.operators.zonal import clip_raster
+    lx = np.array([-6.0, 6.0, 6.0, 0.0, 0.0, -6.0])
+    ly = np.array([-6.0, -6.0, 0.0, 0.0, 6.0, 6.0])
+    out = clip_raster(raster_tiles_df(spark), lx, ly)
+    return out.select("tile_id", "lon_c", "lat_c",
+                      (F.round("v", 6) + 0.0).alias("v"))
+
+
+def _q_raster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rastertoolz resample analog: 5x mean-pool of each 50x50 tile; the
+    oracle recomputes every 5x5 block average from the pixel closed form."""
+    from spandex_spark.operators.zonal import downsample
+    pooled = downsample(raster_tiles_df(spark), 5)
+    px = pooled.select("tile_id", F.posexplode("values"))
+    return px.select("tile_id",
+                     F.floor(F.col("pos") / 10).cast("long").alias("pr"),
+                     (F.col("pos") % 10).cast("long").alias("pc"),
+                     (F.round("col", 6) + 0.0).alias("pv"))
+
+
 def _q_extent_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Extent analog: PIP-tag the points, then the bbox aggregate of
     each zone's points — pure JVM min/max after the two-phase spatial
@@ -808,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_groups": _q_dissolve_groups,
         "hull_parcels": _q_hull_parcels,
         "extent_by_zone": _q_extent_by_zone,
+        "clip_raster": _q_clip_raster,
+        "raster_downsample": _q_raster_downsample,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
         "trim_area": _q_trim_area,
@@ -1064,6 +1091,28 @@ def oracle_sql() -> dict[str, str]:
             ) z
             WHERE LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0) > 0
               AND LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0) > 0
+        """,
+        "clip_raster": f"""
+            SELECT tile_id, lon_c, lat_c,
+                   round(sin(lon_c) + cos(lat_c), 6) + 0.0 AS v
+            FROM ({_PIXELS})
+            WHERE (lon_c > -6 AND lon_c < 6 AND lat_c > -6 AND lat_c < 0)
+               OR (lon_c > -6 AND lon_c < 0 AND lat_c > 0 AND lat_c < 6)
+        """,
+        "raster_downsample": """
+            WITH px AS (
+              SELECT t AS tile_id,
+                     sin((-10.0 + CAST(t % 8 AS DOUBLE) * 2.5)
+                         + (CAST(p % 50 AS DOUBLE) + 0.5) * 0.05)
+                     + cos((-10.0 + CAST(t // 8 AS DOUBLE) * 2.5)
+                         + (CAST(p // 50 AS DOUBLE) + 0.5) * 0.05) AS v,
+                     (p // 50) // 5 AS pr,
+                     (p % 50) // 5 AS pc
+              FROM range(64) a(t), range(2500) b(p)
+            )
+            SELECT tile_id, CAST(pr AS BIGINT) AS pr, CAST(pc AS BIGINT) AS pc,
+                   round(avg(v), 6) + 0.0 AS pv
+            FROM px GROUP BY 1, 2, 3
         """,
         "extent_by_zone": f"""
             WITH t AS (

@@ -146,6 +146,77 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
     return out.withColumnRenamed("zone_id", zone_id_col)
 
 
+def clip_raster(tiles: DataFrame, boundary_xs, boundary_ys) -> DataFrame:
+    """rastertoolz clip2shp analog: pixel rows (tile_id, lon_c, lat_c, v)
+    of every pixel whose CENTER lies inside the boundary polygon (even-odd,
+    same half-open edge rule as tagging). The boundary rides each task as
+    a closure (clip polygons are small by contract); tiles whose bbox
+    misses the boundary bbox are filtered JVM-side before any Python."""
+    bx = np.asarray(boundary_xs, np.float64)
+    by = np.asarray(boundary_ys, np.float64)
+    schema = T.StructType([T.StructField("tile_id", T.LongType()),
+                           T.StructField("lon_c", T.DoubleType()),
+                           T.StructField("lat_c", T.DoubleType()),
+                           T.StructField("v", T.DoubleType())])
+
+    def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                vals = np.asarray(row["values"], np.float64)
+                nx, ny, res = int(row["nx"]), int(row["ny"]), float(row["res"])
+                px = float(row["x0"]) + (np.arange(nx) + 0.5) * res
+                py = float(row["y0"]) + (np.arange(ny) + 0.5) * res
+                lon, lat = np.meshgrid(px, py)
+                lon, lat = lon.ravel(), lat.ravel()
+                mask = _geom.points_in_polygon(lon, lat, bx, by)
+                if mask.any():
+                    out.append(pd.DataFrame({
+                        "tile_id": int(row["tile_id"]),
+                        "lon_c": lon[mask], "lat_c": lat[mask],
+                        "v": vals[mask]}))
+            yield (pd.concat(out) if out else
+                   pd.DataFrame({"tile_id": pd.Series([], dtype="int64"),
+                                 "lon_c": [], "lat_c": [], "v": []}))
+
+    pruned = tiles.filter(
+        (F.col("x0") < float(bx.max()))
+        & (F.col("x0") + F.col("res") * F.col("nx") > float(bx.min()))
+        & (F.col("y0") < float(by.max()))
+        & (F.col("y0") + F.col("res") * F.col("ny") > float(by.min())))
+    return pruned.mapInPandas(_clip, schema=schema)
+
+
+def downsample(tiles: DataFrame, factor: int) -> DataFrame:
+    """rastertoolz to_matrix/resample analog: mean-pool each tile by
+    ``factor`` (nx, ny divisible by it), emitting the same tile-table
+    shape at res*factor — a narrow per-tile map, no shuffle."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    out_schema = tiles.schema
+
+    def _pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                nx, ny = int(row["nx"]), int(row["ny"])
+                if nx % factor or ny % factor:
+                    raise ValueError(
+                        f"tile {row['tile_id']}: {nx}x{ny} not divisible "
+                        f"by {factor}")
+                v = np.asarray(row["values"], np.float64).reshape(ny, nx)
+                p = v.reshape(ny // factor, factor,
+                              nx // factor, factor).mean(axis=(1, 3))
+                rows.append({"tile_id": int(row["tile_id"]),
+                             "x0": float(row["x0"]), "y0": float(row["y0"]),
+                             "res": float(row["res"]) * factor,
+                             "nx": nx // factor, "ny": ny // factor,
+                             "values": p.ravel().tolist()})
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(_pool, schema=out_schema)
+
+
 @pandas_udf(T.ArrayType(T.LongType()))
 def _tile_cells_udf(x0: pd.Series, y0: pd.Series, res: pd.Series,
                     nx: pd.Series, ny: pd.Series, level: pd.Series) -> pd.Series:
