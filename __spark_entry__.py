@@ -203,6 +203,23 @@ def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
+def _q_clip_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim for LINES (ST_Intersection(line, polygon) analog): meridional
+    roads clipped to the non-convex L boundary. Interval-union clipping is
+    boundary-INCLUSIVE, so the closed form is: roads at lon in [-6, 0]
+    keep y in [-6, 6] (length 12), lon in (0, 6] keep y in [-6, 0]
+    (length 6), |lon| > 6 vanish."""
+    import numpy as np
+    from spandex_spark.operators.lines import clip_lines
+    from spandex_spark.sources.grids import roads_df
+    lx = np.array([-6.0, 6.0, 6.0, 0.0, 0.0, -6.0])
+    ly = np.array([-6.0, -6.0, 0.0, 0.0, 6.0, 6.0])
+    out = clip_lines(roads_df(spark), lx, ly, line_id_col="road_id")
+    return (out.filter(F.col("geom_clipped").isNotNull())
+            .select("road_id",
+                    (F.round("clip_len_deg", 6) + 0.0).alias("clip_len_deg")))
+
+
 def _q_clip_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rastertoolz clip2shp analog: pixels whose centers fall inside the
     non-convex L boundary. Pixel centers sit strictly off the boundary
@@ -834,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_parcels": _q_hull_parcels,
         "extent_by_zone": _q_extent_by_zone,
         "clip_raster": _q_clip_raster,
+        "clip_roads": _q_clip_roads,
         "raster_downsample": _q_raster_downsample,
         "reproject": _q_reproject,
         "reproject_utm": _q_reproject_utm,
@@ -1091,6 +1109,13 @@ def oracle_sql() -> dict[str, str]:
             ) z
             WHERE LEAST(p.x1, z.zx1) - GREATEST(p.x0, z.zx0) > 0
               AND LEAST(p.y1, z.zy1) - GREATEST(p.y0, z.zy0) > 0
+        """,
+        "clip_roads": """
+            SELECT CAST(g AS BIGINT) AS road_id,
+                   CAST(CASE WHEN g - 8 <= 0 THEN 12.0 ELSE 6.0 END
+                        AS DOUBLE) AS clip_len_deg
+            FROM range(17) t(g)
+            WHERE g - 8 >= -6 AND g - 8 <= 6
         """,
         "clip_raster": f"""
             SELECT tile_id, lon_c, lat_c,

@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from spandex_spark import geom as _geom
+from spandex_spark.operators import trim as _trim
 
 
 def line_length(df: DataFrame, *, geom_col: str = "geom",
@@ -114,6 +115,116 @@ def nearest_line_join(points: DataFrame, lines: DataFrame, *, k: int,
         scan, schema=schema)
     return out.select(F.col("p").alias(point_id_col), "rank",
                       F.col("lid").alias(line_id_col), "dist_deg")
+
+
+def _segment_clip_intervals(ax, ay, bx, by, pieces):
+    """Union of parameter intervals [t0, t1] of segment a->b inside the
+    (convex, CCW) pieces — inclusive Cyrus-Beck per piece, intervals
+    merged exactly so a segment crossing several tiling pieces (or lying
+    on a shared diagonal) is counted once."""
+    ivals = []
+    for px_, py_ in pieces:
+        t0, t1 = 0.0, 1.0
+        ok = True
+        n = px_.shape[0]
+        for i in range(n):
+            vx, vy = px_[i], py_[i]
+            ex, ey = px_[(i + 1) % n] - vx, py_[(i + 1) % n] - vy
+            c0 = ex * (ay - vy) - ey * (ax - vx)
+            dc = ex * (by - ay) - ey * (bx - ax)
+            if dc == 0.0:
+                if c0 < 0.0:
+                    ok = False
+                    break
+            elif dc > 0.0:
+                t0 = max(t0, -c0 / dc)
+            else:
+                t1 = min(t1, -c0 / dc)
+            if t0 > t1:
+                ok = False
+                break
+        if ok and t1 > t0:
+            ivals.append((t0, t1))
+    if not ivals:
+        return []
+    ivals.sort()
+    merged = [list(ivals[0])]
+    for a, b in ivals[1:]:
+        if a <= merged[-1][1] + 1e-12:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    return merged
+
+
+def clip_lines(lines: DataFrame, boundary_xs: np.ndarray,
+               boundary_ys: np.ndarray, *, geom_col: str = "geom",
+               line_id_col: str = "line_id") -> DataFrame:
+    """Clip linestrings to a polygon boundary (trim for lines — the
+    ST_Intersection(line, polygon) analog). Convex boundaries clip
+    directly; non-convex ear-clip into triangles, with per-segment
+    PARAMETER-INTERVAL UNION so sub-segments shared between adjacent
+    triangles (or lying on a triangulation diagonal) are never double
+    counted. Boundary-inclusive (a line along the polygon edge is kept).
+
+    Returns (line_id_col, clipped geometry [multi-part, NULL if fully
+    outside], clip_len_deg). Narrow per-feature map — no shuffle."""
+    bx = np.asarray(boundary_xs, np.float64)
+    by = np.asarray(boundary_ys, np.float64)
+    if _geom.shoelace_area(bx, by) < 0:
+        bx, by = bx[::-1].copy(), by[::-1].copy()
+    if _geom._is_convex_ccw(bx, by):
+        pieces = [(bx, by)]
+    else:
+        pieces = [(bx[list(t)], by[list(t)])
+                  for t in _geom.ear_clip_triangulate(bx, by)]
+
+    out_type = T.StructType([
+        T.StructField("geom", _trim._GEOM_TYPE),
+        T.StructField("clip_len_deg", T.DoubleType()),
+    ])
+
+    @pandas_udf(out_type)
+    def _clip(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.DataFrame:
+        geoms, lens = [], []
+        for x, y, o in zip(xs, ys, offs):
+            sx = np.asarray(x, np.float64)
+            sy = np.asarray(y, np.float64)
+            oo = (np.asarray(o, np.int64)
+                  if o is not None and len(o) > 2 else None)
+            parts = []
+            total = 0.0
+            for px_, py_ in _geom.rings_of(sx, sy, oo):
+                for i in range(px_.shape[0] - 1):
+                    ax_, ay_ = float(px_[i]), float(py_[i])
+                    bx_, by_ = float(px_[i + 1]), float(py_[i + 1])
+                    seglen = float(np.hypot(bx_ - ax_, by_ - ay_))
+                    for t0, t1 in _segment_clip_intervals(ax_, ay_, bx_, by_,
+                                                          pieces):
+                        parts.append((ax_ + t0 * (bx_ - ax_),
+                                      ay_ + t0 * (by_ - ay_),
+                                      ax_ + t1 * (bx_ - ax_),
+                                      ay_ + t1 * (by_ - ay_)))
+                        total += (t1 - t0) * seglen
+            if not parts:
+                geoms.append(None)
+                lens.append(0.0)
+            else:
+                gx = [c for p in parts for c in (p[0], p[2])]
+                gy = [c for p in parts for c in (p[1], p[3])]
+                ro = list(range(0, 2 * len(parts) + 1, 2))
+                geoms.append({"kind": 2, "xs": gx, "ys": gy,
+                              "ring_offsets": ro,
+                              "bbox": {"minx": min(gx), "miny": min(gy),
+                                       "maxx": max(gx), "maxy": max(gy)}})
+                lens.append(total)
+        return pd.DataFrame({"geom": geoms, "clip_len_deg": lens})
+
+    g = F.col(geom_col)
+    out = lines.withColumn("_c", _clip(g["xs"], g["ys"], g["ring_offsets"]))
+    return (out.select(line_id_col,
+                       F.col("_c.geom").alias("geom_clipped"),
+                       F.col("_c.clip_len_deg").alias("clip_len_deg")))
 
 
 _SEG_CELL_TYPE = T.ArrayType(T.StructType([

@@ -4,6 +4,7 @@ doesn't fit in executor memory."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from spandex_spark.geotag import geotag
@@ -324,3 +325,69 @@ class TestCellsNearestLine:
                                 line_id_col="line_id", strategy="cells",
                                 level=6).collect()}
         assert a2 == b2
+
+
+class TestClipLines:
+    def test_diagonals_vs_sampled_length(self, spark):
+        """Random diagonal lines clipped to the L: clipped length must
+        match a dense point-sampling estimate of |line ∩ L| (interval
+        union across ear-clip triangles — no double counting)."""
+        import numpy as np
+        from spandex_spark import geom as G
+        from spandex_spark.operators.lines import clip_lines
+        rng = np.random.default_rng(31)
+        lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        rows = []
+        segs = {}
+        for lid in range(25):
+            a = rng.uniform(-1, 3, 2)
+            b = rng.uniform(-1, 3, 2)
+            segs[lid] = (a, b)
+            rows.append((lid, {
+                "kind": 2, "xs": [float(a[0]), float(b[0])],
+                "ys": [float(a[1]), float(b[1])], "ring_offsets": [0, 2],
+                "bbox": {"minx": float(min(a[0], b[0])),
+                         "miny": float(min(a[1], b[1])),
+                         "maxx": float(max(a[0], b[0])),
+                         "maxy": float(max(a[1], b[1]))}}))
+        df = spark.createDataFrame(
+            rows, "line_id long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        got = {r.line_id: r.clip_len_deg
+               for r in clip_lines(df, lx, ly).collect()}
+        for lid, (a, b) in segs.items():
+            t = np.linspace(0, 1, 200_001)
+            px = a[0] + t * (b[0] - a[0])
+            py = a[1] + t * (b[1] - a[1])
+            inside = G.points_in_polygon(px, py, lx, ly)
+            want = inside.mean() * float(np.hypot(*(b - a)))
+            assert got.get(lid, 0.0) == pytest.approx(want, abs=2e-4)
+
+    def test_multipart_output_and_geometry_length(self, spark):
+        """A horizontal line crossing the notch exits and re-enters? (No —
+        the L is y-monotone for horizontals at y<1.) Use a vertical-ish
+        check instead: a line along y=1.5 crosses only the left arm; the
+        emitted parts' summed length equals clip_len_deg."""
+        import numpy as np
+        from spandex_spark.operators.lines import clip_lines
+        lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        df = spark.createDataFrame(
+            [(0, {"kind": 2, "xs": [-1.0, 3.0], "ys": [1.5, 1.5],
+                  "ring_offsets": [0, 2],
+                  "bbox": {"minx": -1.0, "miny": 1.5, "maxx": 3.0,
+                           "maxy": 1.5}})],
+            "line_id long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        r = clip_lines(df, lx, ly).collect()[0]
+        assert r.clip_len_deg == pytest.approx(1.0, abs=1e-9)
+        g = r.geom_clipped
+        parts = np.diff(np.asarray(g.ring_offsets))
+        assert (parts == 2).all()
+        xs, ys = np.asarray(g.xs), np.asarray(g.ys)
+        total = sum(np.hypot(xs[o + 1] - xs[o], ys[o + 1] - ys[o])
+                    for o in g.ring_offsets[:-1])
+        assert total == pytest.approx(r.clip_len_deg, rel=1e-12)
