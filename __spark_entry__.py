@@ -79,6 +79,28 @@ def _q_pip_tag_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "dz_id")
 
 
+def _q_pip_tag_shapefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 on the board: the donut zone layer is round-tripped through an
+    actual ESRI shapefile (pure-numpy writer+reader, sources/shapefile.py
+    — ring closure/orientation conversions included) and must tag
+    IDENTICALLY to the generated layer: same oracle as pip_tag_holes."""
+    import tempfile
+    from spandex_spark.operators import tag_points
+    from spandex_spark.sources.grids import donut_zones_df
+    from spandex_spark.sources.shapefile import (read_shapefile,
+                                                 write_shapefile)
+    rows = [(r[0], r[1].asDict(recursive=True))
+            for r in donut_zones_df(spark).select("dz_id", "geom").collect()]
+    path = os.path.join(tempfile.mkdtemp(), "donut")
+    write_shapefile(path, rows)
+    zones = read_shapefile(spark, path).withColumnRenamed("id", "dz_id")
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = tag_points(pts, zones, poly_id_col="dz_id",
+                     point_id_col="c_custkey", level=7)
+    return out.select("c_custkey", "dz_id")
+
+
 def _q_pip_tag_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/E1 on MULTIPOLYGONs: two disjoint parts share one zone id; a hit
     in either part tags the id."""
@@ -835,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_tag": _q_pip_tag,
         "pip_tag_holes": _q_pip_tag_holes,
         "pip_tag_multipart": _q_pip_tag_multipart,
+        "pip_tag_shapefile": _q_pip_tag_shapefile,
         "tag_shuffle": _q_tag_shuffle,
         "knn_cells": _q_knn_cells,
         "ann_lsh": _q_ann_lsh,
@@ -1551,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
     # the scale-path variants must reproduce the broadcast paths EXACTLY,
     # so they share the same oracles
     d["tag_shuffle"] = d["pip_tag"]
+    d["pip_tag_shapefile"] = d["pip_tag_holes"]
     d["knn_cells"] = d["knn"]
     d["nearest_road_cells"] = d["nearest_road"]
     d["asof_join_bucketed"] = d["asof_join"]
