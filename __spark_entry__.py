@@ -375,6 +375,31 @@ def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_wmean", 6) + 0.0).alias("px_wmean"))
 
 
+def _q_zonal_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 ingest on the board: the raster is written out as ONE baseline
+    GeoTIFF (pure-numpy writer), re-read + re-tiled by the pure-numpy
+    reader (sources/geotiff.py), and must produce byte-identical zonal
+    statistics — same oracle as `zonal`."""
+    import tempfile
+    import numpy as np
+    from spandex_spark.operators import zonal_stats
+    from spandex_spark.sources.geotiff import read_geotiff, write_geotiff
+    full = np.zeros((400, 400))
+    for r in raster_tiles_df(spark).collect():
+        rr = round((r.y0 + 10.0) / 0.05)
+        cc = round((r.x0 + 10.0) / 0.05)
+        full[rr:rr + 50, cc:cc + 50] = np.asarray(r.values).reshape(50, 50)
+    path = os.path.join(tempfile.mkdtemp(), "raster.tif")
+    write_geotiff(path, full[::-1], x0=-10.0, y0=-10.0, res=0.05)
+    tiles = read_geotiff(spark, path, tile_rows=100, tile_cols=100)
+    out = zonal_stats(tiles, zones_df(spark), level=7)
+    return out.select("zone_id", "px_count",
+                      (F.round("px_sum", 6) + 0.0).alias("px_sum"),
+                      (F.round("px_mean", 6) + 0.0).alias("px_mean"),
+                      (F.round("px_min", 6) + 0.0).alias("px_min"),
+                      (F.round("px_max", 6) + 0.0).alias("px_max"))
+
+
 def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5: EPSG:4326 → 3857 analytic reprojection."""
     from spandex_spark.operators import reproject
@@ -869,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_area": _q_geodesic_area,
         "zonal": _q_zonal,
         "zonal_weighted": _q_zonal_weighted,
+        "zonal_geotiff": _q_zonal_geotiff,
         "simplify_parcels": _q_simplify,
         "dissolve_groups": _q_dissolve_groups,
         "hull_parcels": _q_hull_parcels,
@@ -1575,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
     # so they share the same oracles
     d["tag_shuffle"] = d["pip_tag"]
     d["pip_tag_shapefile"] = d["pip_tag_holes"]
+    d["zonal_geotiff"] = d["zonal"]
     d["knn_cells"] = d["knn"]
     d["nearest_road_cells"] = d["nearest_road"]
     d["asof_join_bucketed"] = d["asof_join"]

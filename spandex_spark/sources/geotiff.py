@@ -1,0 +1,158 @@
+"""O7 ingest — GeoTIFF raster load, pure numpy, no GDAL/rasterio.
+
+Reference semantics: spandex/rastertoolz.py::from_geotiff (rasterio
+based). The environment has no raster libs, but baseline (uncompressed,
+stripped) TIFF 6.0 + the GeoTIFF georeferencing tags are public specs
+simple enough to parse directly: a byte-order header, a chain of IFDs
+holding (tag, type, count, value) entries, strip offsets for the pixel
+matrix, and GeoTIFF's ModelPixelScale (33550) + ModelTiepoint (33922)
+tags mapping raster (col, row) to (lon, lat).
+
+Supported: single-band, uncompressed (Compression=1), stripped, sample
+formats uint8/16/32, int8/16/32, float32/64, either byte order. The
+writer emits the same subset so round-trips are testable without binary
+fixtures; byte-level spec assertions in tests/test_geotiff.py keep the
+pair honest.
+
+Output is the engine's raster TILE TABLE (tile_id, x0, y0, res, nx, ny,
+values row-major ascending-latitude) — the reader retiles a big image
+into ``tile_rows`` × ``tile_cols`` chunks so one GeoTIFF fans out across
+executors; zonal_stats/clip_raster/downsample consume it unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TIFF_TYPES = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
+               11: ("f", 4), 12: ("d", 8)}
+
+
+def write_geotiff(path: str, arr: np.ndarray, *, x0: float, y0: float,
+                  res: float) -> None:
+    """Write a single-band float64 GeoTIFF (little-endian, one strip).
+    ``arr`` is row-major with row 0 at the TOP (max latitude), per TIFF
+    convention; (x0, y0) is the lower-left corner of the covered box."""
+    arr = np.asarray(arr, np.float64)
+    ny, nx = arr.shape
+    data = arr.astype("<f8").tobytes()
+    # layout: 8-byte header | pixel data | IFD | out-of-line tag values
+    data_off = 8
+    ifd_off = data_off + len(data)
+    entries = [
+        (256, 4, 1, nx),             # ImageWidth
+        (257, 4, 1, ny),             # ImageLength
+        (258, 3, 1, 64),             # BitsPerSample
+        (259, 3, 1, 1),              # Compression = none
+        (273, 4, 1, data_off),       # StripOffsets
+        (278, 4, 1, ny),             # RowsPerStrip
+        (279, 4, 1, len(data)),      # StripByteCounts
+        (339, 3, 1, 3),              # SampleFormat = IEEE float
+        (33550, 12, 3, None),        # ModelPixelScale (out-of-line)
+        (33922, 12, 6, None),        # ModelTiepoint (out-of-line)
+    ]
+    tail_off = ifd_off + 2 + len(entries) * 12 + 4
+    scale_off = tail_off
+    tie_off = scale_off + 3 * 8
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    out += data
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        if tag == 33550:
+            out += struct.pack("<I", scale_off)
+        elif tag == 33922:
+            out += struct.pack("<I", tie_off)
+        elif typ == 3:
+            out += struct.pack("<HH", value, 0)
+        else:
+            out += struct.pack("<I", value)
+    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<3d", res, res, 0.0)
+    # tiepoint: raster (0,0) [top-left] ↦ model (x0, y0 + ny*res)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0 + ny * res, 0.0)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def _read_ifd(buf: bytes, bo: str):
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    (n,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
+    tags = {}
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
+        fmt, size = _TIFF_TYPES.get(typ, (None, None))
+        if fmt is None:
+            continue
+        total = size * count
+        if total <= 4:
+            raw = buf[e + 8:e + 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", buf[e + 8:e + 12])
+            raw = buf[off:off + total]
+        vals = struct.unpack(bo + fmt * count, raw)
+        tags[tag] = vals
+    return tags
+
+
+def read_geotiff(spark, path: str, *, tile_rows: int = 256,
+                 tile_cols: int = 256):
+    """Parse a baseline GeoTIFF into the raster tile table. The pixel
+    matrix is decoded driver-side (one vectorized frombuffer per strip)
+    and re-tiled so downstream zonal/clip work distributes."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    tags = _read_ifd(buf, bo)
+    nx = tags[256][0]
+    ny = tags[257][0]
+    bits = tags.get(258, (64,))[0]
+    comp = tags.get(259, (1,))[0]
+    if comp != 1:
+        raise NotImplementedError(f"compression {comp} (baseline only)")
+    sfmt = tags.get(339, (1,))[0]
+    dt = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+          (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+          (3, 32): "f4", (3, 64): "f8"}.get((sfmt, bits))
+    if dt is None:
+        raise NotImplementedError(f"sample format {sfmt}/{bits}")
+    dtype = np.dtype(bo + dt)
+    offsets = tags[273]
+    counts = tags[279]
+    rows_per_strip = tags.get(278, (ny,))[0]
+    parts = [np.frombuffer(buf, dtype, c // dtype.itemsize, o)
+             for o, c in zip(offsets, counts)]
+    arr = np.concatenate(parts).astype(np.float64).reshape(ny, nx)
+    sx, sy = tags[33550][0], tags[33550][1]
+    tp = tags[33922]
+    # model coords of raster top-left pixel corner
+    top_x = tp[3] - tp[0] * sx
+    top_y = tp[4] + tp[1] * sy
+    res = float(sx)
+    if abs(sy - sx) > 1e-12 * max(abs(sx), 1.0):
+        raise NotImplementedError("anisotropic pixel scale")
+    # flip to engine convention: row 0 at MIN latitude
+    arr = arr[::-1]
+    y0_all = top_y - ny * res
+    rows = []
+    tid = 0
+    for r0 in range(0, ny, tile_rows):
+        for c0 in range(0, nx, tile_cols):
+            sub = arr[r0:r0 + tile_rows, c0:c0 + tile_cols]
+            rows.append((tid, float(top_x + c0 * res),
+                         float(y0_all + r0 * res), res,
+                         int(sub.shape[1]), int(sub.shape[0]),
+                         sub.ravel().tolist()))
+            tid += 1
+    return spark.createDataFrame(
+        rows, "tile_id long, x0 double, y0 double, res double, "
+              "nx int, ny int, values array<double>")

@@ -1,0 +1,104 @@
+"""GeoTIFF ingest: pure-numpy baseline-TIFF reader/writer vs the public
+spec. Byte-level header assertions keep the writer honest; the loaded
+raster must drive zonal_stats identically to the generated tile table."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spandex_spark.sources.geotiff import read_geotiff, write_geotiff
+
+
+class TestGeoTiff:
+    def test_round_trip_values_and_georef(self, spark, tmp_path):
+        rng = np.random.default_rng(4)
+        arr = rng.normal(size=(40, 60))
+        p = str(tmp_path / "t.tif")
+        write_geotiff(p, arr, x0=-3.0, y0=2.0, res=0.25)
+        df = read_geotiff(spark, p, tile_rows=16, tile_cols=32)
+        tiles = {r.tile_id: r for r in df.collect()}
+        # reassemble: engine rows ascend in latitude; TIFF rows descend
+        full = np.full((40, 60), np.nan)
+        for r in tiles.values():
+            rr = round((r.y0 - 2.0) / 0.25)
+            cc = round((r.x0 + 3.0) / 0.25)
+            full[rr:rr + r.ny, cc:cc + r.nx] = \
+                np.asarray(r.values).reshape(r.ny, r.nx)
+        np.testing.assert_allclose(full, arr[::-1], rtol=0, atol=0)
+
+    def test_bytes_match_spec(self, tmp_path):
+        p = str(tmp_path / "s.tif")
+        write_geotiff(p, np.zeros((4, 5)), x0=0.0, y0=0.0, res=1.0)
+        buf = open(p, "rb").read()
+        assert buf[:4] == b"II*\x00"
+        (ifd,) = struct.unpack("<I", buf[4:8])
+        (n,) = struct.unpack("<H", buf[ifd:ifd + 2])
+        tags = {}
+        for i in range(n):
+            e = ifd + 2 + i * 12
+            tag, typ, cnt = struct.unpack("<HHI", buf[e:e + 8])
+            tags[tag] = (typ, cnt)
+        assert tags[256] == (4, 1) and tags[257] == (4, 1)
+        assert tags[259] == (3, 1)          # uncompressed
+        assert tags[339] == (3, 1)          # sample format tag present
+        assert tags[33550] == (12, 3)       # ModelPixelScale
+        assert tags[33922] == (12, 6)       # ModelTiepoint
+        assert sorted(tags) == list(tags)   # IFD entries ascending per spec
+
+    def test_big_endian_and_int_samples(self, spark, tmp_path):
+        """Reader handles MM byte order and integer samples (written by
+        hand here, since the writer emits II/f8 only)."""
+        arr = np.arange(12, dtype=">u2").reshape(3, 4)
+        data = arr.tobytes()
+        ifd_off = 8 + len(data)
+        entries = [(256, 4, 1, 4), (257, 4, 1, 3), (258, 3, 1, 16),
+                   (259, 3, 1, 1), (273, 4, 1, 8), (278, 4, 1, 3),
+                   (279, 4, 1, len(data)), (339, 3, 1, 1),
+                   (33550, 12, 3, None), (33922, 12, 6, None)]
+        tail = ifd_off + 2 + len(entries) * 12 + 4
+        out = b"MM\x00*" + struct.pack(">I", ifd_off) + data
+        out += struct.pack(">H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack(">HHI", tag, typ, cnt)
+            if tag == 33550:
+                out += struct.pack(">I", tail)
+            elif tag == 33922:
+                out += struct.pack(">I", tail + 24)
+            elif typ == 3:
+                out += struct.pack(">HH", val, 0)
+            else:
+                out += struct.pack(">I", val)
+        out += struct.pack(">I", 0)
+        out += struct.pack(">3d", 0.5, 0.5, 0.0)
+        out += struct.pack(">6d", 0, 0, 0, 10.0, 21.5, 0)
+        p = str(tmp_path / "be.tif")
+        open(p, "wb").write(out)
+        df = read_geotiff(spark, p)
+        r = df.collect()[0]
+        assert (r.x0, r.y0, r.res, r.nx, r.ny) == (10.0, 20.0, 0.5, 4, 3)
+        got = np.asarray(r.values).reshape(3, 4)
+        np.testing.assert_array_equal(got, np.arange(12).reshape(3, 4)[::-1])
+
+    def test_zonal_over_geotiff_matches_tile_table(self, spark, tmp_path):
+        """End-to-end: the bench raster written as ONE GeoTIFF, re-read and
+        re-tiled, must produce byte-identical zonal statistics."""
+        from spandex_spark.sources.grids import raster_tiles_df, zones_df
+        from spandex_spark.operators import zonal_stats
+        tiles = raster_tiles_df(spark)
+        # assemble the full 400x400 image (row-major ascending lat)
+        full = np.zeros((400, 400))
+        for r in tiles.collect():
+            rr = round((r.y0 + 10.0) / 0.05)
+            cc = round((r.x0 + 10.0) / 0.05)
+            full[rr:rr + 50, cc:cc + 50] = \
+                np.asarray(r.values).reshape(50, 50)
+        p = str(tmp_path / "full.tif")
+        write_geotiff(p, full[::-1], x0=-10.0, y0=-10.0, res=0.05)
+        loaded = read_geotiff(spark, p, tile_rows=100, tile_cols=100)
+        a = {r.zone_id: (r.px_count, round(r.px_sum, 9))
+             for r in zonal_stats(tiles, zones_df(spark), level=7).collect()}
+        b = {r.zone_id: (r.px_count, round(r.px_sum, 9))
+             for r in zonal_stats(loaded, zones_df(spark), level=7).collect()}
+        assert a == b
