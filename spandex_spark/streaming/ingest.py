@@ -87,6 +87,29 @@ def stream_tag_pages(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def stream_zone_rates(spark: SparkSession, input_dir: str,
+                      zones: DataFrame, gazetteer: DataFrame | None = None,
+                      window: str = "1 hour", watermark: str = "2 hours",
+                      level: int = 9, query_name: str = "zone_rates"):
+    """Streaming SPATIAL analytics: geotag → PIP tag → windowed per-zone
+    page counts with late-data watermarking — the live-heatmap shape
+    (which zones are hot right now). The spatial join is stateless, the
+    windowed agg carries the only state, bounded by the watermark."""
+    from spandex_spark.operators.tag import tag_points
+    pages = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir))
+    pts = geotag(pages, gazetteer).filter(F.col("lon").isNotNull())
+    tagged = tag_points(pts, zones, poly_id_col="zone_id",
+                        point_id_col="url", level=level,
+                        assume_disjoint=True)
+    agg = (tagged.withWatermark("warc_ts", watermark)
+           .groupBy(F.window("warc_ts", window).alias("w"), "zone_id")
+           .agg(F.count("*").alias("n_pages"))
+           .select(F.col("w.start").alias("window_start"), "zone_id",
+                   "n_pages"))
+    return (agg.writeStream.format("memory").queryName(query_name)
+            .outputMode("complete").trigger(availableNow=True).start())
+
+
 def stream_page_rates(spark: SparkSession, input_dir: str,
                       checkpoint_dir: str, window: str = "1 hour",
                       watermark: str = "2 hours"):

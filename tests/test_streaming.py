@@ -74,3 +74,25 @@ def test_stream_spatial_tag_matches_batch(spark, fixture_dir, tmp_path):
         assert -10 <= r.lon < 10 and -10 <= r.lat < 10  # inner semantics
         assert r.zone_id == int((np.floor(r.lat) + 10) * 20
                                 + (np.floor(r.lon) + 10))
+
+
+def test_stream_zone_rates_matches_batch(spark, fixture_dir, tmp_path):
+    """Windowed per-zone streaming counts == batch groupBy over the same
+    files (watermark never drops rows in availableNow backfill)."""
+    from spandex_spark.operators.tag import tag_points
+    from spandex_spark.streaming.ingest import stream_zone_rates
+    src = _stage_dir(fixture_dir, tmp_path, "in4")
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    zones = spark.read.parquet(os.path.join(fixture_dir, "zones.parquet"))
+    q = stream_zone_rates(spark, src, zones, gazetteer=gaz,
+                          query_name="zr_test")
+    q.awaitTermination(120)
+    got = {(r.window_start, r.zone_id): r.n_pages
+           for r in spark.sql("select * from zr_test").collect()}
+    pts = geotag(spark.read.parquet(src), gaz).filter(F.col("lon").isNotNull())
+    batch = (tag_points(pts, zones, poly_id_col="zone_id", point_id_col="url",
+                        level=9, assume_disjoint=True)
+             .groupBy(F.window("warc_ts", "1 hour").alias("w"), "zone_id")
+             .agg(F.count("*").alias("n")))
+    want = {(r.w.start, r.zone_id): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
