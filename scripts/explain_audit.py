@@ -54,6 +54,19 @@ CHECKS = {
                          "codegen — no Python for rect×rect pairs"),
         ("BroadcastHashJoin", "overlay side broadcast"),
     ],
+    "dwithin (range join)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators — candidate cells from sequence/explode "
+         "column arithmetic, exact predicate in codegen"),
+        ("Generate explode", "radius-box candidate cells"),
+        (r"pmod", "antimeridian wrap via pmod on the cell column"),
+    ],
+    "corpus_select (curation pipeline)": [
+        (r"Exchange hashpartitioning[\s\S]*sha", "the content-digest dedup "
+         "window is the pipeline's shuffle"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators — lang/quality/tokens all codegen"),
+    ],
 }
 
 
@@ -108,6 +121,14 @@ def main():
     plans["overlay sph_m2 (geodesic)"] = proportion_overlap(
         parcels_df(spark), zones_df(spark), target_id_col="parcel_id",
         overlay_id_col="zone_id", level=8, area_unit="sph_m2")
+    from spandex_spark.operators.distance import within_distance_join
+    plans["dwithin (range join)"] = within_distance_join(
+        pts, gazetteer_grid_df(spark), radius=0.5, point_id_col="c_custkey",
+        feature_id_col="poi_k", metric="planar")
+    from spandex_spark.corpus import corpus_select
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plans["corpus_select (curation pipeline)"] = corpus_select(
+        docs, langs=("en", "fr"), min_quality=0.45, min_tokens=5)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
