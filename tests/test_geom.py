@@ -570,3 +570,27 @@ class TestConvexHull:
         hx, hy = geom.convex_hull(xs, ys)
         assert hx.shape[0] == 2
         assert {(hx[0], hy[0]), (hx[1], hy[1])} == {(0.0, 0.0), (3.0, 3.0)}
+
+
+class TestDissolveProperties:
+    @given(st.lists(st.integers(0, 3), min_size=16, max_size=16))
+    @settings(max_examples=60, deadline=None)
+    def test_random_grid_partitions_preserve_area(self, labels):
+        """Partition a 4x4 unit-square grid into up to 4 label groups;
+        dissolving each group must preserve its exact area, emit only
+        >=3-vertex rings, and the per-group regions must sum to 16."""
+        groups = {}
+        for idx, lab in enumerate(labels):
+            r, c = divmod(idx, 4)
+            xs = np.array([c, c + 1, c + 1, c], dtype=np.float64)
+            ys = np.array([r, r, r + 1, r + 1], dtype=np.float64)
+            groups.setdefault(lab, []).append((xs, ys))
+        total = 0.0
+        for lab, rings in groups.items():
+            merged = geom.dissolve_rings(rings)
+            area = sum(geom.shoelace_area(rx, ry) for rx, ry in merged)
+            assert area == pytest.approx(float(len(rings)), abs=1e-9)
+            for rx, ry in merged:
+                assert rx.shape[0] >= 3
+            total += area
+        assert total == pytest.approx(16.0, abs=1e-9)
