@@ -61,13 +61,20 @@ def within_distance_join(points: DataFrame, features: DataFrame, *,
                          p_lon: str = "lon", p_lat: str = "lat",
                          f_lon: str = "lon", f_lat: str = "lat",
                          metric: str = "haversine", level: int | None = None,
-                         broadcast_features: bool = False) -> DataFrame:
+                         broadcast_features: bool = False,
+                         salt_hot: list[int] | None = None,
+                         salt_fanout: int = 8) -> DataFrame:
     """All (point, feature) pairs with distance <= ``radius``.
 
     ``metric``: 'haversine' (radius in METERS, great-circle) or 'planar'
     (radius in DEGREES, exact FP-reproducible arithmetic for SQL-oracle
     parity). Returns (point_id_col, feature_id_col, dist) where dist is
     meters or degrees to match the metric.
+
+    ``salt_hot``: explicit mega-cell mitigation (E3, operators/skew.py) —
+    the listed cell keys join on (cell, salt) with the feature side fanned
+    out ``salt_fanout``×, splitting a dense-city cell's shuffle partition.
+    Result-identical; pointless under ``broadcast_features``.
     """
     if metric not in ("haversine", "planar"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -117,7 +124,15 @@ def within_distance_join(points: DataFrame, features: DataFrame, *,
     if broadcast_features:
         fc = F.broadcast(fc)
 
-    cand = pc.join(fc, "_ck").drop("_ck")
+    if salt_hot:
+        from spandex_spark.operators.skew import salted_cell_join
+        cand = salted_cell_join(
+            pc.withColumnRenamed("_ck", "cell"),
+            fc.withColumnRenamed("_ck", "cell"),
+            hot=salt_hot, fanout=salt_fanout,
+            point_salt_col="_pid").drop("cell")
+    else:
+        cand = pc.join(fc, "_ck").drop("_ck")
     if metric == "haversine":
         dist = haversine_expr(F.col("_plon"), F.col("_plat"),
                               F.col("_flon"), F.col("_flat"))

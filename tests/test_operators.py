@@ -496,3 +496,37 @@ class TestBuffer:
         for r in out:
             assert r.proportion_overlap == pytest.approx(1.0, abs=1e-9)
             assert r.target_area == pytest.approx(ngon, rel=1e-12)
+
+    def test_salted_equals_unsalted(self, spark):
+        """E3 salting on the range join: identical pairs with a hot cell
+        split across salt buckets."""
+        from spandex_spark.operators.distance import within_distance_join
+        rng = np.random.default_rng(13)
+        # dense cluster in one cell + scattered background
+        px = np.concatenate([rng.uniform(0.0, 0.3, 3000),
+                             rng.uniform(-10, 10, 500)])
+        py = np.concatenate([rng.uniform(0.0, 0.3, 3000),
+                             rng.uniform(-10, 10, 500)])
+        p = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(px, py))],
+            "pid long, lon double, lat double")
+        f = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-10, 10, 400), rng.uniform(-10, 10, 400)))],
+            "fid long, lon double, lat double")
+        base = {(r.pid, r.fid) for r in
+                within_distance_join(p, f, radius=0.8, point_id_col="pid",
+                                     feature_id_col="fid",
+                                     metric="planar").collect()}
+        # hot cell keys at the level the join picks for r=0.8 (level 7)
+        from spandex_spark.operators.distance import level_for_radius
+        lvl = level_for_radius(0.8)
+        n = 1 << lvl
+        gx = int((0.15 + 180.0) / 360.0 * n)
+        gy = int((0.15 + 90.0) / 180.0 * n)
+        hot = [gy * n + gx]
+        salted = {(r.pid, r.fid) for r in
+                  within_distance_join(p, f, radius=0.8, point_id_col="pid",
+                                       feature_id_col="fid", metric="planar",
+                                       salt_hot=hot, salt_fanout=4).collect()}
+        assert salted == base and len(base) > 0
