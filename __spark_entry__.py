@@ -267,6 +267,18 @@ def _q_raster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.round("col", 6) + 0.0).alias("pv"))
 
 
+def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (scalable DBSCAN shape): dense cells
+    (>= 5 points at level 8) connect 4-adjacently into components via the
+    pointer-jumping CC; points get their component's min cell key, noise
+    gets NULL. Oracle: identical grid arithmetic + recursive-CTE closure."""
+    from spandex_spark.operators.cluster import grid_cluster
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    return grid_cluster(pts, level=8, min_count=5,
+                        point_id_col="c_custkey")
+
+
 def _q_extent_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Extent analog: PIP-tag the points, then the bbox aggregate of
     each zone's points — pure JVM min/max after the two-phase spatial
@@ -899,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_groups": _q_dissolve_groups,
         "hull_parcels": _q_hull_parcels,
         "extent_by_zone": _q_extent_by_zone,
+        "grid_cluster": _q_grid_cluster,
         "clip_raster": _q_clip_raster,
         "clip_roads": _q_clip_roads,
         "raster_downsample": _q_raster_downsample,
@@ -1441,6 +1454,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         FROM reach GROUP BY a
+    """
+    d["grid_cluster"] = f"""
+        WITH RECURSIVE k AS (
+          SELECT c_custkey,
+                 GREATEST(0, LEAST(255, CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT))) AS gx,
+                 GREATEST(0, LEAST(255, CAST(floor((lat + 90.0) / 180.0 * 256.0) AS BIGINT))) AS gy
+          FROM ({_PTS})
+        ),
+        kk AS (SELECT c_custkey, gy * 256 + gx AS ck, gx, gy FROM k),
+        dense AS (
+          SELECT ck, MIN(gx) AS gx, MIN(gy) AS gy
+          FROM kk GROUP BY ck HAVING count(*) >= 5
+        ),
+        edges AS (
+          SELECT a.ck AS src, b.ck AS dst
+          FROM dense a JOIN dense b
+            ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1
+        ),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        comp AS (
+          SELECT a AS ck, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+        ),
+        cellmap AS (
+          SELECT ck, cluster_id FROM comp
+          UNION ALL
+          SELECT ck, ck FROM dense WHERE ck NOT IN (SELECT ck FROM comp)
+        )
+        SELECT kk.c_custkey, cellmap.cluster_id
+        FROM kk LEFT JOIN cellmap USING (ck)
     """
     d["asof_join"] = """
         WITH r AS (

@@ -1,0 +1,60 @@
+"""Grid-density spatial clustering — the scalable DBSCAN shape.
+
+Classic DBSCAN is quadratic-ish and pointer-chasing; the 100 TB analog is
+GRID clustering: count points per cell, keep cells with >= min_count
+points ("dense", the minPts analog with eps = cell size), and connect
+4-adjacent dense cells into components. Every step is a hash aggregate or
+an equi-join, and the connected-components run on the DENSE-CELL graph —
+#cells rows, not #points — reusing the dedup pipeline's pointer-jumping
+min-label CC (operators/dedup.py::duplicate_clusters, Rastogi et al.).
+
+Output: each point labeled with its component's MIN dense-cell key
+(deterministic canonical id), NULL for noise points (sparse cells).
+
+Scale notes: one shuffle on the cell key for the histogram, O(log
+diameter) tiny CC rounds, one join back on the cell key. A city-sized
+blob is one component regardless of its point count; the per-point work
+never touches Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spandex_spark.functions.cells_sql import grid_coord_expr
+from spandex_spark.operators.dedup import duplicate_clusters
+
+
+def grid_cluster(points: DataFrame, *, level: int, min_count: int,
+                 point_id_col: str, lon_col: str = "lon",
+                 lat_col: str = "lat") -> DataFrame:
+    """Label each point with a density-cluster id (min dense-cell row-major
+    key in its 4-connected dense-cell component); sparse-cell points get
+    NULL. Returns (point_id_col, cluster_id)."""
+    n = 1 << level
+    gx = grid_coord_expr(F.col(lon_col), -180.0, 360.0, level)
+    gy = grid_coord_expr(F.col(lat_col), -90.0, 180.0, level)
+    pts = points.withColumn("_ck", (gy * F.lit(n) + gx).cast("long"))
+    dense = (pts.groupBy("_ck").count()
+             .filter(F.col("count") >= int(min_count)).select("_ck"))
+    cx = F.pmod(F.col("_ck"), F.lit(n))
+    cy = F.floor(F.col("_ck") / F.lit(n))
+    cands = F.array(
+        F.when(cx > 0, F.col("_ck") - 1),
+        F.when(cx < n - 1, F.col("_ck") + 1),
+        F.when(cy > 0, F.col("_ck") - n),
+        F.when(cy < n - 1, F.col("_ck") + n))
+    nbrs = dense.withColumn(
+        "_nb", F.explode(F.filter(cands, lambda c: c.isNotNull())))
+    edges = nbrs.join(dense.withColumnRenamed("_ck", "_nb"), "_nb")
+    comp = duplicate_clusters(
+        edges.select(F.col("_ck").alias("id_a"), F.col("_nb").alias("id_b")))
+    comp = comp.select(F.col("doc_id").alias("_ck"),
+                       F.col("cluster_id"))
+    # dense cells with NO dense neighbor are singleton clusters
+    singles = (dense.join(comp, "_ck", "left_anti")
+               .withColumn("cluster_id", F.col("_ck")))
+    cell_cluster = comp.unionByName(singles)
+    out = pts.join(cell_cluster, "_ck", "left")
+    return out.select(point_id_col, "cluster_id")

@@ -530,3 +530,42 @@ class TestBuffer:
                                        feature_id_col="fid", metric="planar",
                                        salt_hot=hot, salt_fanout=4).collect()}
         assert salted == base and len(base) > 0
+
+
+class TestGridCluster:
+    def test_two_blobs_and_noise(self, spark):
+        from spandex_spark.operators.cluster import grid_cluster
+        rng = np.random.default_rng(17)
+        rows = []
+        pid = 0
+        # blob A: spans several adjacent cells at level 8 (cells ~1.4x0.7)
+        for _ in range(300):
+            rows.append((pid, float(rng.uniform(0, 3)),
+                         float(rng.uniform(0, 2))))
+            pid += 1
+        # blob B: far away
+        for _ in range(300):
+            rows.append((pid, float(rng.uniform(-8, -6)),
+                         float(rng.uniform(-8, -7))))
+            pid += 1
+        # noise: isolated single points, one per distant cell
+        noise_ids = []
+        for i in range(10):
+            rows.append((pid, float(100 + i * 3), float(50 + (i % 3) * 3)))
+            noise_ids.append(pid)
+            pid += 1
+        df = spark.createDataFrame(rows, "p long, lon double, lat double")
+        out = {r.p: r.cluster_id
+               for r in grid_cluster(df, level=8, min_count=5,
+                                     point_id_col="p").collect()}
+        # blob-edge points can land in sparse cells (noise) — the labeled
+        # CORE of each blob must be one single cluster, distinct per blob
+        a_labels = {out[i] for i in range(300)} - {None}
+        b_labels = {out[i] for i in range(300, 600)} - {None}
+        assert len(a_labels) == 1 and len(b_labels) == 1
+        assert a_labels != b_labels
+        n_core_a = sum(out[i] is not None for i in range(300))
+        n_core_b = sum(out[i] is not None for i in range(300, 600))
+        assert n_core_a > 200 and n_core_b > 200
+        for i in noise_ids:
+            assert out[i] is None
