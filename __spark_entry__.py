@@ -267,6 +267,18 @@ def _q_raster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.round("col", 6) + 0.0).alias("pv"))
 
 
+def _q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Value analog: raster value under each derived point (pure-JVM
+    tile-index join + element_at pixel pick). Oracle recomputes the
+    containing pixel's center value closed-form; off-raster points NULL."""
+    from spandex_spark.operators.zonal import raster_sample
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = raster_sample(pts, raster_tiles_df(spark), point_id_col="c_custkey",
+                        origin_x=-10.0, origin_y=-10.0)
+    return out.select("c_custkey", (F.round("v", 6) + 0.0).alias("v"))
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (scalable DBSCAN shape): dense cells
     (>= 5 points at level 8) connect 4-adjacently into components via the
@@ -912,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_parcels": _q_hull_parcels,
         "extent_by_zone": _q_extent_by_zone,
         "grid_cluster": _q_grid_cluster,
+        "raster_sample": _q_raster_sample,
         "clip_raster": _q_clip_raster,
         "clip_roads": _q_clip_roads,
         "raster_downsample": _q_raster_downsample,
@@ -1454,6 +1467,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         FROM reach GROUP BY a
+    """
+    d["raster_sample"] = f"""
+        WITH p AS (SELECT c_custkey, lon, lat FROM ({_PTS}))
+        SELECT c_custkey,
+               CASE WHEN lon >= -10 AND lon < 10 AND lat >= -10 AND lat < 10
+                    THEN round(
+                      sin(-10.0 + floor((lon + 10.0) / 2.5) * 2.5
+                          + (floor((lon - (-10.0 + floor((lon + 10.0) / 2.5) * 2.5)) / 0.05) + 0.5) * 0.05)
+                    + cos(-10.0 + floor((lat + 10.0) / 2.5) * 2.5
+                          + (floor((lat - (-10.0 + floor((lat + 10.0) / 2.5) * 2.5)) / 0.05) + 0.5) * 0.05),
+                      6) + 0.0
+               END AS v
+        FROM p
     """
     d["grid_cluster"] = f"""
         WITH RECURSIVE k AS (

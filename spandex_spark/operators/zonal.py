@@ -187,6 +187,40 @@ def clip_raster(tiles: DataFrame, boundary_xs, boundary_ys) -> DataFrame:
     return pruned.mapInPandas(_clip, schema=schema)
 
 
+def raster_sample(points: DataFrame, tiles: DataFrame, *,
+                  point_id_col: str, origin_x: float, origin_y: float,
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  out_col: str = "v") -> DataFrame:
+    """ST_Value analog: the raster value under each point — pure JVM.
+
+    Assumes a REGULAR tiling (every tile the same res/nx/ny, anchored at
+    (origin_x, origin_y) — the shape every tile server and the fixture
+    table use): each side derives an integer tile index, one equi-join
+    (tiles broadcast — a tile LIST is small even when pixel payloads are
+    not; Spark only broadcasts what the join needs), then
+    ``element_at(values, row·nx + col + 1)`` picks the pixel. Points off
+    the raster get NULL. No Python, no shuffle on the point stream."""
+    t0 = tiles.limit(1).collect()[0]
+    tw = float(t0["res"]) * int(t0["nx"])
+    th = float(t0["res"]) * int(t0["ny"])
+    tkey_t = (F.floor((F.col("y0") - F.lit(origin_y)) / F.lit(th))
+              * F.lit(1 << 20)
+              + F.floor((F.col("x0") - F.lit(origin_x)) / F.lit(tw)))
+    tkey_p = (F.floor((F.col(lat_col) - F.lit(origin_y)) / F.lit(th))
+              * F.lit(1 << 20)
+              + F.floor((F.col(lon_col) - F.lit(origin_x)) / F.lit(tw)))
+    tt = F.broadcast(tiles.withColumn("_tk", tkey_t.cast("long")))
+    pp = points.withColumn("_tk", tkey_p.cast("long"))
+    j = pp.join(tt, "_tk", "left")
+    col = F.floor((F.col(lon_col) - F.col("x0")) / F.col("res"))
+    row = F.floor((F.col(lat_col) - F.col("y0")) / F.col("res"))
+    inside = ((col >= 0) & (col < F.col("nx"))
+              & (row >= 0) & (row < F.col("ny")))
+    v = F.when(inside, F.element_at(
+        F.col("values"), (row * F.col("nx") + col + 1).cast("int")))
+    return j.select(point_id_col, v.alias(out_col))
+
+
 def downsample(tiles: DataFrame, factor: int) -> DataFrame:
     """rastertoolz to_matrix/resample analog: mean-pool each tile by
     ``factor`` (nx, ny divisible by it), emitting the same tile-table
