@@ -29,13 +29,14 @@ def test_no_collect_in_operators():
     the ANN query-side matrix (broadcast-sized by contract — the corpus side
     streams via mapInPandas)."""
     allowed = {"skew.py", "similarity.py", "tag.py", "knn.py", "lines.py",
-               "dedup.py"}
+               "dedup.py", "zonal.py"}
     # skew: hot-cell list (tiny aggregate); similarity/knn: query/feature
     # side collected when broadcast-sized by contract; tag: polygon rings
     # captured by closure in the broadcast path (one copy per executor);
     # lines: the line layer, broadcast-sized by contract (road networks);
     # dedup: duplicate_clusters' convergence check — a 1-row sum aggregate
-    # per round, never data rows.
+    # per round, never data rows; zonal: raster_sample's limit(1) tile
+    # metadata probe (res/nx/ny of the regular tiling) — one row, once.
     offenders = []
     ops = os.path.join(PKG, "operators")
     for fn in os.listdir(ops):
