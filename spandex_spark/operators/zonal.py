@@ -190,16 +190,22 @@ def clip_raster(tiles: DataFrame, boundary_xs, boundary_ys) -> DataFrame:
 def raster_sample(points: DataFrame, tiles: DataFrame, *,
                   point_id_col: str, origin_x: float, origin_y: float,
                   lon_col: str = "lon", lat_col: str = "lat",
-                  out_col: str = "v") -> DataFrame:
+                  out_col: str = "v",
+                  broadcast_tiles: bool = True) -> DataFrame:
     """ST_Value analog: the raster value under each point — pure JVM.
 
     Assumes a REGULAR tiling (every tile the same res/nx/ny, anchored at
     (origin_x, origin_y) — the shape every tile server and the fixture
-    table use): each side derives an integer tile index, one equi-join
-    (tiles broadcast — a tile LIST is small even when pixel payloads are
-    not; Spark only broadcasts what the join needs), then
-    ``element_at(values, row·nx + col + 1)`` picks the pixel. Points off
-    the raster get NULL. No Python, no shuffle on the point stream."""
+    table use): each side derives an integer tile index, one equi-join,
+    then ``element_at(values, row·nx + col + 1)`` picks the pixel. Points
+    off the raster get NULL. No Python anywhere.
+
+    ``broadcast_tiles=True`` ships the tiles WITH their pixel payloads to
+    every executor — zero shuffle on the point stream, right whenever the
+    raster fits executor memory (a 100k-tile 50x50 float64 raster is
+    ~2 GB). For continent-scale rasters set it False: the join shuffles
+    points by tile key instead (one narrow exchange), payloads stay
+    partitioned."""
     t0 = tiles.limit(1).collect()[0]
     tw = float(t0["res"]) * int(t0["nx"])
     th = float(t0["res"]) * int(t0["ny"])
@@ -209,7 +215,9 @@ def raster_sample(points: DataFrame, tiles: DataFrame, *,
     tkey_p = (F.floor((F.col(lat_col) - F.lit(origin_y)) / F.lit(th))
               * F.lit(1 << 20)
               + F.floor((F.col(lon_col) - F.lit(origin_x)) / F.lit(tw)))
-    tt = F.broadcast(tiles.withColumn("_tk", tkey_t.cast("long")))
+    tt = tiles.withColumn("_tk", tkey_t.cast("long"))
+    if broadcast_tiles:
+        tt = F.broadcast(tt)
     pp = points.withColumn("_tk", tkey_p.cast("long"))
     j = pp.join(tt, "_tk", "left")
     col = F.floor((F.col(lon_col) - F.col("x0")) / F.col("res"))

@@ -391,3 +391,17 @@ class TestClipLines:
         total = sum(np.hypot(xs[o + 1] - xs[o], ys[o + 1] - ys[o])
                     for o in g.ring_offsets[:-1])
         assert total == pytest.approx(r.clip_len_deg, rel=1e-12)
+
+
+def test_raster_sample_shuffle_path_matches_broadcast(spark):
+    from spandex_spark.sources.grids import derived_points, raster_tiles_df
+    from spandex_spark.operators.zonal import raster_sample
+    pts = derived_points(spark.range(5000).select(F.col("id").alias("p")), "p")
+    tiles = raster_tiles_df(spark)
+    a = {(r.p, r.v) for r in
+         raster_sample(pts, tiles, point_id_col="p", origin_x=-10.0,
+                       origin_y=-10.0).collect()}
+    b = {(r.p, r.v) for r in
+         raster_sample(pts, tiles, point_id_col="p", origin_x=-10.0,
+                       origin_y=-10.0, broadcast_tiles=False).collect()}
+    assert a == b and len(a) == 5000
