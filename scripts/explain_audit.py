@@ -67,6 +67,13 @@ CHECKS = {
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
          "ZERO Python operators — lang/quality/tokens all codegen"),
     ],
+    "raster_sample (ST_Value)": [
+        ("BroadcastHashJoin", "tile table broadcast (payloads included by "
+                              "choice; broadcast_tiles=False for huge "
+                              "rasters)"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators — tile index + element_at in codegen"),
+    ],
 }
 
 
@@ -129,6 +136,11 @@ def main():
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     plans["corpus_select (curation pipeline)"] = corpus_select(
         docs, langs=("en", "fr"), min_quality=0.45, min_tokens=5)
+    from spandex_spark.operators.zonal import raster_sample
+    from spandex_spark.sources.grids import raster_tiles_df
+    plans["raster_sample (ST_Value)"] = raster_sample(
+        pts, raster_tiles_df(spark), point_id_col="c_custkey",
+        origin_x=-10.0, origin_y=-10.0)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
