@@ -1,7 +1,17 @@
 from spandex_spark.operators.tag import tag_points, tag  # noqa: F401
 from spandex_spark.operators.overlay import proportion_overlap  # noqa: F401
 from spandex_spark.operators.knn import knn_join  # noqa: F401
-from spandex_spark.operators.zonal import zonal_stats  # noqa: F401
+from spandex_spark.operators.zonal import (  # noqa: F401
+    zonal_stats, clip_raster, downsample, raster_sample)
 from spandex_spark.operators.scaling import scale_to_targets  # noqa: F401
 from spandex_spark.operators.validate import invalid_geometry_check, duplicate_stacked_geometry_check  # noqa: F401
 from spandex_spark.operators.reproject import reproject  # noqa: F401
+from spandex_spark.operators.trim import trim  # noqa: F401
+from spandex_spark.operators.simplify import simplify, convex_hull  # noqa: F401
+from spandex_spark.operators.dissolve import dissolve_by  # noqa: F401
+from spandex_spark.operators.distance import within_distance_join  # noqa: F401
+from spandex_spark.operators.buffer import buffer_points  # noqa: F401
+from spandex_spark.operators.lines import (  # noqa: F401
+    nearest_line_join, line_length, clip_lines)
+from spandex_spark.operators.cluster import grid_cluster  # noqa: F401
+from spandex_spark.operators.timeseries import time_rollup, asof_join  # noqa: F401
