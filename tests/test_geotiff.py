@@ -102,3 +102,42 @@ class TestGeoTiff:
         b = {r.zone_id: (r.px_count, round(r.px_sum, 9))
              for r in zonal_stats(loaded, zones_df(spark), level=7).collect()}
         assert a == b
+
+    def test_multi_strip_read(self, spark, tmp_path):
+        """RowsPerStrip < ImageLength: pixels split across several strips
+        must reassemble in order."""
+        arr = np.arange(24, dtype="<f8").reshape(6, 4)
+        strips = [arr[i:i + 2].tobytes() for i in range(0, 6, 2)]
+        offs, counts = [], []
+        pos = 8
+        for sdat in strips:
+            offs.append(pos)
+            counts.append(len(sdat))
+            pos += len(sdat)
+        data = b"".join(strips)
+        ifd_off = 8 + len(data)
+        # out-of-line arrays for offsets/counts (3 longs each)
+        n_entries = 10
+        tail = ifd_off + 2 + n_entries * 12 + 4
+        entries = [(256, 4, 1, 4), (257, 4, 1, 6), (258, 3, 1, 64),
+                   (259, 3, 1, 1), (273, 4, 3, tail), (278, 4, 1, 2),
+                   (279, 4, 3, tail + 12), (339, 3, 1, 3),
+                   (33550, 12, 3, tail + 24), (33922, 12, 6, tail + 48)]
+        out = b"II*\x00" + struct.pack("<I", ifd_off) + data
+        out += struct.pack("<H", n_entries)
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHI", tag, typ, cnt)
+            if typ == 3:
+                out += struct.pack("<HH", val, 0)
+            else:
+                out += struct.pack("<I", val)
+        out += struct.pack("<I", 0)
+        out += struct.pack("<3I", *offs)
+        out += struct.pack("<3I", *counts)
+        out += struct.pack("<3d", 1.0, 1.0, 0.0)
+        out += struct.pack("<6d", 0, 0, 0, 0.0, 6.0, 0)
+        p = str(tmp_path / "strips.tif")
+        open(p, "wb").write(out)
+        r = read_geotiff(spark, p).collect()[0]
+        got = np.asarray(r.values).reshape(6, 4)
+        np.testing.assert_array_equal(got, np.arange(24).reshape(6, 4)[::-1])
