@@ -902,34 +902,42 @@ def _q_geom_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION POLICY: the driver's correctness harness checks only the
+    # FIRST 50 dict entries, so ordering is a verification schedule, not
+    # cosmetics.  Least-recently-verified queries and new/changed queries
+    # go first; multi-round-stable queries rotate to the tail (unchecked
+    # this round, rotated back next round).  No query may go more than 2
+    # rounds unverified.
+    # r4 head: the 16 queries that sat past slot 50 in r3 (last verified
+    # r2), then clip_roads (errored in r3 — fixed, must re-verify), then
+    # round-4 additions, then the r3-green set.  r4 tail (unchecked): the
+    # pip_tag/knn/overlay/zonal families, green in r1+r2+r3.
     return {
-        "pip_tag": _q_pip_tag,
-        "pip_tag_holes": _q_pip_tag_holes,
-        "pip_tag_multipart": _q_pip_tag_multipart,
-        "pip_tag_shapefile": _q_pip_tag_shapefile,
-        "tag_shuffle": _q_tag_shuffle,
-        "knn_cells": _q_knn_cells,
-        "ann_lsh": _q_ann_lsh,
-        "cell_index": _q_cell_index,
-        "knn": _q_knn,
-        "dwithin": _q_dwithin,
-        "overlay": _q_overlay,
-        "overlay_m2": _q_overlay_m2,
-        "geodesic_area": _q_geodesic_area,
-        "zonal": _q_zonal,
-        "zonal_weighted": _q_zonal_weighted,
-        "zonal_geotiff": _q_zonal_geotiff,
-        "simplify_parcels": _q_simplify,
-        "dissolve_groups": _q_dissolve_groups,
-        "hull_parcels": _q_hull_parcels,
-        "extent_by_zone": _q_extent_by_zone,
+        "bpe_piece_count": _q_bpe_count,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "dup_clusters": _q_dup_clusters,
+        "ann_ivf": _q_ann_ivf,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash_neardup": _q_simhash_neardup,
+        "cube_pricing": _q_cube,
+        "rollup_nation": _q_rollup_nation,
+        "setops_customers": _q_setops,
+        "orders_by_month": _q_orders_by_month,
+        "string_funcs": _q_string_funcs,
+        "pivot_status": _q_pivot,
+        "semi_anti_join": _q_semi_join,
+        "array_funcs": _q_array_funcs,
+        "clip_roads": _q_clip_roads,
+        # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
+        "corpus_select": _q_corpus_select,
+        "raster_downsample": _q_raster_downsample,
         "raster_sample": _q_raster_sample,
         "clip_raster": _q_clip_raster,
-        "clip_roads": _q_clip_roads,
-        "raster_downsample": _q_raster_downsample,
-        "reproject": _q_reproject,
-        "reproject_utm": _q_reproject_utm,
+        "zonal_geotiff": _q_zonal_geotiff,
+        "asof_join_bucketed": _q_asof_join_bucketed,
         "trim_area": _q_trim_area,
         "trim_dissolved": _q_trim_dissolved,
         "clip_centroid": _q_clip_centroid,
@@ -947,28 +955,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
         "asof_join": _q_asof_join,
-        "asof_join_bucketed": _q_asof_join_bucketed,
         "exact_dedup": _q_exact_dedup,
-        "corpus_select": _q_corpus_select,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
-        "bpe_piece_count": _q_bpe_count,
-        "fingerprint": _q_fingerprint,
-        "ann_topk": _q_ann_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "dup_clusters": _q_dup_clusters,
-        "ann_ivf": _q_ann_ivf,
-        "minhash_neardup": _q_minhash_neardup,
-        "simhash_neardup": _q_simhash_neardup,
-        "cube_pricing": _q_cube,
-        "rollup_nation": _q_rollup_nation,
-        "setops_customers": _q_setops,
-        "orders_by_month": _q_orders_by_month,
-        "string_funcs": _q_string_funcs,
-        "pivot_status": _q_pivot,
-        "semi_anti_join": _q_semi_join,
-        "array_funcs": _q_array_funcs,
+        "ann_lsh": _q_ann_lsh,
+        "simplify_parcels": _q_simplify,
+        "dissolve_groups": _q_dissolve_groups,
+        "hull_parcels": _q_hull_parcels,
+        "extent_by_zone": _q_extent_by_zone,
+        "reproject": _q_reproject,
+        "reproject_utm": _q_reproject_utm,
+        "dwithin": _q_dwithin,
+        "geodesic_area": _q_geodesic_area,
+        "overlay_m2": _q_overlay_m2,
+        "cell_index": _q_cell_index,
+        # stable tail — green r1+r2+r3, rotated out of the check window r4
+        "pip_tag": _q_pip_tag,
+        "pip_tag_holes": _q_pip_tag_holes,
+        "pip_tag_multipart": _q_pip_tag_multipart,
+        "pip_tag_shapefile": _q_pip_tag_shapefile,
+        "tag_shuffle": _q_tag_shuffle,
+        "knn_cells": _q_knn_cells,
+        "knn": _q_knn,
+        "overlay": _q_overlay,
+        "zonal": _q_zonal,
+        "zonal_weighted": _q_zonal_weighted,
     }
 
 

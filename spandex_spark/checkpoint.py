@@ -127,7 +127,7 @@ class CheckpointedStage:
             t0 = time.time()
             part = src.filter(F.col("_bucket").isin(batch))
             in_counts = {int(r["_bucket"]): int(r["count"]) for r in
-                         part.groupBy("_bucket").count().collect()}
+                         part.groupBy("_bucket").count().collect()}  # collect-ok: per-bucket row counts (lineage metrics, O(buckets))
             out = fn(part.drop("_bucket")).withColumn(
                 "_bucket", bucket_col % self.n_buckets)
             out_path = os.path.join(self.root, f"batch-{batch[0]:05d}")
@@ -137,7 +137,7 @@ class CheckpointedStage:
             out.write.mode("overwrite").parquet(out_path)
             out_counts = {int(r["_bucket"]): int(r["count"]) for r in
                           spark.read.parquet(out_path)
-                          .groupBy("_bucket").count().collect()}
+                          .groupBy("_bucket").count().collect()}  # collect-ok: per-bucket row counts (lineage metrics, O(buckets))
             t1 = time.time()
             with open(self.manifest_path, "a") as fh:
                 fh.write(json.dumps({"buckets": [int(b) for b in batch],

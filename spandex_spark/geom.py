@@ -83,9 +83,6 @@ def rings_area(xs: np.ndarray, ys: np.ndarray, offsets=None) -> float:
     return float(sum(shoelace_area(rx, ry) for rx, ry in rings))
 
 
-EARTH_R_M = 6371008.8  # IUGG mean Earth radius, meters
-
-
 def spherical_ring_area(xs: np.ndarray, ys: np.ndarray) -> float:
     """Signed spherical area (m²) of an OPEN lon/lat ring on the mean-Earth
     sphere — Chamberlain & Duquette (JPL 2007) line integral:
@@ -99,7 +96,7 @@ def spherical_ring_area(xs: np.ndarray, ys: np.ndarray) -> float:
     dlam = np.roll(lam, -1) - lam
     dlam = np.mod(dlam + np.pi, 2.0 * np.pi) - np.pi
     s = float(np.sum(dlam * (2.0 + np.sin(phi) + np.sin(np.roll(phi, -1)))))
-    return -0.5 * EARTH_R_M * EARTH_R_M * s
+    return -0.5 * EARTH_RADIUS_M * EARTH_RADIUS_M * s
 
 
 def spherical_rings_area(xs: np.ndarray, ys: np.ndarray, offsets=None) -> float:

@@ -274,7 +274,7 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                       .localCheckpoint(eager=True))
         # labels only ever decrease, so Σlabel is strictly monotone until
         # the fixpoint — an O(1)-row agg replaces a join-based diff check
-        total = new_labels.agg(F.sum("label")).collect()[0][0]
+        total = new_labels.agg(F.sum("label")).collect()[0][0]  # collect-ok: 1-row sum aggregate (CC convergence check)
         labels = new_labels
         if total == prev_total:
             break

@@ -23,8 +23,7 @@ from pyspark.sql import functions as F
 
 from spandex_spark.functions.spatial import cell_of_udf, haversine_udf
 from spandex_spark import cells as _cells
-
-EARTH_RADIUS_M = 6_371_008.8
+from spandex_spark.geom import EARTH_RADIUS_M
 
 
 def haversine_expr(lon1, lat1, lon2, lat2):
@@ -109,7 +108,7 @@ def _knn_kernel(q: DataFrame, f: DataFrame, *, k: int, query_id_col: str,
     from pyspark.sql import types as T
     from spandex_spark.geom import haversine_m
 
-    frows = f.collect()
+    frows = f.collect()  # collect-ok: feature side broadcast-sized by contract (kernel strategy)
     fids = np.array([r["_fid"] for r in frows], dtype=np.int64)
     flon = np.array([r["_flon"] for r in frows], dtype=np.float64)
     flat = np.array([r["_flat"] for r in frows], dtype=np.float64)
@@ -161,7 +160,7 @@ def nearest_feature_column(features: DataFrame, *, feature_id_col: str,
     from pyspark.sql.functions import pandas_udf
     from spandex_spark.geom import haversine_m
 
-    frows = features.select(feature_id_col, f_lon, f_lat).collect()
+    frows = features.select(feature_id_col, f_lon, f_lat).collect()  # collect-ok: feature side broadcast-sized by contract (fused column)
     fids = np.array([r[0] for r in frows], dtype=np.int64)
     flon = np.array([r[1] for r in frows], dtype=np.float64)
     flat = np.array([r[2] for r in frows], dtype=np.float64)
@@ -553,7 +552,7 @@ def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
         raise ValueError(f"cells strategy supports level <= {_CELLS_MAX_LEVEL}")
     spark = q.sparkSession
     fc = f.withColumn("_cell", _cell_of_jvm(F.col("_flon"), F.col("_flat"), level))
-    rows = fc.groupBy("_cell").count().collect()
+    rows = fc.groupBy("_cell").count().collect()  # collect-ok: O(occupied cells) histogram -> broadcast index
     bc = build_cell_index(spark, rows, level)
     cand_cells = _candidate_cells_udf(bc, k, metric)
     qc = (q.withColumn("_cell", F.explode(cand_cells(F.col("_qlon"),

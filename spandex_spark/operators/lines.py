@@ -25,6 +25,7 @@ Nearest-line join has two strategies (mirroring operators/knn.py):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,7 +36,10 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from spandex_spark import geom as _geom
-from spandex_spark.operators import trim as _trim
+# Import the submodule by its full dotted path: `from spandex_spark.operators
+# import trim` would resolve the *package attribute* `trim`, which
+# operators/__init__.py rebinds to the trim() function on import.
+from spandex_spark.operators.trim import _GEOM_TYPE as _TRIM_GEOM_TYPE
 
 
 def line_length(df: DataFrame, *, geom_col: str = "geom",
@@ -74,7 +78,7 @@ def nearest_line_join(points: DataFrame, lines: DataFrame, *, k: int,
     if strategy != "kernel":
         raise ValueError(f"unknown strategy {strategy!r}")
     rows = lines.select(F.col(line_id_col).alias("_lid"),
-                        F.col(geom_col).alias("_g")).collect()
+                        F.col(geom_col).alias("_g")).collect()  # collect-ok: line layer broadcast-sized by contract (kernel strategy)
     entries = []
     for r in rows:
         o = r["_g"]["ring_offsets"]
@@ -180,7 +184,7 @@ def clip_lines(lines: DataFrame, boundary_xs: np.ndarray,
                   for t in _geom.ear_clip_triangulate(bx, by)]
 
     out_type = T.StructType([
-        T.StructField("geom", _trim._GEOM_TYPE),
+        T.StructField("geom", _TRIM_GEOM_TYPE),
         T.StructField("clip_len_deg", T.DoubleType()),
     ])
 
@@ -307,10 +311,15 @@ def _nearest_line_cells(points: DataFrame, lines: DataFrame, *, k: int,
                              g["xs"], g["ys"], g["ring_offsets"])).alias("_s"))
             .select("_lid", F.col("_s.cell").alias("_cell"),
                     "_s.ax", "_s.ay", "_s.bx", "_s.by"))
+    # The cache must survive BOTH jobs (histogram collect below AND the
+    # caller's eventual action on the returned plan) — the segment explode
+    # is a pandas UDF we don't want to run twice.  Unpersist is tied to
+    # the returned DataFrame's lifetime (weakref.finalize) so repeated
+    # invocations in a long-lived session don't accumulate cached blocks.
     segs = segs.persist()
     rows = (segs.groupBy("_cell")
             .agg(F.when(F.count_distinct("_lid") >= k, F.lit(k))
-                 .otherwise(F.lit(0)).alias("_cnt")).collect())
+                 .otherwise(F.lit(0)).alias("_cnt")).collect())  # collect-ok: O(occupied cells) indicator histogram -> broadcast index
     bc = build_cell_index(spark, rows, level)
     cand_cells = _candidate_cells_udf(bc, k, "planar")
     q = points.select(F.col(point_id_col).alias("_pid"),
@@ -344,15 +353,33 @@ def _nearest_line_cells(points: DataFrame, lines: DataFrame, *, k: int,
         best = (per_line.groupBy("_pid")
                 .agg(F.min_by("_lid", order).alias("_blid"),
                      F.min("_dl").alias("_bd")))
-        return best.select(F.col("_pid").alias(point_id_col),
-                           F.lit(1).alias("rank"),
-                           F.col("_blid").alias(line_id_col),
-                           F.col("_bd").alias("dist_deg"))
+        out = best.select(F.col("_pid").alias(point_id_col),
+                          F.lit(1).alias("rank"),
+                          F.col("_blid").alias(line_id_col),
+                          F.col("_bd").alias("dist_deg"))
+        return _unpersist_with(out, segs)
     from pyspark.sql import Window
     w = Window.partitionBy("_pid").orderBy(F.col("_dl").asc(),
                                            F.col("_lid").asc())
     ranked = per_line.withColumn("rank", F.row_number().over(w))
-    return (ranked.filter(F.col("rank") <= k)
-            .select(F.col("_pid").alias(point_id_col), "rank",
-                    F.col("_lid").alias(line_id_col),
-                    F.col("_dl").alias("dist_deg")))
+    out = (ranked.filter(F.col("rank") <= k)
+           .select(F.col("_pid").alias(point_id_col), "rank",
+                   F.col("_lid").alias(line_id_col),
+                   F.col("_dl").alias("dist_deg")))
+    return _unpersist_with(out, segs)
+
+
+def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Unpersist ``cached`` when ``result`` is garbage-collected.
+
+    The cached frame feeds ``result``'s lazy plan, so an eager unpersist
+    here would force a recompute at action time; tying cleanup to the
+    result's lifetime keeps the cache exactly as long as it can be used.
+    """
+    def _drop(c=cached):
+        try:
+            c.unpersist(blocking=False)
+        except Exception:
+            pass  # SparkSession already stopped — nothing left to free
+    weakref.finalize(result, _drop)
+    return result

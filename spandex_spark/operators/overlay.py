@@ -102,7 +102,7 @@ def rect_spherical_area_expr(x0, y0, x1, y1):
     as pure column arithmetic: R²·Δλ·(sin φ1 − sin φ0). For a rectangle
     the Chamberlain-Duquette integral reduces to this closed form, so the
     JVM path and the kernel agree to FP round-off."""
-    r2 = F.lit(_geom.EARTH_R_M * _geom.EARTH_R_M)
+    r2 = F.lit(_geom.EARTH_RADIUS_M * _geom.EARTH_RADIUS_M)
     return (r2 * F.radians(x1 - x0)
             * (F.sin(F.radians(y1)) - F.sin(F.radians(y0))))
 
@@ -219,7 +219,7 @@ def proportion_overlap(targets: DataFrame, overlays: DataFrame, *,
         gx1 = F.least(a["bbox"]["maxx"], b["bbox"]["maxx"])
         gy0 = F.greatest(a["bbox"]["miny"], b["bbox"]["miny"])
         gy1 = F.least(a["bbox"]["maxy"], b["bbox"]["maxy"])
-        deg_m = _geom.EARTH_R_M * np.pi / 180.0
+        deg_m = _geom.EARTH_RADIUS_M * np.pi / 180.0
         gen_scale = (F.lit(deg_m * deg_m)
                      * F.cos(F.radians((gy0 + gy1) / 2.0)))
     else:

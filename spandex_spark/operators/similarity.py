@@ -58,7 +58,7 @@ def ann_bruteforce(queries: DataFrame, corpus: DataFrame, *, k: int,
     """Exact cosine top-k of each query against the corpus.
     Returns (query_id, rank, neighbor_id, cosine); self-matches (equal ids)
     excluded. The query side is collected (broadcast-sized by contract)."""
-    qrows = queries.select(q_id, q_vec).collect()
+    qrows = queries.select(q_id, q_vec).collect()  # collect-ok: query side broadcast-sized by contract (corpus streams)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -163,13 +163,13 @@ def train_ivf_centroids(corpus: DataFrame, *, n_centroids: int,
     spatially/temporally biased, partition-order-dependent sample."""
     n_total = corpus.count()
     if n_total <= sample_rows:
-        frac_rows = corpus.select(vec_col).collect()
+        frac_rows = corpus.select(vec_col).collect()  # collect-ok: bounded by sample_rows (k-means training sample)
     else:
         # oversample 1.2x so the Bernoulli draw almost surely reaches
         # sample_rows, then cap deterministically
         frac = min(1.0, 1.2 * sample_rows / n_total)
         frac_rows = (corpus.select(vec_col).sample(fraction=frac, seed=seed)
-                     .limit(sample_rows).collect())
+                     .limit(sample_rows).collect())  # collect-ok: bounded by sample_rows (k-means training sample)
     mat = np.stack([np.asarray(r[0], np.float64) for r in frac_rows])
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0

@@ -31,7 +31,7 @@ def hot_cells(points_with_cell: DataFrame, *, threshold_rows: int,
     hist = cell_histogram(points_with_cell, sample=sample)
     scale = 1.0 / sample if sample else 1.0
     return [r.cell for r in
-            hist.filter(F.col("n") * scale > threshold_rows).collect()]
+            hist.filter(F.col("n") * scale > threshold_rows).collect()]  # collect-ok: hot-cell list, tiny by threshold definition
 
 
 def salted_cell_join(points: DataFrame, features_by_cell: DataFrame, *,

@@ -104,7 +104,7 @@ class PolygonIndex:
             .drop("geom", "_cc").persist())
         self.cells_df.count()
         self.rings = {int(r["_pid"]): _geom_rings_entry(r["geom"])
-                      for r in polys.select("_pid", "geom").collect()}
+                      for r in polys.select("_pid", "geom").collect()}  # collect-ok: polygon layer broadcast-sized by contract (rings closure)
 
 
 def tag_points(points: DataFrame, polygons: DataFrame, *,
@@ -155,7 +155,7 @@ def tag_points(points: DataFrame, polygons: DataFrame, *,
             cells_df = index.cells_df
         else:
             rings = {int(r["_pid"]): _geom_rings_entry(r["geom"])
-                     for r in polys.select("_pid", "geom").collect()}
+                     for r in polys.select("_pid", "geom").collect()}  # collect-ok: polygon layer broadcast-sized by contract (rings closure)
             cells_df = (polys.withColumn(
                 "_cc", F.explode(cover_cells_classified_udf(F.col("geom"), level)))
                 .withColumn("cell", F.col("_cc.cell"))

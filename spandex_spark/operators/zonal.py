@@ -91,7 +91,7 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                 lon, lat = np.meshgrid(px, py)
                 lon, lat = lon.ravel(), lat.ravel()
                 if weighted:
-                    r2 = _geom.EARTH_R_M * _geom.EARTH_R_M
+                    r2 = _geom.EARTH_RADIUS_M * _geom.EARTH_RADIUS_M
                     wrow = (r2 * np.radians(res)
                             * (np.sin(np.radians(py + res / 2.0))
                                - np.sin(np.radians(py - res / 2.0))))
@@ -206,7 +206,17 @@ def raster_sample(points: DataFrame, tiles: DataFrame, *,
     ~2 GB). For continent-scale rasters set it False: the join shuffles
     points by tile key instead (one narrow exchange), payloads stay
     partitioned."""
-    t0 = tiles.limit(1).collect()[0]
+    # One-row metadata probe (collect-ok: O(1) driver-side tile-shape
+    # lookup), plus a regularity check — the integer tile-key math below is
+    # only valid when every tile shares res/nx/ny.
+    shapes = (tiles.select("res", "nx", "ny").distinct().limit(2).collect())  # collect-ok: <=2-row tile-shape probe (regular-tiling check)
+    if not shapes:
+        raise ValueError("raster_sample: empty tile table")
+    if len(shapes) > 1:
+        raise ValueError(
+            "raster_sample requires a regular tiling (uniform res/nx/ny); "
+            f"found at least {shapes[0]} and {shapes[1]}")
+    t0 = shapes[0]
     tw = float(t0["res"]) * int(t0["nx"])
     th = float(t0["res"]) * int(t0["ny"])
     tkey_t = (F.floor((F.col("y0") - F.lit(origin_y)) / F.lit(th))

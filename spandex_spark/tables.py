@@ -114,17 +114,34 @@ class IcebergishTable:
         return snaps
 
     def read(self, spark: SparkSession, *, all_snapshots: bool = True,
-             as_of: str | int | None = None) -> DataFrame:
+             as_of: str | None = None, as_of_seq: int | None = None,
+             as_of_ts: int | None = None) -> DataFrame:
         """Read the table (union of live snapshot files — append log since
         the last compaction), or only the current snapshot's files.
 
-        ``as_of`` time-travels to a past state: a snapshot_id, a sequence
-        number, or a timestamp_ms (the latest snapshot at or before that
-        time) — the Iceberg `VERSION AS OF` / `TIMESTAMP AS OF` analog.
+        Time travel (the Iceberg `VERSION AS OF` / `TIMESTAMP AS OF`
+        analog) takes exactly one of three EXPLICIT keywords — a magnitude
+        heuristic over a bare int would silently misread a small timestamp
+        as a sequence number:
+
+        * ``as_of`` — a snapshot_id string;
+        * ``as_of_seq`` — a sequence number (exact match);
+        * ``as_of_ts`` — a timestamp_ms cutoff (latest snapshot at or
+          before that time).
+
         Old files survive compaction on disk precisely to keep every
         pre-rewrite state readable until a GC removes them."""
-        if as_of is not None:
-            snaps = self._snapshots_as_of(as_of)
+        given = [k for k, v in (("as_of", as_of), ("as_of_seq", as_of_seq),
+                                ("as_of_ts", as_of_ts)) if v is not None]
+        if len(given) > 1:
+            raise TypeError(f"pass at most one of as_of/as_of_seq/as_of_ts,"
+                            f" got {given}")
+        if as_of is not None and not isinstance(as_of, str):
+            raise TypeError(
+                "as_of takes a snapshot_id string; use as_of_seq= for a "
+                "sequence number or as_of_ts= for a timestamp_ms")
+        if given:
+            snaps = self._snapshots_as_of(as_of, as_of_seq, as_of_ts)
         else:
             snaps = (self._live_snapshots() if all_snapshots
                      else [self.current_snapshot()])
@@ -134,24 +151,28 @@ class IcebergishTable:
             raise FileNotFoundError(f"empty Icebergish table at {self.root}")
         return spark.read.parquet(*paths)
 
-    def _snapshots_as_of(self, as_of: str | int) -> list[dict]:
+    def _snapshots_as_of(self, as_of: str | None, as_of_seq: int | None,
+                         as_of_ts: int | None) -> list[dict]:
         """Snapshots contributing to the state as of a snapshot_id, a
-        sequence number, or (large ints) a timestamp_ms cutoff."""
+        sequence number, or a timestamp_ms cutoff."""
         snaps = self.snapshots()
         cut = None
         for i, s in enumerate(snaps):
-            if isinstance(as_of, str):
+            if as_of is not None:
                 if s["snapshot_id"] == as_of:
                     cut = i
                     break
-            elif as_of >= 10_000_000:  # timestamp_ms
-                if s["timestamp_ms"] <= as_of:
+            elif as_of_ts is not None:
+                if s["timestamp_ms"] <= as_of_ts:
                     cut = i
-            elif s["sequence"] == as_of:
+            elif s["sequence"] == as_of_seq:
                 cut = i
                 break
         if cut is None:
-            raise KeyError(f"no snapshot matching as_of={as_of!r}")
+            sel = as_of if as_of is not None else (
+                f"seq={as_of_seq}" if as_of_seq is not None
+                else f"ts={as_of_ts}")
+            raise KeyError(f"no snapshot matching as_of={sel!r}")
         upto = snaps[:cut + 1]
         for i in range(len(upto) - 1, -1, -1):
             if upto[i].get("kind") == "rewrite":

@@ -418,7 +418,7 @@ class TestUTM:
 
 class TestSphericalArea:
     def test_rectangle_equals_closed_form(self):
-        R2 = geom.EARTH_R_M ** 2
+        R2 = geom.EARTH_RADIUS_M ** 2
         rng = np.random.default_rng(3)
         for _ in range(50):
             x0, y0 = rng.uniform(-170, 160), rng.uniform(-80, 70)
@@ -447,7 +447,7 @@ class TestSphericalArea:
         # 2-deg-wide rect straddling the antimeridian, vertices in ±180
         xs = np.array([179.0, -179.0, -179.0, 179.0])
         ys = np.array([0.0, 0.0, 1.0, 1.0])
-        R2 = geom.EARTH_R_M ** 2
+        R2 = geom.EARTH_RADIUS_M ** 2
         closed = R2 * np.radians(2.0) * (np.sin(np.radians(1.0)) - 0.0)
         assert geom.spherical_ring_area(xs, ys) == pytest.approx(closed, rel=1e-9)
 
@@ -457,7 +457,7 @@ class TestSphericalArea:
         lons = np.linspace(-180, 180, 361)
         xs = np.concatenate([lons, lons[::-1]])
         ys = np.concatenate([np.full(361, 10.0), np.full(361, 30.0)])
-        R2 = geom.EARTH_R_M ** 2
+        R2 = geom.EARTH_RADIUS_M ** 2
         band = 2 * np.pi * R2 * (np.sin(np.radians(30.)) - np.sin(np.radians(10.)))
         assert geom.spherical_rings_area(xs, ys) == pytest.approx(band, rel=1e-9)
 
@@ -467,7 +467,7 @@ class TestSphericalArea:
         xs = np.array([cx - r, cx, cx + r, cx])
         ys = np.array([cy, cy - r, cy, cy + r])
         planar = abs(geom.shoelace_area(xs, ys))
-        deg_m = geom.EARTH_R_M * np.pi / 180.0
+        deg_m = geom.EARTH_RADIUS_M * np.pi / 180.0
         approx = planar * deg_m * deg_m * np.cos(np.radians(cy))
         got = abs(geom.spherical_ring_area(xs, ys))
         assert got == pytest.approx(approx, rel=1e-4)

@@ -197,10 +197,16 @@ class TestTimeTravel:
         snaps = t.snapshots()
         # VERSION AS OF by snapshot_id and by sequence
         assert t.read(spark, as_of=ids[0]).count() == 10
-        assert t.read(spark, as_of=1).count() == 20
+        assert t.read(spark, as_of_seq=1).count() == 20
         assert t.read(spark, as_of=ids[2]).count() == 30
         # TIMESTAMP AS OF: cutoff at the middle snapshot's timestamp
-        assert t.read(spark, as_of=snaps[1]["timestamp_ms"]).count() == 20
+        assert t.read(spark, as_of_ts=snaps[1]["timestamp_ms"]).count() == 20
+        # a bare int as_of (the old magnitude heuristic) is rejected
+        import pytest as _pt0
+        with _pt0.raises(TypeError):
+            t.read(spark, as_of=1)
+        with _pt0.raises(TypeError):
+            t.read(spark, as_of=ids[0], as_of_seq=1)
         # compaction preserves pre-rewrite states
         t.compact(spark, "v", n_files=2)
         assert t.read(spark).count() == 30
