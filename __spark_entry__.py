@@ -342,6 +342,52 @@ def _q_dissolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round(geom_area_udf(g), 9) + 0.0).alias("area"))
 
 
+def _q_union_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General ST_Union (operators/dissolve.py::union_by — the planar-
+    arrangement union that handles OVERLAPPING members, the case
+    dissolve_by's edge-cancellation excludes). 200 groups of constructed
+    rectangles, all coordinates dyadic so both engines' FP is exact:
+
+    * even group_id — a CHAIN of n = 2+(g%4) rectangles
+      [i*0.5, i*0.5+0.75] x [0, h], overlap 0.25, h = 1+(g%3)*0.5:
+      union = ONE 4-vertex rectangle, area ((n-1)*0.5+0.75)*h;
+    * odd group_id — a FRAME of 4 overlapping rectangles forming a 3s x 3s
+      square with a centered s x s hole (s = 1+(g%3)*0.5): union = outer
+      ring + hole ring (8 vertices), area 8*s^2.
+
+    Ring count, vertex count, and closed-form area are all checked."""
+    from spandex_spark.operators.dissolve import union_by
+    from spandex_spark.sources.grids import geom_struct
+    from spandex_spark.functions.spatial import geom_area_udf
+    g = spark.range(200).select(F.col("id").alias("group_id"))
+    n = (F.col("group_id") % 4 + 2).cast("int")
+    h = F.lit(1.0) + (F.col("group_id") % 3).cast("double") * 0.5
+    chains = (g.filter(F.col("group_id") % 2 == 0)
+              .select("group_id", h.alias("_h"),
+                      F.explode(F.sequence(F.lit(0), n - 1)).alias("_i")))
+    ci = F.col("_i").cast("double")
+    chains = chains.select(
+        "group_id", geom_struct(ci * 0.5, F.lit(0.0),
+                                ci * 0.5 + 0.75, F.col("_h")).alias("geom"))
+    s = F.lit(1.0) + (F.col("group_id") % 3).cast("double") * 0.5
+    frames = (g.filter(F.col("group_id") % 2 == 1)
+              .select("group_id", s.alias("_s"),
+                      F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_i")))
+    # frame member rects (pre-scale): (0,0,3,1) (2,0,3,3) (0,2,3,3) (0,0,1,3)
+    pick = lambda vals: (F.element_at(F.array(*[F.lit(float(v)) for v in vals]),
+                                      F.col("_i") + 1) * F.col("_s"))
+    frames = frames.select(
+        "group_id", geom_struct(pick([0, 2, 0, 0]), pick([0, 0, 2, 0]),
+                                pick([3, 3, 3, 1]), pick([1, 3, 3, 3])).alias("geom"))
+    out = union_by(chains.unionByName(frames), key_col="group_id")
+    gm = F.col("geom")
+    return out.select(
+        "group_id",
+        (F.size(gm["ring_offsets"]) - 1).cast("long").alias("n_rings"),
+        F.size(gm["xs"]).cast("long").alias("n_vertices"),
+        (F.round(geom_area_udf(gm), 9) + 0.0).alias("area"))
+
+
 def _densified_parcels(spark: SparkSession, extra_center: bool = False):
     """Parcel rects densified to 64 vertices (15 exactly-collinear
     interpolants per edge, binary-exact t=i/16 lattice arithmetic, all
@@ -930,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _q_semi_join,
         "array_funcs": _q_array_funcs,
         "clip_roads": _q_clip_roads,
+        # new in r4
+        "union_overlapping": _q_union_overlapping,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1242,6 +1290,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT parcel_id, CAST(4 AS BIGINT) AS n_vertices,
                    round((x1 - x0) * (y1 - y0), 9) + 0.0 AS area
             FROM ({_PARCELS})
+        """,
+        "union_overlapping": """
+            SELECT g AS group_id,
+                   CAST(CASE WHEN g % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_rings,
+                   CAST(CASE WHEN g % 2 = 0 THEN 4 ELSE 8 END AS BIGINT) AS n_vertices,
+                   round(CASE WHEN g % 2 = 0
+                         THEN ((CAST(g % 4 AS DOUBLE) + 1.0) * 0.5 + 0.75)
+                              * (1.0 + CAST(g % 3 AS DOUBLE) * 0.5)
+                         ELSE 8.0 * (1.0 + CAST(g % 3 AS DOUBLE) * 0.5)
+                              * (1.0 + CAST(g % 3 AS DOUBLE) * 0.5)
+                         END, 9) + 0.0 AS area
+            FROM range(200) t(g)
         """,
         "dissolve_groups": """
             SELECT g AS group_id, CAST(1 AS BIGINT) AS n_rings,

@@ -582,6 +582,180 @@ def dissolve_rings(rings: list, quant: float = 1e-9) -> list:
     return out
 
 
+def union_rings(polys: list, quant: float = 1e-9, eps_off: float = None) -> list:
+    """General polygon union — OVERLAPPING inputs allowed (the ST_Union
+    semantics dissolve_rings can't give; spandex's spatialtoolz templates
+    delegate this to PostGIS).
+
+    Planar-arrangement construction, from scratch:
+
+    1. every edge of every input ring is split at its intersections with
+       every other edge (non-parallel crossings AND collinear-overlap
+       endpoints), endpoints quantized to ``quant`` so coincident vertices
+       merge exactly;
+    2. coincident duplicate sub-edges collapse to one (shared borders,
+       stacked polygons);
+    3. each surviving sub-edge is classified by UNION COVERAGE of the two
+       points offset ``eps_off`` to its left and right: kept iff exactly
+       one side is covered by >= 1 input polygon (even-odd per input), and
+       oriented so the covered side is on the LEFT;
+    4. rings are assembled by the clockwise-most-turn rule (at a vertex,
+       continue along the unused edge with the smallest clockwise rotation
+       from the reversed incoming direction) — pinch vertices split into
+       separate simple rings instead of figure-eights, outer rings come
+       out CCW and holes CW, so rings_area/points_in_rings work unchanged.
+
+    ``polys``: list of (xs, ys, ring_offsets-or-None) even-odd polygons.
+    Returns a list of oriented (xs, ys) rings. Tolerance contract: distinct
+    non-coincident boundaries closer than ``eps_off`` (default 1e-7 x the
+    bbox diagonal) may misclassify — inputs at that separation should be
+    snapped first.
+    """
+    polys = [(np.asarray(xs, np.float64), np.asarray(ys, np.float64),
+              (np.asarray(o, np.int64) if o is not None and len(o) > 2
+               else None)) for xs, ys, o in polys]
+    ax, ay, bx, by = [], [], [], []
+    for xs, ys, offs in polys:
+        for rx, ry in rings_of(xs, ys, offs):
+            n = rx.shape[0]
+            if n < 3:
+                continue
+            jj = np.roll(np.arange(n), -1)
+            keep = (rx != rx[jj]) | (ry != ry[jj])
+            ax.append(rx[keep]); ay.append(ry[keep])
+            bx.append(rx[jj][keep]); by.append(ry[jj][keep])
+    if not ax:
+        return []
+    ax = np.concatenate(ax); ay = np.concatenate(ay)
+    bx = np.concatenate(bx); by = np.concatenate(by)
+    m = ax.shape[0]
+    rx_, ry_ = bx - ax, by - ay
+    seg_len = np.hypot(rx_, ry_)
+    diag = np.hypot(max(ax.max(), bx.max()) - min(ax.min(), bx.min()),
+                    max(ay.max(), by.max()) - min(ay.min(), by.min()))
+    if eps_off is None:
+        eps_off = 1e-7 * max(diag, 1.0)
+    tol = 1e-12
+
+    # -- 1. split parameters per edge (O(m) vectorized passes, O(m^2) work)
+    splits: list = [[] for _ in range(m)]
+    for i in range(m):
+        qpx, qpy = ax - ax[i], ay - ay[i]          # start_j - start_i
+        denom = rx_[i] * ry_ - ry_[i] * rx_        # cross(r_i, s_j)
+        cross_qr = qpx * ry_[i] - qpy * rx_[i]     # cross(qp, r_i)
+        par = np.abs(denom) <= tol * seg_len[i] * seg_len
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(par, np.nan, (qpx * ry_ - qpy * rx_) / denom)
+            u = np.where(par, np.nan, cross_qr / denom)
+        hit = (~par & (u >= -tol) & (u <= 1.0 + tol)
+               & (t > tol) & (t < 1.0 - tol))
+        if hit.any():
+            splits[i].extend(t[hit].tolist())
+        col = par & (np.abs(cross_qr) <= 1e-9 * seg_len[i]
+                     * np.maximum(np.hypot(qpx, qpy), 1.0))
+        if col.any():
+            L2 = rx_[i] * rx_[i] + ry_[i] * ry_[i]
+            t0 = (qpx[col] * rx_[i] + qpy[col] * ry_[i]) / L2
+            t1 = t0 + (rx_[col] * rx_[i] + ry_[col] * ry_[i]) / L2
+            for tv in np.concatenate([t0, t1]):
+                if tol < tv < 1.0 - tol:
+                    splits[i].append(float(tv))
+
+    def snap(x: float, y: float):
+        return (round(x / quant) * quant, round(y / quant) * quant)
+
+    # -- 2. materialize sub-edges, dedupe coincident duplicates
+    sub: dict = {}
+    for i in range(m):
+        ts = sorted(set([0.0, 1.0] + splits[i]))
+        pts = [snap(ax[i] + t * rx_[i], ay[i] + t * ry_[i]) for t in ts]
+        for a, b in zip(pts, pts[1:]):
+            if a == b:
+                continue
+            sub.setdefault((a, b) if a < b else (b, a), (a, b))
+    if not sub:
+        return []
+    keys = list(sub.values())
+    sax = np.array([k[0][0] for k in keys]); say = np.array([k[0][1] for k in keys])
+    sbx = np.array([k[1][0] for k in keys]); sby = np.array([k[1][1] for k in keys])
+
+    # -- 3. coverage classification at midpoint +/- eps_off * left normal
+    mx, my = (sax + sbx) / 2.0, (say + sby) / 2.0
+    dx, dy = sbx - sax, sby - say
+    ln = np.hypot(dx, dy)
+    nx_, ny_ = -dy / ln, dx / ln
+    probe_x = np.concatenate([mx + eps_off * nx_, mx - eps_off * nx_])
+    probe_y = np.concatenate([my + eps_off * ny_, my - eps_off * ny_])
+    covered = np.zeros(probe_x.shape[0], dtype=bool)
+    for xs, ys, offs in polys:
+        todo = ~covered
+        if not todo.any():
+            break
+        covered[todo] |= points_in_rings(probe_x[todo], probe_y[todo],
+                                         xs, ys, offs)
+    k = len(keys)
+    left_cov, right_cov = covered[:k], covered[k:]
+    keep = left_cov != right_cov
+    # orient interior-left
+    fa_x = np.where(right_cov[keep], sbx[keep], sax[keep])
+    fa_y = np.where(right_cov[keep], sby[keep], say[keep])
+    fb_x = np.where(right_cov[keep], sax[keep], sbx[keep])
+    fb_y = np.where(right_cov[keep], say[keep], sby[keep])
+
+    # -- 4. clockwise-most-turn ring assembly
+    outgoing: dict = {}
+    for i in range(fa_x.shape[0]):
+        a = (fa_x[i], fa_y[i]); b = (fb_x[i], fb_y[i])
+        outgoing.setdefault(a, []).append([b, False])  # [target, used]
+    out = []
+    for start in list(outgoing):
+        for slot in outgoing[start]:
+            if slot[1]:
+                continue
+            slot[1] = True
+            ring = [start, slot[0]]
+            while True:
+                u, v = ring[-2], ring[-1]
+                if v == ring[0] and len(ring) > 3:
+                    ring.pop()
+                    break
+                cands = [s for s in outgoing.get(v, []) if not s[1]]
+                if not cands:
+                    ring = None  # open chain — numerical orphan, drop
+                    break
+                th_in = np.arctan2(u[1] - v[1], u[0] - v[0])  # reversed inc.
+                best, best_ang = None, None
+                for s in cands:
+                    th = np.arctan2(s[0][1] - v[1], s[0][0] - v[0])
+                    angcw = (th_in - th) % (2.0 * np.pi)
+                    if angcw <= tol:
+                        angcw = 2.0 * np.pi  # exact backtrack = last resort
+                    if best_ang is None or angcw < best_ang:
+                        best, best_ang = s, angcw
+                best[1] = True
+                ring.append(best[0])
+            if ring is None or len(ring) < 3:
+                continue
+            px = np.array([p[0] for p in ring])
+            py = np.array([p[1] for p in ring])
+            # strip straight-through collinear vertices added by splitting
+            nr = px.shape[0]
+            keepv = np.ones(nr, bool)
+            for i2 in range(nr):
+                h, j2 = (i2 - 1) % nr, (i2 + 1) % nr
+                crossv = ((px[i2] - px[h]) * (py[j2] - py[i2])
+                          - (py[i2] - py[h]) * (px[j2] - px[i2]))
+                dotv = ((px[i2] - px[h]) * (px[j2] - px[i2])
+                        + (py[i2] - py[h]) * (py[j2] - py[i2]))
+                scale = max(abs(px[i2]) + abs(py[i2]), 1.0)
+                if abs(crossv) <= 1e-12 * scale and dotv > 0:
+                    keepv[i2] = False
+            if keepv.sum() >= 3:
+                px, py = px[keepv], py[keepv]
+            out.append((px, py))
+    return out
+
+
 def polygon_intersection_area(xs1: np.ndarray, ys1: np.ndarray,
                               xs2: np.ndarray, ys2: np.ndarray) -> float:
     """Exact intersection area of two simple polygons.

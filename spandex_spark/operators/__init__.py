@@ -8,7 +8,7 @@ from spandex_spark.operators.validate import invalid_geometry_check, duplicate_s
 from spandex_spark.operators.reproject import reproject  # noqa: F401
 from spandex_spark.operators.trim import trim  # noqa: F401
 from spandex_spark.operators.simplify import simplify, convex_hull  # noqa: F401
-from spandex_spark.operators.dissolve import dissolve_by  # noqa: F401
+from spandex_spark.operators.dissolve import dissolve_by, union_by  # noqa: F401
 from spandex_spark.operators.distance import within_distance_join  # noqa: F401
 from spandex_spark.operators.buffer import buffer_points  # noqa: F401
 from spandex_spark.operators.lines import (  # noqa: F401

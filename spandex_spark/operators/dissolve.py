@@ -65,3 +65,49 @@ def dissolve_by(df: DataFrame, *, key_col: str, geom_col: str = "geom",
 
     src = df.select(key_col, F.col(geom_col).alias("_g"))
     return src.groupBy(key_col).applyInPandas(_merge, schema=schema)
+
+
+def union_by(df: DataFrame, *, key_col: str, geom_col: str = "geom",
+             out_col: str = "geom") -> DataFrame:
+    """General `GROUP BY ST_Union(geom)` — OVERLAPPING members allowed.
+
+    The semantic gap dissolve_by leaves open (its directed-edge
+    cancellation is exact only for edge-sharing tilings): here each group
+    runs geom.union_rings — a planar-arrangement boolean union (split
+    edges at intersections, keep one-side-covered sub-edges, interior-left
+    ring assembly) — so partially-overlapping, stacked, and disjoint
+    members all union correctly, holes included (outer rings CCW, holes
+    CW, even-odd).
+
+    Scale shape: identical to dissolve_by — ONE shuffle on the group key,
+    group-local O(E^2) arrangement in an Arrow batch; each group's edge
+    set must fit an executor (the same contract PostGIS aggregate union
+    places on a work_mem-sized group)."""
+    import pyspark.sql.types as T
+    schema = T.StructType([df.schema[key_col],
+                           T.StructField(out_col, _GEOM_TYPE)])
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        polys = []
+        for g in pdf["_g"]:
+            o = g["ring_offsets"]
+            polys.append((np.asarray(g["xs"], np.float64),
+                          np.asarray(g["ys"], np.float64),
+                          (np.asarray(o, np.int64)
+                           if o is not None and len(o) > 2 else None)))
+        merged = _geom.union_rings(polys)
+        if not merged:
+            return pd.DataFrame({key_col: [key], out_col: [None]})
+        ax = np.concatenate([r[0] for r in merged])
+        ay = np.concatenate([r[1] for r in merged])
+        ro = np.cumsum([0] + [r[0].shape[0] for r in merged])
+        geom = {"kind": 3 if len(merged) == 1 else 6,
+                "xs": ax.tolist(), "ys": ay.tolist(),
+                "ring_offsets": [int(v) for v in ro],
+                "bbox": {"minx": float(ax.min()), "miny": float(ay.min()),
+                         "maxx": float(ax.max()), "maxy": float(ay.max())}}
+        return pd.DataFrame({key_col: [key], out_col: [geom]})
+
+    src = df.select(key_col, F.col(geom_col).alias("_g"))
+    return src.groupBy(key_col).applyInPandas(_merge, schema=schema)

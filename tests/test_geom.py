@@ -5,6 +5,7 @@ import pytest
 from hypothesis import given, settings, strategies as st
 
 from spandex_spark import geom
+from spandex_spark import geom as G
 
 
 def square(x0, y0, w=1.0, h=1.0):
@@ -594,3 +595,116 @@ class TestDissolveProperties:
                 assert rx.shape[0] >= 3
             total += area
         assert total == pytest.approx(16.0, abs=1e-9)
+
+
+class TestUnionRings:
+    """geom.union_rings — planar-arrangement boolean union (overlapping
+    inputs; the ST_Union semantics dissolve_rings excludes)."""
+
+    @staticmethod
+    def _rect(x0, y0, x1, y1):
+        return (np.array([x0, x1, x1, x0], float),
+                np.array([y0, y0, y1, y1], float), None)
+
+    @staticmethod
+    def _area(rings):
+        return sum(G.shoelace_area(rx, ry) for rx, ry in rings)
+
+    def test_closed_form_cases(self):
+        R = self._rect
+        cases = [
+            ([R(0, 0, 2, 1), R(1, 0, 3, 1)], 3.0, 1),      # overlap chain
+            ([R(0, 0, 1, 1), R(2, 0, 3, 1)], 2.0, 2),      # disjoint
+            ([R(-1, -3, 1, 3), R(-3, -1, 3, 1)], 20.0, 1),  # plus sign
+            ([R(0, 0, 1, 1)] * 3, 1.0, 1),                 # stacked copies
+            ([R(0, 0, 1, 1), R(1, 0, 2, 1)], 2.0, 1),      # shared-edge tile
+            ([R(0, 0, 4, 4), R(1, 1, 2, 2)], 16.0, 1),     # contained
+        ]
+        for polys, want_area, want_rings in cases:
+            rings = G.union_rings(polys)
+            assert len(rings) == want_rings
+            assert self._area(rings) == pytest.approx(want_area, abs=1e-9)
+
+    def test_pinch_corner_splits_into_simple_rings(self):
+        R = self._rect
+        rings = G.union_rings([R(0, 0, 1, 1), R(1, 1, 2, 2)])
+        assert len(rings) == 2
+        assert self._area(rings) == pytest.approx(2.0, abs=1e-9)
+        for rx, ry in rings:  # both simple CCW squares
+            assert G.shoelace_area(rx, ry) == pytest.approx(1.0, abs=1e-9)
+
+    def test_frame_produces_hole(self):
+        R = self._rect
+        rings = G.union_rings([R(0, 0, 3, 1), R(2, 0, 3, 3),
+                               R(0, 2, 3, 3), R(0, 0, 1, 3)])
+        assert len(rings) == 2
+        signed = sorted(G.shoelace_area(rx, ry) for rx, ry in rings)
+        assert signed[0] == pytest.approx(-1.0, abs=1e-9)  # CW hole
+        assert signed[1] == pytest.approx(9.0, abs=1e-9)   # CCW outer
+        # even-odd PIP over the union: hole center outside, ring interior in
+        xs = np.concatenate([r[0] for r in rings])
+        ys = np.concatenate([r[1] for r in rings])
+        off = np.cumsum([0] + [r[0].shape[0] for r in rings])
+        got = G.points_in_rings(np.array([1.5, 0.5]), np.array([1.5, 0.5]),
+                                xs, ys, off)
+        assert list(got) == [False, True]
+
+    def test_holed_input_plugged_by_member(self):
+        holed = (np.array([0., 3., 3., 0., 1., 1., 2., 2.]),
+                 np.array([0., 0., 3., 3., 1., 2., 2., 1.]),
+                 np.array([0, 4, 8]))
+        rings = G.union_rings([holed, self._rect(1, 1, 2, 2)])
+        assert len(rings) == 1
+        assert self._area(rings) == pytest.approx(9.0, abs=1e-9)
+        rings = G.union_rings([holed])
+        assert len(rings) == 2
+        assert self._area(rings) == pytest.approx(8.0, abs=1e-9)
+
+    def test_random_rectangles_match_grid_sampling(self):
+        """Property: union area of random overlapping rectangles matches a
+        dense-grid even-odd estimate, and PIP over the output rings equals
+        the OR of member PIPs on random probes."""
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            polys = []
+            for _ in range(6):
+                x0, y0 = rng.uniform(0, 3, 2)
+                w, h = rng.uniform(0.5, 2, 2)
+                polys.append(self._rect(x0, y0, x0 + w, y0 + h))
+            rings = G.union_rings(polys)
+            px = rng.uniform(-0.5, 5.5, 40_000)
+            py = rng.uniform(-0.5, 5.5, 40_000)
+            want = np.zeros(px.shape[0], bool)
+            for xs, ys, o in polys:
+                want |= G.points_in_rings(px, py, xs, ys, o)
+            uxs = np.concatenate([r[0] for r in rings])
+            uys = np.concatenate([r[1] for r in rings])
+            uoff = np.cumsum([0] + [r[0].shape[0] for r in rings])
+            got = G.points_in_rings(px, py, uxs, uys, uoff)
+            assert (want == got).mean() > 0.999  # probes near edges may flip
+            mc = want.mean() * 36.0
+            assert self._area(rings) == pytest.approx(mc, rel=0.02)
+
+    def test_random_triangles_match_sampling(self):
+        rng = np.random.default_rng(11)
+        for trial in range(3):
+            polys = []
+            for _ in range(5):
+                cx, cy = rng.uniform(0, 4, 2)
+                ang = rng.uniform(0, 2 * np.pi, 3)
+                ang.sort()
+                rad = rng.uniform(0.5, 1.5, 3)
+                polys.append((cx + rad * np.cos(ang), cy + rad * np.sin(ang),
+                              None))
+            # ensure CCW
+            polys = [(xs if G.shoelace_area(xs, ys) > 0 else xs[::-1].copy(),
+                      ys if G.shoelace_area(xs, ys) > 0 else ys[::-1].copy(),
+                      None) for xs, ys, _ in polys]
+            rings = G.union_rings(polys)
+            px = rng.uniform(-2, 6, 60_000)
+            py = rng.uniform(-2, 6, 60_000)
+            want = np.zeros(px.shape[0], bool)
+            for xs, ys, o in polys:
+                want |= G.points_in_rings(px, py, xs, ys, o)
+            mc = want.mean() * 64.0
+            assert self._area(rings) == pytest.approx(mc, rel=0.03)

@@ -217,3 +217,71 @@ class TestTimeTravel:
         import pytest as _pt
         with _pt.raises(KeyError):
             t.read(spark, as_of="nope")
+
+
+class TestUnionBy:
+    def test_overlapping_chain_and_frame(self, spark):
+        """union_by handles the overlapping case dissolve_by excludes:
+        chains of overlapping rects -> one rect; a 4-rect frame -> outer
+        ring + hole, closed-form areas."""
+        from spandex_spark.operators.dissolve import union_by
+        import numpy as np
+
+        def rect_row(gid, x0, y0, x1, y1):
+            x0, y0, x1, y1 = float(x0), float(y0), float(x1), float(y1)
+            return (gid, {"kind": 3, "xs": [x0, x1, x1, x0],
+                          "ys": [y0, y0, y1, y1], "ring_offsets": [0, 4],
+                          "bbox": {"minx": x0, "miny": y0,
+                                   "maxx": x1, "maxy": y1}})
+
+        rows = [rect_row(1, i * 0.5, 0.0, i * 0.5 + 0.75, 1.0)
+                for i in range(4)]                       # chain: 2.25 x 1
+        rows += [rect_row(2, 0, 0, 3, 1), rect_row(2, 2, 0, 3, 3),
+                 rect_row(2, 0, 2, 3, 3), rect_row(2, 0, 0, 1, 3)]  # frame
+        df = spark.createDataFrame(
+            rows, "gid long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        got = {r.gid: r.geom for r in union_by(df, key_col="gid").collect()}
+        from spandex_spark import geom as G
+        g1 = got[1]
+        a1 = G.rings_area(np.array(g1["xs"]), np.array(g1["ys"]),
+                          np.array(g1["ring_offsets"]))
+        assert len(g1["ring_offsets"]) - 1 == 1
+        assert a1 == pytest.approx((3 * 0.5 + 0.75) * 1.0, abs=1e-9)
+        g2 = got[2]
+        a2 = G.rings_area(np.array(g2["xs"]), np.array(g2["ys"]),
+                          np.array(g2["ring_offsets"]))
+        assert len(g2["ring_offsets"]) - 1 == 2
+        assert a2 == pytest.approx(8.0, abs=1e-9)
+
+    def test_matches_dissolve_on_tilings(self, spark):
+        """On an edge-sharing tiling (dissolve_by's contract) union_by must
+        agree with dissolve_by: same region, same area, same ring count."""
+        from spandex_spark.operators.dissolve import dissolve_by, union_by
+        import numpy as np
+        from spandex_spark import geom as G
+        rows = []
+        for gid in range(3):
+            for i in range(2):
+                for j in range(2):
+                    x0, y0 = float(gid * 10 + i), float(j)
+                    rows.append((gid, {"kind": 3,
+                                       "xs": [x0, x0 + 1.0, x0 + 1.0, x0],
+                                       "ys": [y0, y0, y0 + 1.0, y0 + 1.0],
+                                       "ring_offsets": [0, 4],
+                                       "bbox": {"minx": x0, "miny": y0,
+                                                "maxx": x0 + 1.0,
+                                                "maxy": y0 + 1.0}}))
+        df = spark.createDataFrame(
+            rows, "gid long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        for fn in (dissolve_by, union_by):
+            got = {r.gid: r.geom for r in fn(df, key_col="gid").collect()}
+            for gid in range(3):
+                g = got[gid]
+                a = G.rings_area(np.array(g["xs"]), np.array(g["ys"]),
+                                 np.array(g["ring_offsets"]))
+                assert len(g["ring_offsets"]) - 1 == 1
+                assert a == pytest.approx(4.0, abs=1e-9)
