@@ -445,11 +445,13 @@ def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_wmean", 6) + 0.0).alias("px_wmean"))
 
 
-def _q_zonal_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O7 ingest on the board: the raster is written out as ONE baseline
-    GeoTIFF (pure-numpy writer), re-read + re-tiled by the pure-numpy
-    reader (sources/geotiff.py), and must produce byte-identical zonal
-    statistics — same oracle as `zonal`."""
+def _q_zonal_geotiff(spark: SparkSession, sf_dir: str,
+                     compression: str = "none") -> DataFrame:
+    """O7 ingest on the board: the raster is written out as ONE GeoTIFF
+    (pure-numpy writer), re-read + re-tiled by the pure-numpy reader
+    (sources/geotiff.py), and must produce byte-identical zonal
+    statistics — same oracle as `zonal`. ``compression`` exercises the
+    from-spec Deflate/LZW codecs on the identical oracle."""
     import tempfile
     import numpy as np
     from spandex_spark.operators import zonal_stats
@@ -460,7 +462,8 @@ def _q_zonal_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc = round((r.x0 + 10.0) / 0.05)
         full[rr:rr + 50, cc:cc + 50] = np.asarray(r.values).reshape(50, 50)
     path = os.path.join(tempfile.mkdtemp(), "raster.tif")
-    write_geotiff(path, full[::-1], x0=-10.0, y0=-10.0, res=0.05)
+    write_geotiff(path, full[::-1], x0=-10.0, y0=-10.0, res=0.05,
+                  compression=compression)
     tiles = read_geotiff(spark, path, tile_rows=100, tile_cols=100)
     out = zonal_stats(tiles, zones_df(spark), level=7)
     return out.select("zone_id", "px_count",
@@ -468,6 +471,16 @@ def _q_zonal_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("px_mean", 6) + 0.0).alias("px_mean"),
                       (F.round("px_min", 6) + 0.0).alias("px_min"),
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
+
+
+def _q_zonal_geotiff_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-compressed GeoTIFF round-trip — same bytes, same oracle."""
+    return _q_zonal_geotiff(spark, sf_dir, compression="deflate")
+
+
+def _q_zonal_geotiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW-compressed GeoTIFF round-trip — same bytes, same oracle."""
+    return _q_zonal_geotiff(spark, sf_dir, compression="lzw")
 
 
 def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_roads": _q_clip_roads,
         # new in r4
         "union_overlapping": _q_union_overlapping,
+        "zonal_geotiff_deflate": _q_zonal_geotiff_deflate,
+        "zonal_geotiff_lzw": _q_zonal_geotiff_lzw,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1746,6 +1761,8 @@ def oracle_sql() -> dict[str, str]:
     d["tag_shuffle"] = d["pip_tag"]
     d["pip_tag_shapefile"] = d["pip_tag_holes"]
     d["zonal_geotiff"] = d["zonal"]
+    d["zonal_geotiff_deflate"] = d["zonal"]
+    d["zonal_geotiff_lzw"] = d["zonal"]
     d["knn_cells"] = d["knn"]
     d["nearest_road_cells"] = d["nearest_road"]
     d["asof_join_bucketed"] = d["asof_join"]

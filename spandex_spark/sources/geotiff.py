@@ -8,11 +8,14 @@ holding (tag, type, count, value) entries, strip offsets for the pixel
 matrix, and GeoTIFF's ModelPixelScale (33550) + ModelTiepoint (33922)
 tags mapping raster (col, row) to (lon, lat).
 
-Supported: single-band, uncompressed (Compression=1), stripped, sample
-formats uint8/16/32, int8/16/32, float32/64, either byte order. The
-writer emits the same subset so round-trips are testable without binary
-fixtures; byte-level spec assertions in tests/test_geotiff.py keep the
-pair honest.
+Supported: single-band, stripped, sample formats uint8/16/32, int8/16/32,
+float32/64, either byte order; Compression = none (1), LZW (5, TIFF
+variant: MSB-first codes, 9-bit start, early-change width bumps, Clear at
+table-full — decoder AND encoder implemented from the public TIFF 6.0
+spec §13), or Deflate (8 / legacy 32946, stdlib zlib); Predictor 2
+(horizontal differencing) honored on read. The writer emits the same
+subset so round-trips are testable without binary fixtures; byte-level
+spec assertions in tests/test_geotiff.py keep the pair honest.
 
 Output is the engine's raster TILE TABLE (tile_id, x0, y0, res, nx, ny,
 values row-major ascending-latitude) — the reader retiles a big image
@@ -23,21 +26,138 @@ executors; zonal_stats/clip_raster/downsample consume it unchanged.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 _TIFF_TYPES = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
                11: ("f", 4), 12: ("d", 8)}
 
+_CLEAR, _EOI, _FIRST = 256, 257, 258
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, 9-bit initial
+    codes, EARLY code-width change (width bumps when the next free code
+    reaches 2^w - 1, one code before the table actually needs it), Clear
+    emitted when the table hits 4094."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1  # keep acc small — unbounded ints go O(n^2)
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = _FIRST, 9
+    emit(_CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        w = c
+        if nxt >= 4094:
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = _FIRST, 9
+    if w:
+        emit(table[w], width)
+    emit(_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Inverse of lzw_encode — same early-change TIFF conventions."""
+    out = bytearray()
+    table: list = []
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream without EOI: tolerate
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1  # keep acc small — unbounded ints go O(n^2)
+        if code == _EOI:
+            return bytes(out)
+        if code == _CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table")
+        out += entry
+        # early change, decoder side: the table lags the encoder's next
+        # free code by ONE (the first code after Clear appends nothing),
+        # so the width bump lands at 2^w - 2 where the encoder used 2^w - 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+
+
+def _decompress_strip(raw: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp in (8, 32946):          # Adobe Deflate / legacy Deflate
+        return zlib.decompress(raw)
+    if comp == 5:                   # LZW
+        return lzw_decode(raw)
+    raise NotImplementedError(f"compression {comp}"
+                              " (supported: 1 none, 5 LZW, 8/32946 deflate)")
+
+
+def _compress_strip(raw: bytes, compression: str) -> tuple[bytes, int]:
+    if compression == "none":
+        return raw, 1
+    if compression == "deflate":
+        return zlib.compress(raw, 6), 8
+    if compression == "lzw":
+        return lzw_encode(raw), 5
+    raise ValueError(f"unknown compression {compression!r}"
+                     " (none | deflate | lzw)")
+
 
 def write_geotiff(path: str, arr: np.ndarray, *, x0: float, y0: float,
-                  res: float) -> None:
-    """Write a single-band float64 GeoTIFF (little-endian, one strip).
-    ``arr`` is row-major with row 0 at the TOP (max latitude), per TIFF
-    convention; (x0, y0) is the lower-left corner of the covered box."""
+                  res: float, compression: str = "none") -> None:
+    """Write a single-band float64 GeoTIFF (little-endian, one strip;
+    ``compression``: 'none' | 'deflate' | 'lzw'). ``arr`` is row-major
+    with row 0 at the TOP (max latitude), per TIFF convention; (x0, y0)
+    is the lower-left corner of the covered box."""
     arr = np.asarray(arr, np.float64)
     ny, nx = arr.shape
-    data = arr.astype("<f8").tobytes()
+    data, comp_tag = _compress_strip(arr.astype("<f8").tobytes(), compression)
     # layout: 8-byte header | pixel data | IFD | out-of-line tag values
     data_off = 8
     ifd_off = data_off + len(data)
@@ -45,7 +165,7 @@ def write_geotiff(path: str, arr: np.ndarray, *, x0: float, y0: float,
         (256, 4, 1, nx),             # ImageWidth
         (257, 4, 1, ny),             # ImageLength
         (258, 3, 1, 64),             # BitsPerSample
-        (259, 3, 1, 1),              # Compression = none
+        (259, 3, 1, comp_tag),       # Compression
         (273, 4, 1, data_off),       # StripOffsets
         (278, 4, 1, ny),             # RowsPerStrip
         (279, 4, 1, len(data)),      # StripByteCounts
@@ -117,20 +237,33 @@ def read_geotiff(spark, path: str, *, tile_rows: int = 256,
     ny = tags[257][0]
     bits = tags.get(258, (64,))[0]
     comp = tags.get(259, (1,))[0]
-    if comp != 1:
-        raise NotImplementedError(f"compression {comp} (baseline only)")
+    predictor = tags.get(317, (1,))[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"predictor {predictor}"
+                                  " (1 none / 2 horizontal only)")
     sfmt = tags.get(339, (1,))[0]
     dt = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
           (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
           (3, 32): "f4", (3, 64): "f8"}.get((sfmt, bits))
     if dt is None:
         raise NotImplementedError(f"sample format {sfmt}/{bits}")
+    if predictor == 2 and sfmt == 3:
+        raise NotImplementedError("predictor 2 on float samples")
     dtype = np.dtype(bo + dt)
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = tags.get(278, (ny,))[0]
-    parts = [np.frombuffer(buf, dtype, c // dtype.itemsize, o)
-             for o, c in zip(offsets, counts)]
+    parts = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        raw = _decompress_strip(bytes(buf[o:o + c]), comp)
+        strip = np.frombuffer(raw, dtype, len(raw) // dtype.itemsize)
+        if predictor == 2:
+            # horizontal differencing: each sample stored as the delta to
+            # its left neighbour; undo with a per-row modular cumsum
+            nrows = strip.shape[0] // nx
+            strip = (strip.reshape(nrows, nx)
+                     .cumsum(axis=1, dtype=dtype).ravel())
+        parts.append(strip)
     arr = np.concatenate(parts).astype(np.float64).reshape(ny, nx)
     sx, sy = tags[33550][0], tags[33550][1]
     tp = tags[33922]

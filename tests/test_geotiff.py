@@ -2,6 +2,7 @@
 spec. Byte-level header assertions keep the writer honest; the loaded
 raster must drive zonal_stats identically to the generated tile table."""
 
+import os
 import struct
 
 import numpy as np
@@ -141,3 +142,90 @@ class TestGeoTiff:
         r = read_geotiff(spark, p).collect()[0]
         got = np.asarray(r.values).reshape(6, 4)
         np.testing.assert_array_equal(got, np.arange(24).reshape(6, 4)[::-1])
+
+
+class TestCompression:
+    def test_lzw_codec_round_trip(self):
+        """TIFF-variant LZW (spec §13): early-change width bumps, Clear at
+        table-full, MSB-first packing — encoder and decoder must invert
+        each other across payloads that cross every width boundary."""
+        import random
+        from spandex_spark.sources.geotiff import lzw_decode, lzw_encode
+        rng = random.Random(42)
+        payloads = [
+            b"", b"A", b"AAAAAAAAAAAA",
+            bytes(range(256)) * 40,                       # width bumps
+            bytes(rng.randrange(256) for _ in range(100_000)),  # resets
+            b"TOBEORNOTTOBEORTOBEORNOT" * 3000,
+            np.arange(50_000, dtype="<f8").tobytes(),
+        ]
+        for p in payloads:
+            assert lzw_decode(lzw_encode(p)) == p
+
+    def test_lzw_known_vector(self):
+        """First codes of the canonical TIFF example: Clear, then literal
+        codes, 9-bit MSB-first. Encoding b'\\x07\\x07\\x07' must start with
+        Clear(256)=100000000 then 7=000000111 then 258 (the just-added
+        '\\x07\\x07' entry)."""
+        from spandex_spark.sources.geotiff import lzw_encode
+        enc = lzw_encode(b"\x07\x07\x07")
+        bits = "".join(f"{b:08b}" for b in enc)
+        assert bits.startswith("100000000" + "000000111" + "100000010")
+
+    def test_compressed_round_trips(self, spark, tmp_path):
+        from spandex_spark.sources.geotiff import read_geotiff, write_geotiff
+        rng = np.random.default_rng(3)
+        arr = np.round(rng.uniform(-5, 5, (120, 90)), 3)
+        sizes = {}
+        for comp in ("none", "deflate", "lzw"):
+            p = str(tmp_path / f"c_{comp}.tif")
+            write_geotiff(p, arr, x0=-1.5, y0=2.0, res=0.25, compression=comp)
+            sizes[comp] = os.path.getsize(p)
+            tiles = read_geotiff(spark, p, tile_rows=64, tile_cols=64).collect()
+            back = np.zeros((120, 90))
+            for t in tiles:
+                r0 = round((t.y0 - 2.0) / 0.25)
+                c0 = round((t.x0 + 1.5) / 0.25)
+                back[r0:r0 + t.ny, c0:c0 + t.nx] = \
+                    np.array(t.values).reshape(t.ny, t.nx)
+            np.testing.assert_array_equal(back, arr[::-1])
+        assert sizes["deflate"] < sizes["none"]
+        assert sizes["lzw"] < sizes["none"]
+
+    def test_predictor2_horizontal_differencing(self, spark, tmp_path):
+        """A deflate + predictor-2 uint16 file written tag-by-tag from the
+        spec (the libtiff-default layout for compressed integer rasters)
+        reads back exactly."""
+        import zlib
+        from spandex_spark.sources.geotiff import read_geotiff
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 1000, (40, 30)).astype("<u2")
+        diff = a.copy()
+        diff[:, 1:] = a[:, 1:] - a[:, :-1]          # modular differencing
+        data = zlib.compress(diff.tobytes())
+        entries = [(256, 4, 1, 30), (257, 4, 1, 40), (258, 3, 1, 16),
+                   (259, 3, 1, 8), (273, 4, 1, 8), (278, 4, 1, 40),
+                   (279, 4, 1, len(data)), (317, 3, 1, 2), (339, 3, 1, 1),
+                   (33550, 12, 3, None), (33922, 12, 6, None)]
+        ifd_off = 8 + len(data)
+        tail = ifd_off + 2 + len(entries) * 12 + 4
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off)) + data
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHI", tag, typ, cnt)
+            if tag == 33550:
+                out += struct.pack("<I", tail)
+            elif tag == 33922:
+                out += struct.pack("<I", tail + 24)
+            elif typ == 3:
+                out += struct.pack("<HH", val, 0)
+            else:
+                out += struct.pack("<I", val)
+        out += struct.pack("<I", 0)
+        out += struct.pack("<3d", 0.5, 0.5, 0.0)
+        out += struct.pack("<6d", 0, 0, 0, 10.0, 10.0 + 40 * 0.5, 0.0)
+        p = str(tmp_path / "pred.tif")
+        open(p, "wb").write(bytes(out))
+        tiles = read_geotiff(spark, p, tile_rows=64, tile_cols=64).collect()
+        back = np.array(tiles[0].values).reshape(40, 30)
+        np.testing.assert_array_equal(back, a[::-1].astype(float))
