@@ -555,6 +555,39 @@ def _q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("y", 2) + 0.0).alias("utm_y"))
 
 
+def _q_erase_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Difference on the board (operators/trim.py::erase — the
+    planar-arrangement boolean kernel, per-row difference against the
+    same non-convex L-mask trim_area clips WITH). Oracle: parcel area
+    minus the two disjoint L-arm rectangle intersections — pure
+    LEAST/GREATEST arithmetic; parcels fully inside the L drop out
+    (NULL geometry) on both sides."""
+    import numpy as np
+    from spandex_spark.operators.trim import erase
+    from spandex_spark.functions.spatial import geom_area_udf
+    lx = np.array([-6.0, 6.0, 6.0, 0.0, 0.0, -6.0])
+    ly = np.array([-6.0, -6.0, 0.0, 0.0, 6.0, 6.0])
+    out = erase(parcels_df(spark), lx, ly)
+    g = F.col("geom_erased")
+    return (out.filter(g.isNotNull())
+            .select("parcel_id",
+                    (F.round(geom_area_udf(g), 9) + 0.0).alias("erase_area")))
+
+
+def _q_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 extended round 4: Lambert-Conformal-Conic 2SP state-plane
+    forward projection (EPSG:26943, NAD83 / California zone 3 — the
+    UrbanSim-style parcel CRS family; Snyder §15 on GRS80). The oracle
+    reruns the identical closed-form t/rho/theta arithmetic in SQL."""
+    from spandex_spark.operators import reproject
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = reproject(pts, to_srid=26943)
+    return out.select("c_custkey",
+                      (F.round("x", 2) + 0.0).alias("sp_x"),
+                      (F.round("y", 2) + 0.0).alias("sp_y"))
+
+
 def _q_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: geotag extraction from synthesized page text (regex path)."""
     from spandex_spark.geotag import geotag
@@ -993,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_overlapping": _q_union_overlapping,
         "zonal_geotiff_deflate": _q_zonal_geotiff_deflate,
         "zonal_geotiff_lzw": _q_zonal_geotiff_lzw,
+        "reproject_lcc": _q_reproject_lcc,
+        "erase_parcels": _q_erase_parcels,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1160,6 +1195,19 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_PARCELS})
             )
             SELECT parcel_id, ROUND(area, 6) + 0.0 AS clip_area
+            FROM a WHERE area > 0.0
+        """,
+        "erase_parcels": f"""
+            WITH a AS (
+              SELECT parcel_id,
+                     (x1 - x0) * (y1 - y0)
+                   - GREATEST(0.0, LEAST(x1, 6.0) - GREATEST(x0, -6.0))
+                       * GREATEST(0.0, LEAST(y1, 0.0) - GREATEST(y0, -6.0))
+                   - GREATEST(0.0, LEAST(x1, 0.0) - GREATEST(x0, -6.0))
+                       * GREATEST(0.0, LEAST(y1, 6.0) - GREATEST(y0, 0.0)) AS area
+              FROM ({_PARCELS})
+            )
+            SELECT parcel_id, ROUND(area, 9) + 0.0 AS erase_area
             FROM a WHERE area > 0.0
         """,
         "trim_dissolved": f"""
@@ -1680,6 +1728,42 @@ def oracle_sql() -> dict[str, str]:
                  + (61.0 - 58.0*T + T*T + 600.0*C - 330.0*ep2)
                    * A*A*A*A*A*A / 720.0)), 2) + 0.0 AS utm_y
         FROM r
+    """.format(pts=_PTS)
+    # LCC 2SP forward (Snyder §15), EPSG:26943 constants on GRS80 —
+    # mirrors geom.lonlat_to_lcc operation-for-operation
+    d["reproject_lcc"] = """
+        WITH c AS (
+          SELECT sqrt((1.0/298.257222101)*(2.0-1.0/298.257222101)) AS e,
+                 radians(38.0+26.0/60.0) AS p1,
+                 radians(37.0+4.0/60.0) AS p2,
+                 radians(36.5) AS p0, radians(-120.5) AS l0
+        ), k AS (
+          SELECT *,
+                 cos(p1)/sqrt(1.0-e*e*sin(p1)*sin(p1)) AS m1,
+                 cos(p2)/sqrt(1.0-e*e*sin(p2)*sin(p2)) AS m2,
+                 tan(pi()/4.0-p1/2.0)/pow((1.0-e*sin(p1))/(1.0+e*sin(p1)), e/2.0) AS t1,
+                 tan(pi()/4.0-p2/2.0)/pow((1.0-e*sin(p2))/(1.0+e*sin(p2)), e/2.0) AS t2,
+                 tan(pi()/4.0-p0/2.0)/pow((1.0-e*sin(p0))/(1.0+e*sin(p0)), e/2.0) AS t0
+          FROM c
+        ), kk AS (
+          SELECT *, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n FROM k
+        ), z AS (
+          SELECT *, m1/(n*pow(t1,n)) AS Fc,
+                 6378137.0 * (m1/(n*pow(t1,n))) * pow(t0,n) AS rho0
+          FROM kk
+        ), pr AS (
+          SELECT p.c_custkey, z.n, z.l0, z.rho0,
+                 radians(p.lon) AS lam,
+                 6378137.0 * z.Fc * pow(
+                   tan(pi()/4.0-radians(p.lat)/2.0)
+                   / pow((1.0-z.e*sin(radians(p.lat)))
+                         /(1.0+z.e*sin(radians(p.lat))), z.e/2.0), z.n) AS rho
+          FROM ({pts}) p CROSS JOIN z
+        )
+        SELECT c_custkey,
+               round(2000000.0 + rho * sin(n*(lam-l0)), 2) + 0.0 AS sp_x,
+               round(500000.0 + rho0 - rho * cos(n*(lam-l0)), 2) + 0.0 AS sp_y
+        FROM pr
     """.format(pts=_PTS)
     d["lang_id"] = r"""
         WITH t AS (

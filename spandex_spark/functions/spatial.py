@@ -154,6 +154,21 @@ def utm_udf(lon, lat, zone: int, north: bool = True):
     return _utm(lon, lat, F.lit(zone), F.lit(north))
 
 
+@pandas_udf(_MERC_TYPE)
+def _lcc(lon: pd.Series, lat: pd.Series, epsg: pd.Series) -> pd.DataFrame:
+    p1, p2, p0, l0, fe, fn = _geom.LCC_ZONES[int(epsg.iloc[0])]
+    x, y = _geom.lonlat_to_lcc(lon.to_numpy(np.float64),
+                               lat.to_numpy(np.float64), phi1=p1, phi2=p2,
+                               phi0=p0, lam0=l0, fe=fe, fn=fn)
+    return pd.DataFrame({"x": x, "y": y})
+
+
+def lcc_udf(lon, lat, epsg: int):
+    """ST_Transform(4326 → LCC-2SP state-plane / national grid) analog
+    (Snyder §15); supported EPSG codes in geom.LCC_ZONES."""
+    return _lcc(lon, lat, F.lit(epsg))
+
+
 @pandas_udf(T.BooleanType())
 def _geom_is_valid(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
     out = np.fromiter(

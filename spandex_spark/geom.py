@@ -582,12 +582,61 @@ def dissolve_rings(rings: list, quant: float = 1e-9) -> list:
     return out
 
 
+def _normalize_polys(polys: list) -> list:
+    return [(np.asarray(xs, np.float64), np.asarray(ys, np.float64),
+             (np.asarray(o, np.int64) if o is not None and len(o) > 2
+              else None)) for xs, ys, o in polys]
+
+
+def _any_cover(polys: list, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """True where (px, py) is inside >= 1 of the even-odd polygons."""
+    covered = np.zeros(px.shape[0], dtype=bool)
+    for xs, ys, offs in polys:
+        todo = ~covered
+        if not todo.any():
+            break
+        covered[todo] |= points_in_rings(px[todo], py[todo], xs, ys, offs)
+    return covered
+
+
 def union_rings(polys: list, quant: float = 1e-9, eps_off: float = None) -> list:
     """General polygon union — OVERLAPPING inputs allowed (the ST_Union
     semantics dissolve_rings can't give; spandex's spatialtoolz templates
-    delegate this to PostGIS).
+    delegate this to PostGIS). See _arrangement_region for the
+    construction; membership = covered by >= 1 input polygon."""
+    polys = _normalize_polys(polys)
+    return _arrangement_region(polys, lambda px, py: _any_cover(polys, px, py),
+                               quant=quant, eps_off=eps_off)
 
-    Planar-arrangement construction, from scratch:
+
+def boolean_rings(polys_a: list, polys_b: list, op: str,
+                  quant: float = 1e-9, eps_off: float = None) -> list:
+    """General polygon boolean ops on two groups of even-odd polygons —
+    the ST_Intersection / ST_Difference / ST_SymDifference GEOMETRY
+    analogs (trim covers only the convex/triangulated clip-area case).
+    Region semantics: A = union of polys_a, B = union of polys_b;
+    ``op`` in {'union', 'intersection', 'difference', 'symdiff'}.
+    Same arrangement machinery and tolerance contract as union_rings."""
+    polys_a = _normalize_polys(polys_a)
+    polys_b = _normalize_polys(polys_b)
+    try:
+        combine = {"union": lambda a, b: a | b,
+                   "intersection": lambda a, b: a & b,
+                   "difference": lambda a, b: a & ~b,
+                   "symdiff": lambda a, b: a ^ b}[op]
+    except KeyError:
+        raise ValueError(f"unknown op {op!r}") from None
+
+    def member(px, py):
+        return combine(_any_cover(polys_a, px, py), _any_cover(polys_b, px, py))
+
+    return _arrangement_region(polys_a + polys_b, member,
+                               quant=quant, eps_off=eps_off)
+
+
+def _arrangement_region(polys: list, member, quant: float = 1e-9,
+                        eps_off: float = None) -> list:
+    """Planar-arrangement region extraction, from scratch:
 
     1. every edge of every input ring is split at its intersections with
        every other edge (non-parallel crossings AND collinear-overlap
@@ -595,25 +644,22 @@ def union_rings(polys: list, quant: float = 1e-9, eps_off: float = None) -> list
        merge exactly;
     2. coincident duplicate sub-edges collapse to one (shared borders,
        stacked polygons);
-    3. each surviving sub-edge is classified by UNION COVERAGE of the two
-       points offset ``eps_off`` to its left and right: kept iff exactly
-       one side is covered by >= 1 input polygon (even-odd per input), and
-       oriented so the covered side is on the LEFT;
+    3. each surviving sub-edge is classified by REGION MEMBERSHIP
+       (``member(px, py) -> bool`` — union coverage, intersection, ...)
+       of the two points offset ``eps_off`` to its left and right: kept
+       iff exactly one side is in the region, oriented region-on-LEFT;
     4. rings are assembled by the clockwise-most-turn rule (at a vertex,
        continue along the unused edge with the smallest clockwise rotation
        from the reversed incoming direction) — pinch vertices split into
        separate simple rings instead of figure-eights, outer rings come
        out CCW and holes CW, so rings_area/points_in_rings work unchanged.
 
-    ``polys``: list of (xs, ys, ring_offsets-or-None) even-odd polygons.
-    Returns a list of oriented (xs, ys) rings. Tolerance contract: distinct
-    non-coincident boundaries closer than ``eps_off`` (default 1e-7 x the
-    bbox diagonal) may misclassify — inputs at that separation should be
-    snapped first.
+    ``polys``: list of (xs, ys, ring_offsets-or-None) — the edge sources
+    (already normalized). Returns a list of oriented (xs, ys) rings.
+    Tolerance contract: distinct non-coincident boundaries closer than
+    ``eps_off`` (default 1e-7 x the bbox diagonal) may misclassify —
+    inputs at that separation should be snapped first.
     """
-    polys = [(np.asarray(xs, np.float64), np.asarray(ys, np.float64),
-              (np.asarray(o, np.int64) if o is not None and len(o) > 2
-               else None)) for xs, ys, o in polys]
     ax, ay, bx, by = [], [], [], []
     for xs, ys, offs in polys:
         for rx, ry in rings_of(xs, ys, offs):
@@ -679,20 +725,14 @@ def union_rings(polys: list, quant: float = 1e-9, eps_off: float = None) -> list
     sax = np.array([k[0][0] for k in keys]); say = np.array([k[0][1] for k in keys])
     sbx = np.array([k[1][0] for k in keys]); sby = np.array([k[1][1] for k in keys])
 
-    # -- 3. coverage classification at midpoint +/- eps_off * left normal
+    # -- 3. membership classification at midpoint +/- eps_off * left normal
     mx, my = (sax + sbx) / 2.0, (say + sby) / 2.0
     dx, dy = sbx - sax, sby - say
     ln = np.hypot(dx, dy)
     nx_, ny_ = -dy / ln, dx / ln
     probe_x = np.concatenate([mx + eps_off * nx_, mx - eps_off * nx_])
     probe_y = np.concatenate([my + eps_off * ny_, my - eps_off * ny_])
-    covered = np.zeros(probe_x.shape[0], dtype=bool)
-    for xs, ys, offs in polys:
-        todo = ~covered
-        if not todo.any():
-            break
-        covered[todo] |= points_in_rings(probe_x[todo], probe_y[todo],
-                                         xs, ys, offs)
+    covered = member(probe_x, probe_y)
     k = len(keys)
     left_cov, right_cov = covered[:k], covered[k:]
     keep = left_cov != right_cov
@@ -934,3 +974,94 @@ def utm_to_lonlat(x: np.ndarray, y: np.ndarray, zone: int,
                   + (5.0 - 2.0 * C1 + 28.0 * T1 - 3.0 * C1 * C1 + 8.0 * ep2
                      + 24.0 * T1 * T1) * D2 * D2 * D / 120.0) / cos1
     return np.degrees(lam), np.degrees(phi)
+
+
+# GRS80 (NAD83 / RGF93 state-plane & national LCC grids)
+_GRS80_A = 6_378_137.0
+_GRS80_F = 1.0 / 298.257222101
+
+
+def _lcc_consts(phi1_deg: float, phi2_deg: float, phi0_deg: float,
+                a: float, f: float):
+    """Snyder 1987 eqs 15-1..15-3: the 2SP Lambert Conformal Conic cone
+    constant n, scale F, and origin radius rho0 on an ellipsoid."""
+    e = np.sqrt(f * (2.0 - f))
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1.0 - e * e * s * s)
+
+    def t(phi):
+        s = np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+    p1, p2, p0 = np.radians([phi1_deg, phi2_deg, phi0_deg])
+    m1, m2 = m(p1), m(p2)
+    t1, t2, t0 = t(p1), t(p2), t(p0)
+    if abs(phi1_deg - phi2_deg) < 1e-12:
+        n = np.sin(p1)
+    else:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    Fc = m1 / (n * t1 ** n)
+    rho0 = a * Fc * t0 ** n
+    return e, n, Fc, rho0
+
+
+def lonlat_to_lcc(lon: np.ndarray, lat: np.ndarray, *, phi1: float,
+                  phi2: float, phi0: float, lam0: float, fe: float,
+                  fn: float, a: float = _GRS80_A,
+                  f: float = _GRS80_F) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 → Lambert Conformal Conic 2SP (Snyder 1987 §15, eqs
+    15-1..15-7) — the projection family behind US state-plane zones
+    (NAD83, e.g. EPSG:26943 California zone 3) and national grids
+    (EPSG:2154 Lambert-93, EPSG:3347 Statistics Canada). Vectorized;
+    mm-accurate within a zone's validity window."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    e, n, Fc, rho0 = _lcc_consts(phi1, phi2, phi0, a, f)
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    t = (np.tan(np.pi / 4.0 - phi / 2.0)
+         / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+    rho = a * Fc * t ** n
+    th = n * (np.radians(lon) - np.radians(lam0))
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def lcc_to_lonlat(x: np.ndarray, y: np.ndarray, *, phi1: float, phi2: float,
+                  phi0: float, lam0: float, fe: float, fn: float,
+                  a: float = _GRS80_A, f: float = _GRS80_F,
+                  iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """LCC 2SP → EPSG:4326 (Snyder 1987 eqs 15-9..15-11 inverse with the
+    standard fixed-point iteration for phi — converges to double precision
+    in <= 6 rounds everywhere the forward map is defined)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    e, n, Fc, rho0 = _lcc_consts(phi1, phi2, phi0, a, f)
+    dx = x - fe
+    dy = rho0 - (y - fn)
+    rho = np.sign(n) * np.hypot(dx, dy)
+    th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    t = (rho / (a * Fc)) ** (1.0 / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(iters):
+        s = np.sin(phi)
+        phi = (np.pi / 2.0
+               - 2.0 * np.arctan(t * ((1.0 - e * s) / (1.0 + e * s))
+                                 ** (e / 2.0)))
+    return np.degrees(th / n + np.radians(lam0)), np.degrees(phi)
+
+
+# Defining constants (EPSG registry, public) for supported meter-unit LCC
+# CRSs: (phi1, phi2, phi0, lam0, false_easting, false_northing)
+LCC_ZONES = {
+    26941: (41.0 + 40.0 / 60, 40.0, 39.0 + 20.0 / 60, -122.0, 2_000_000.0, 500_000.0),   # NAD83 / California zone 1
+    26942: (39.0 + 50.0 / 60, 38.0 + 20.0 / 60, 37.0 + 40.0 / 60, -122.0, 2_000_000.0, 500_000.0),  # zone 2
+    26943: (38.0 + 26.0 / 60, 37.0 + 4.0 / 60, 36.5, -120.5, 2_000_000.0, 500_000.0),    # zone 3
+    26944: (37.0 + 15.0 / 60, 36.0, 35.0 + 20.0 / 60, -119.0, 2_000_000.0, 500_000.0),   # zone 4
+    26945: (35.0 + 28.0 / 60, 34.0 + 2.0 / 60, 33.5, -118.0, 2_000_000.0, 500_000.0),    # zone 5
+    26946: (33.0 + 53.0 / 60, 32.0 + 47.0 / 60, 32.0 + 10.0 / 60, -116.25, 2_000_000.0, 500_000.0),  # zone 6
+    2154: (49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0),          # RGF93 / Lambert-93
+    3347: (49.0, 77.0, 63.390675, -91.0 - 52.0 / 60, 6_200_000.0, 3_000_000.0),  # StatCan LCC
+}

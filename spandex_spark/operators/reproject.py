@@ -2,9 +2,11 @@
 
 Reference semantics: spandex/spatialtoolz.py::conform_srids / ::reproject
 (ST_Transform to the project SRID). Supported analytically (no pyproj in
-env): EPSG:4326 <-> EPSG:3857, and the UTM family EPSG:32601-32660 (north)
-/ 32701-32760 (south) via the transverse-Mercator series — UTM is the
-project-SRID family real parcel layers conform to. All internal engine
+env): EPSG:4326 <-> EPSG:3857, the UTM family EPSG:32601-32660 (north)
+/ 32701-32760 (south) via the transverse-Mercator series, and the
+Lambert-Conformal-Conic 2SP family (geom.LCC_ZONES: NAD83 California
+state-plane zones 1-6 EPSG:26941-26946 — the CRSs spandex's UrbanSim
+parcel users live in — plus Lambert-93 EPSG:2154 and StatCan EPSG:3347). All internal engine
 math stays in 4326; reprojection is an output/ingest transform."""
 
 from __future__ import annotations
@@ -12,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spandex_spark.functions.spatial import webmercator_udf, utm_udf
+from spandex_spark import geom as _geom
+from spandex_spark.functions.spatial import webmercator_udf, utm_udf, lcc_udf
 
 
 def reproject(df: DataFrame, *, lon_col: str = "lon", lat_col: str = "lat",
@@ -23,8 +26,11 @@ def reproject(df: DataFrame, *, lon_col: str = "lon", lat_col: str = "lat",
         out = utm_udf(F.col(lon_col), F.col(lat_col), to_srid - 32600, True)
     elif 32701 <= to_srid <= 32760:
         out = utm_udf(F.col(lon_col), F.col(lat_col), to_srid - 32700, False)
+    elif to_srid in _geom.LCC_ZONES:
+        out = lcc_udf(F.col(lon_col), F.col(lat_col), to_srid)
     else:
         raise NotImplementedError(
-            "analytic reprojection supports EPSG:3857 and UTM "
-            "(EPSG:32601-32660 / 32701-32760); no pyproj in env")
+            "analytic reprojection supports EPSG:3857, UTM "
+            "(EPSG:32601-32660 / 32701-32760) and the LCC zones in "
+            "geom.LCC_ZONES; no pyproj in env")
     return df.withColumn(x_col, out["x"]).withColumn(y_col, out["y"])

@@ -102,3 +102,65 @@ def trim(targets: DataFrame, boundary_xs: np.ndarray, boundary_ys: np.ndarray,
                        F.col(geom_col)["ring_offsets"]))
     return out.withColumn(
         out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))
+
+
+def erase(targets: DataFrame, boundary_xs: np.ndarray,
+          boundary_ys: np.ndarray, *, geom_col: str = "geom",
+          out_col: str = "geom_erased") -> DataFrame:
+    """The complement of trim: ST_Difference(target, boundary) — remove
+    the boundary polygon from every target, keeping the OUTSIDE part
+    (the GIS 'erase by mask' operation; PostGIS ST_Difference, which
+    spandex's spatialtoolz templates reach via SQL).
+
+    Runs geom.boolean_rings(target, boundary, 'difference') per row — the
+    planar-arrangement boolean kernel — inside one Arrow-vectorized
+    pandas UDF; the boundary (possibly NON-convex, any simple ring) rides
+    each task as a closure, same contract as trim/clip_lines. Rows whose
+    geometry lies entirely inside the boundary get a NULL ``out_col``;
+    holes created by the subtraction come out as CW rings (even-odd)."""
+    bx = np.asarray(boundary_xs, np.float64)
+    by = np.asarray(boundary_ys, np.float64)
+    if _geom.shoelace_area(bx, by) < 0:
+        bx, by = bx[::-1].copy(), by[::-1].copy()
+    bminx, bminy, bmaxx, bmaxy = bx.min(), by.min(), bx.max(), by.max()
+
+    @pandas_udf(_GEOM_TYPE)
+    def _erase(xs: pd.Series, ys: pd.Series, roffs: pd.Series) -> pd.DataFrame:
+        kinds, oxs, oys, offs, bboxes = [], [], [], [], []
+        for x_arr, y_arr, o_arr in zip(xs, ys, roffs):
+            sx = np.asarray(x_arr, np.float64)
+            sy = np.asarray(y_arr, np.float64)
+            o = (np.asarray(o_arr, np.int64)
+                 if o_arr is not None and len(o_arr) > 2 else None)
+            # bbox fast path: no overlap with the mask -> geometry unchanged
+            if (sx.max() <= bminx or sx.min() >= bmaxx
+                    or sy.max() <= bminy or sy.min() >= bmaxy):
+                rings = _geom.rings_of(sx, sy, o)
+            else:
+                rings = _geom.boolean_rings([(sx, sy, o)], [(bx, by, None)],
+                                            "difference")
+            if not rings:
+                kinds.append(None)
+                oxs.append(None)
+                oys.append(None)
+                offs.append(None)
+                bboxes.append(None)
+                continue
+            all_x = np.concatenate([r[0] for r in rings])
+            all_y = np.concatenate([r[1] for r in rings])
+            ro = np.cumsum([0] + [r[0].shape[0] for r in rings])
+            kinds.append(3 if len(rings) == 1 else 6)
+            oxs.append(all_x.tolist())
+            oys.append(all_y.tolist())
+            offs.append([int(v) for v in ro])
+            bboxes.append({"minx": float(all_x.min()), "miny": float(all_y.min()),
+                           "maxx": float(all_x.max()), "maxy": float(all_y.max())})
+        return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
+                             "xs": oxs, "ys": oys,
+                             "ring_offsets": offs, "bbox": bboxes})
+
+    out = targets.withColumn(
+        out_col, _erase(F.col(geom_col)["xs"], F.col(geom_col)["ys"],
+                        F.col(geom_col)["ring_offsets"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))

@@ -708,3 +708,127 @@ class TestUnionRings:
                 want |= G.points_in_rings(px, py, xs, ys, o)
             mc = want.mean() * 64.0
             assert self._area(rings) == pytest.approx(mc, rel=0.03)
+
+
+class TestLCC:
+    """Lambert Conformal Conic 2SP (Snyder §15) — state-plane family."""
+
+    P = dict(phi1=38.0 + 26.0 / 60, phi2=37.0 + 4.0 / 60, phi0=36.5,
+             lam0=-120.5, fe=2_000_000.0, fn=500_000.0)  # EPSG:26943
+
+    def test_origin_maps_to_false_origin(self):
+        x, y = geom.lonlat_to_lcc(np.array([-120.5]), np.array([36.5]),
+                                  **self.P)
+        assert x[0] == pytest.approx(2_000_000.0, abs=1e-6)
+        assert y[0] == pytest.approx(500_000.0, abs=1e-6)
+
+    def test_round_trip_double_precision(self):
+        rng = np.random.default_rng(0)
+        lon = rng.uniform(-125, -114, 2000)
+        lat = rng.uniform(32, 42, 2000)
+        x, y = geom.lonlat_to_lcc(lon, lat, **self.P)
+        lon2, lat2 = geom.lcc_to_lonlat(x, y, **self.P)
+        assert np.abs(lon2 - lon).max() < 1e-12
+        assert np.abs(lat2 - lat).max() < 1e-12
+
+    def test_scale_factor_unity_on_standard_parallels(self):
+        """Defining property of the 2SP secant cone: grid scale k = 1
+        exactly on both standard parallels, > 1 outside, < 1 between."""
+        e = np.sqrt((1 / 298.257222101) * (2 - 1 / 298.257222101))
+        a = 6_378_137.0
+
+        def k_at(lat_deg):
+            # numeric scale along the parallel: ds_grid / ds_ellipsoid
+            lat = np.full(2, lat_deg)
+            lon = np.array([-120.5, -120.5 + 1e-6])
+            x, y = geom.lonlat_to_lcc(lon, lat, **self.P)
+            ds_grid = np.hypot(np.diff(x), np.diff(y))[0]
+            s = np.sin(np.radians(lat_deg))
+            # radius of the parallel circle on the ellipsoid
+            Npr = a / np.sqrt(1 - e * e * s * s)
+            ds_true = Npr * np.cos(np.radians(lat_deg)) * np.radians(1e-6)
+            return ds_grid / ds_true
+
+        assert k_at(38.0 + 26.0 / 60) == pytest.approx(1.0, abs=1e-7)
+        assert k_at(37.0 + 4.0 / 60) == pytest.approx(1.0, abs=1e-7)
+        assert k_at(37.75) < 1.0           # between the parallels
+        assert k_at(40.0) > 1.0            # outside
+        assert k_at(35.0) > 1.0
+
+    def test_lambert93_origin(self):
+        p1, p2, p0, l0, fe, fn = geom.LCC_ZONES[2154]
+        x, y = geom.lonlat_to_lcc(np.array([3.0]), np.array([46.5]),
+                                  phi1=p1, phi2=p2, phi0=p0, lam0=l0,
+                                  fe=fe, fn=fn)
+        assert x[0] == pytest.approx(700_000.0, abs=1e-6)
+        assert y[0] == pytest.approx(6_600_000.0, abs=1e-6)
+
+
+class TestBooleanRings:
+    """geom.boolean_rings — ST_Intersection/Difference/SymDifference
+    geometry via the shared arrangement kernel."""
+
+    @staticmethod
+    def _rect(x0, y0, x1, y1):
+        return (np.array([x0, x1, x1, x0], float),
+                np.array([y0, y0, y1, y1], float), None)
+
+    @staticmethod
+    def _area(rings):
+        return sum(G.shoelace_area(rx, ry) for rx, ry in rings)
+
+    def test_closed_form(self):
+        R = self._rect
+        cases = [
+            ([R(0, 0, 2, 2)], [R(1, 1, 3, 3)], "intersection", 1.0, 1),
+            ([R(0, 0, 3, 3)], [R(1, 1, 2, 2)], "difference", 8.0, 2),
+            ([R(0, 0, 2, 1)], [R(1, 0, 3, 1)], "difference", 1.0, 1),
+            ([R(0, 0, 2, 2)], [R(1, 1, 3, 3)], "symdiff", 6.0, 2),
+            ([R(0, 0, 1, 1)], [R(5, 5, 6, 6)], "intersection", 0.0, 0),
+            ([R(1, 1, 2, 2)], [R(0, 0, 3, 3)], "difference", 0.0, 0),
+            ([R(1, 1, 2, 2)], [R(0, 0, 3, 3)], "intersection", 1.0, 1),
+            ([R(0, 0, 1, 1)], [R(0, 0, 1, 1)], "intersection", 1.0, 1),
+            ([R(0, 0, 1, 1)], [R(0, 0, 1, 1)], "difference", 0.0, 0),
+            ([R(0, 0, 1, 2), R(1, 0, 2, 2)], [R(0.5, 0.5, 1.5, 1.5)],
+             "intersection", 1.0, 1),
+        ]
+        for pa, pb, op, want_area, want_rings in cases:
+            rings = G.boolean_rings(pa, pb, op)
+            assert len(rings) == want_rings, (op, want_area)
+            assert self._area(rings) == pytest.approx(want_area, abs=1e-9)
+
+    def test_unknown_op_raises(self):
+        with pytest.raises(ValueError):
+            G.boolean_rings([self._rect(0, 0, 1, 1)],
+                            [self._rect(0, 0, 1, 1)], "xor")
+
+    def test_matches_intersection_area_kernel(self):
+        """Cross-validate the arrangement intersection against the
+        independent triangulation-based polygon_intersection_area."""
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            x0, y0 = rng.uniform(0, 2, 2)
+            w, h = rng.uniform(0.5, 2.5, 2)
+            a = self._rect(x0, y0, x0 + w, y0 + h)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, 5))
+            bx = 1.5 + rng.uniform(0.8, 1.8) * np.cos(ang)
+            by = 1.5 + rng.uniform(0.8, 1.8) * np.sin(ang)
+            b = (bx, by, None)
+            got = self._area(G.boolean_rings([a], [b], "intersection"))
+            want = G.polygon_intersection_area(a[0], a[1], bx, by)
+            # arrangement vertices snap to the 1e-9 quant grid; the area
+            # perturbation bound is perimeter * quant/2 ~ 4e-9 here
+            assert got == pytest.approx(want, abs=1e-7)
+
+    def test_difference_partition_identity(self):
+        """area(A) = area(A∩B) + area(A\\B) on random overlapping boxes."""
+        rng = np.random.default_rng(9)
+        for _ in range(10):
+            a = self._rect(*np.sort(rng.uniform(0, 3, 2)),
+                           *np.sort(rng.uniform(0, 3, 2)) + 1)
+            b = self._rect(*np.sort(rng.uniform(0, 3, 2)),
+                           *np.sort(rng.uniform(0, 3, 2)) + 1)
+            ia = self._area(G.boolean_rings([a], [b], "intersection"))
+            da = self._area(G.boolean_rings([a], [b], "difference"))
+            want = abs(G.shoelace_area(a[0], a[1]))
+            assert ia + da == pytest.approx(want, abs=1e-9)

@@ -285,3 +285,42 @@ class TestUnionBy:
                                  np.array(g["ring_offsets"]))
                 assert len(g["ring_offsets"]) - 1 == 1
                 assert a == pytest.approx(4.0, abs=1e-9)
+
+
+class TestErase:
+    def test_erase_complements_trim(self, spark, fixture_dir):
+        """ST_Difference: erase(parcel, L) + trim(parcel, L) areas must sum
+        to the parcel area row-by-row (partition identity), and the erased
+        geometry must lie outside the L (PIP spot check)."""
+        from spandex_spark import geom as G
+        from spandex_spark.operators.trim import erase, trim
+        parcels = spark.read.parquet(
+            os.path.join(fixture_dir, "parcels.parquet"))
+        lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        er = {r.parcel_id: r.geom_erased
+              for r in erase(parcels, lx, ly).collect()}
+        tr = {r.parcel_id: r.geom_trimmed
+              for r in trim(parcels, lx, ly).collect()}
+        full = {r.parcel_id: r.geom for r in parcels.collect()}
+        checked_interior = 0
+        for pid, g in full.items():
+            want = abs(G.shoelace_area(np.asarray(g.xs), np.asarray(g.ys)))
+            ea = (G.rings_area(np.asarray(er[pid].xs), np.asarray(er[pid].ys),
+                               np.asarray(er[pid].ring_offsets))
+                  if er[pid] is not None else 0.0)
+            ta = (G.rings_area(np.asarray(tr[pid].xs), np.asarray(tr[pid].ys),
+                               np.asarray(tr[pid].ring_offsets))
+                  if tr[pid] is not None else 0.0)
+            assert ea + ta == pytest.approx(want, abs=1e-7), pid
+            if er[pid] is not None and ta > 0:
+                # partially-erased parcel: the erased region's area
+                # centroid must lie OUTSIDE the L mask
+                e = er[pid]
+                cx, cy = G.rings_centroid(np.asarray(e.xs),
+                                          np.asarray(e.ys),
+                                          np.asarray(e.ring_offsets))
+                assert not G.points_in_rings(np.array([cx]), np.array([cy]),
+                                             lx, ly, None)[0]
+                checked_interior += 1
+        assert checked_interior > 0
