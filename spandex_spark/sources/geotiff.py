@@ -8,7 +8,8 @@ holding (tag, type, count, value) entries, strip offsets for the pixel
 matrix, and GeoTIFF's ModelPixelScale (33550) + ModelTiepoint (33922)
 tags mapping raster (col, row) to (lon, lat).
 
-Supported: single-band, stripped, sample formats uint8/16/32, int8/16/32,
+Supported: single-band, stripped OR tiled (TileWidth/TileLength — the
+cloud-optimized-GeoTIFF layout), sample formats uint8/16/32, int8/16/32,
 float32/64, either byte order; Compression = none (1), LZW (5, TIFF
 variant: MSB-first codes, 9-bit start, early-change width bumps, Clear at
 table-full — decoder AND encoder implemented from the public TIFF 6.0
@@ -250,21 +251,40 @@ def read_geotiff(spark, path: str, *, tile_rows: int = 256,
     if predictor == 2 and sfmt == 3:
         raise NotImplementedError("predictor 2 on float samples")
     dtype = np.dtype(bo + dt)
-    offsets = tags[273]
-    counts = tags[279]
-    rows_per_strip = tags.get(278, (ny,))[0]
-    parts = []
-    for si, (o, c) in enumerate(zip(offsets, counts)):
-        raw = _decompress_strip(bytes(buf[o:o + c]), comp)
-        strip = np.frombuffer(raw, dtype, len(raw) // dtype.itemsize)
-        if predictor == 2:
-            # horizontal differencing: each sample stored as the delta to
-            # its left neighbour; undo with a per-row modular cumsum
-            nrows = strip.shape[0] // nx
-            strip = (strip.reshape(nrows, nx)
-                     .cumsum(axis=1, dtype=dtype).ravel())
-        parts.append(strip)
-    arr = np.concatenate(parts).astype(np.float64).reshape(ny, nx)
+    if 322 in tags:
+        # TILED layout (TIFF 6.0 §15 — the cloud-optimized-GeoTIFF shape):
+        # the image is covered by ceil(nx/tw) x ceil(ny/th) tiles, stored
+        # left-to-right top-to-bottom, each FULL tw x th (edge tiles padded)
+        tw, th = tags[322][0], tags[323][0]
+        offsets, counts = tags[324], tags[325]
+        tiles_across = (nx + tw - 1) // tw
+        arr = np.empty((ny, nx), np.float64)
+        for ti, (o, c) in enumerate(zip(offsets, counts)):
+            raw = _decompress_strip(bytes(buf[o:o + c]), comp)
+            t = np.frombuffer(raw, dtype, tw * th)
+            if predictor == 2:
+                t = t.reshape(th, tw).cumsum(axis=1, dtype=dtype)
+            t = np.asarray(t, np.float64).reshape(th, tw)
+            r0 = (ti // tiles_across) * th
+            c0 = (ti % tiles_across) * tw
+            h = min(th, ny - r0)
+            w = min(tw, nx - c0)
+            arr[r0:r0 + h, c0:c0 + w] = t[:h, :w]
+    else:
+        offsets = tags[273]
+        counts = tags[279]
+        parts = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            raw = _decompress_strip(bytes(buf[o:o + c]), comp)
+            strip = np.frombuffer(raw, dtype, len(raw) // dtype.itemsize)
+            if predictor == 2:
+                # horizontal differencing: each sample stored as the delta
+                # to its left neighbour; undo with a per-row modular cumsum
+                nrows = strip.shape[0] // nx
+                strip = (strip.reshape(nrows, nx)
+                         .cumsum(axis=1, dtype=dtype).ravel())
+            parts.append(strip)
+        arr = np.concatenate(parts).astype(np.float64).reshape(ny, nx)
     sx, sy = tags[33550][0], tags[33550][1]
     tp = tags[33922]
     # model coords of raster top-left pixel corner

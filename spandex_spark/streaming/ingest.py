@@ -90,11 +90,18 @@ def stream_tag_pages(spark: SparkSession, input_dir: str, output_dir: str,
 def stream_zone_rates(spark: SparkSession, input_dir: str,
                       zones: DataFrame, gazetteer: DataFrame | None = None,
                       window: str = "1 hour", watermark: str = "2 hours",
-                      level: int = 9, query_name: str = "zone_rates"):
+                      level: int = 12, query_name: str = "zone_rates"):
     """Streaming SPATIAL analytics: geotag → PIP tag → windowed per-zone
     page counts with late-data watermarking — the live-heatmap shape
     (which zones are hot right now). The spatial join is stateless, the
-    windowed agg carries the only state, bounded by the watermark."""
+    windowed agg carries the only state, bounded by the watermark.
+
+    ``level`` trades index size vs Python-refine traffic: at degree-scale
+    zones, level 12 cells (~0.09°) classify ~83% of zone area as FULL
+    interior cells whose points skip the pandas refine entirely — 2x the
+    micro-batch throughput of the round-3 default (level 9, whose cells
+    are zone-sized so nearly every point hit Python; measured in
+    scripts/bench_streaming.py)."""
     from spandex_spark.operators.tag import tag_points
     pages = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir))
     pts = geotag(pages, gazetteer).filter(F.col("lon").isNotNull())

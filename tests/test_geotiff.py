@@ -229,3 +229,63 @@ class TestCompression:
         tiles = read_geotiff(spark, p, tile_rows=64, tile_cols=64).collect()
         back = np.array(tiles[0].values).reshape(40, 30)
         np.testing.assert_array_equal(back, a[::-1].astype(float))
+
+
+class TestTiledLayout:
+    def test_tiled_deflate_read(self, spark, tmp_path):
+        """A tiled (TileWidth/TileLength) deflate GeoTIFF built tag-by-tag
+        from TIFF 6.0 §15 — the cloud-optimized-GeoTIFF layout — reads
+        back exactly, edge-tile padding discarded."""
+        import zlib
+        from spandex_spark.sources.geotiff import read_geotiff
+        rng = np.random.default_rng(11)
+        ny, nx, tw, th = 70, 50, 32, 32          # ragged edges both axes
+        a = np.round(rng.uniform(-3, 3, (ny, nx)), 3)
+        tiles_across = (nx + tw - 1) // tw
+        tiles_down = (ny + th - 1) // th
+        blobs = []
+        for tr in range(tiles_down):
+            for tc in range(tiles_across):
+                t = np.zeros((th, tw))
+                sub = a[tr * th:tr * th + th, tc * tw:tc * tw + tw]
+                t[:sub.shape[0], :sub.shape[1]] = sub
+                blobs.append(zlib.compress(t.astype("<f8").tobytes()))
+        n_tiles = len(blobs)
+        data = b"".join(blobs)
+        offs, pos = [], 8
+        for b in blobs:
+            offs.append(pos)
+            pos += len(b)
+        entries = [(256, 4, 1, nx), (257, 4, 1, ny), (258, 3, 1, 64),
+                   (259, 3, 1, 8), (322, 4, 1, tw), (323, 4, 1, th),
+                   (324, 4, n_tiles, None), (325, 4, n_tiles, None),
+                   (339, 3, 1, 3), (33550, 12, 3, None), (33922, 12, 6, None)]
+        ifd_off = 8 + len(data)
+        tail = ifd_off + 2 + len(entries) * 12 + 4
+        t_off = {324: tail, 325: tail + 4 * n_tiles,
+                 33550: tail + 8 * n_tiles, 33922: tail + 8 * n_tiles + 24}
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off)) + data
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHI", tag, typ, cnt)
+            if tag in t_off:
+                out += struct.pack("<I", t_off[tag])
+            elif typ == 3:
+                out += struct.pack("<HH", val, 0)
+            else:
+                out += struct.pack("<I", val)
+        out += struct.pack("<I", 0)
+        out += struct.pack(f"<{n_tiles}I", *offs)
+        out += struct.pack(f"<{n_tiles}I", *[len(b) for b in blobs])
+        out += struct.pack("<3d", 0.1, 0.1, 0.0)
+        out += struct.pack("<6d", 0, 0, 0, -2.0, -1.0 + ny * 0.1, 0.0)
+        p = str(tmp_path / "tiled.tif")
+        open(p, "wb").write(bytes(out))
+        got = read_geotiff(spark, p, tile_rows=64, tile_cols=64).collect()
+        back = np.zeros((ny, nx))
+        for t in got:
+            r0 = round((t.y0 + 1.0) / 0.1)
+            c0 = round((t.x0 + 2.0) / 0.1)
+            back[r0:r0 + t.ny, c0:c0 + t.nx] = \
+                np.array(t.values).reshape(t.ny, t.nx)
+        np.testing.assert_array_equal(back, a[::-1])
