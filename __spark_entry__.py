@@ -588,6 +588,41 @@ def _q_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("y", 2) + 0.0).alias("sp_y"))
 
 
+def _q_text_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant (BASELINE.json input_hint): extracted
+    text must survive the pipeline BYTE-IDENTICAL per id. Documents run
+    through a real multi-stage path — geotag annotation, quality/token
+    annotation, a repartition (the shuffle that would corrupt encodings
+    if anything re-serialized text lossily) — and the output is each
+    row's sha256 over the UTF-8 bytes. Oracle: DuckDB's sha256 over the
+    same parquet column, zero transformations. A single flipped byte
+    anywhere in the engine path breaks the hash match."""
+    from spandex_spark.geotag import geotag
+    from spandex_spark.operators.textstats import quality_score, token_count
+    docs = _t(spark, sf_dir, "documents")
+    staged = geotag(docs, None, text_col="text", id_col="doc_id")
+    staged = quality_score(staged, text_col="text")
+    staged = token_count(staged, text_col="text")
+    staged = staged.repartition(8, "doc_id")
+    return staged.select("doc_id",
+                         F.sha2(F.col("text").cast("binary"), 256)
+                         .alias("text_sha"),
+                         F.length("text").cast("long").alias("n_chars"))
+
+
+def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 extended round 4: Albers equal-area forward projection
+    (EPSG:5070, NAD83 / CONUS Albers — Snyder §14 on GRS80); oracle
+    reruns the identical q/m/rho arithmetic in SQL."""
+    from spandex_spark.operators import reproject
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = reproject(pts, to_srid=5070)
+    return out.select("c_custkey",
+                      (F.round("x", 2) + 0.0).alias("ab_x"),
+                      (F.round("y", 2) + 0.0).alias("ab_y"))
+
+
 def _q_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: geotag extraction from synthesized page text (regex path)."""
     from spandex_spark.geotag import geotag
@@ -1027,7 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_geotiff_deflate": _q_zonal_geotiff_deflate,
         "zonal_geotiff_lzw": _q_zonal_geotiff_lzw,
         "reproject_lcc": _q_reproject_lcc,
+        "reproject_albers": _q_reproject_albers,
         "erase_parcels": _q_erase_parcels,
+        "text_integrity": _q_text_integrity,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1728,6 +1765,52 @@ def oracle_sql() -> dict[str, str]:
                  + (61.0 - 58.0*T + T*T + 600.0*C - 330.0*ep2)
                    * A*A*A*A*A*A / 720.0)), 2) + 0.0 AS utm_y
         FROM r
+    """.format(pts=_PTS)
+    # byte-identity invariant: the oracle hashes the SOURCE column with
+    # zero transformations — any lossy re-serialization in the Spark
+    # pipeline (geotag -> quality -> tokens -> repartition) breaks it
+    d["text_integrity"] = """
+        SELECT doc_id, sha256(text) AS text_sha,
+               length(text) AS n_chars
+        FROM documents
+    """
+    # Albers 2SP forward (Snyder §14), EPSG:5070 constants on GRS80 —
+    # mirrors geom.lonlat_to_albers operation-for-operation.
+    # q(phi) = (1-e²)[sin/(1-e²sin²) - ln((1-e sin)/(1+e sin))/(2e)]
+    d["reproject_albers"] = """
+        WITH c AS (
+          SELECT sqrt((1.0/298.257222101)*(2.0-1.0/298.257222101)) AS e,
+                 radians(29.5) AS p1, radians(45.5) AS p2,
+                 radians(23.0) AS p0, radians(-96.0) AS l0
+        ), k AS (
+          SELECT *,
+                 cos(p1)*cos(p1)/(1.0-e*e*sin(p1)*sin(p1)) AS m1sq,
+                 cos(p2)*cos(p2)/(1.0-e*e*sin(p2)*sin(p2)) AS m2sq,
+                 (1.0-e*e)*(sin(p1)/(1.0-e*e*sin(p1)*sin(p1))
+                   - ln((1.0-e*sin(p1))/(1.0+e*sin(p1)))/(2.0*e)) AS q1,
+                 (1.0-e*e)*(sin(p2)/(1.0-e*e*sin(p2)*sin(p2))
+                   - ln((1.0-e*sin(p2))/(1.0+e*sin(p2)))/(2.0*e)) AS q2,
+                 (1.0-e*e)*(sin(p0)/(1.0-e*e*sin(p0)*sin(p0))
+                   - ln((1.0-e*sin(p0))/(1.0+e*sin(p0)))/(2.0*e)) AS q0
+          FROM c
+        ), z AS (
+          SELECT *, (m1sq-m2sq)/(q2-q1) AS n,
+                 m1sq + (m1sq-m2sq)/(q2-q1)*q1 AS C
+          FROM k
+        ), zz AS (
+          SELECT *, 6378137.0*sqrt(C-n*q0)/n AS rho0 FROM z
+        ), pr AS (
+          SELECT p.c_custkey, z.n, z.l0, z.rho0, radians(p.lon) AS lam,
+                 6378137.0*sqrt(z.C - z.n*(1.0-z.e*z.e)
+                   * (sin(radians(p.lat))/(1.0-z.e*z.e*sin(radians(p.lat))*sin(radians(p.lat)))
+                      - ln((1.0-z.e*sin(radians(p.lat)))/(1.0+z.e*sin(radians(p.lat))))
+                        /(2.0*z.e)))/z.n AS rho
+          FROM ({pts}) p CROSS JOIN zz z
+        )
+        SELECT c_custkey,
+               round(rho * sin(n*(lam-l0)), 2) + 0.0 AS ab_x,
+               round(rho0 - rho * cos(n*(lam-l0)), 2) + 0.0 AS ab_y
+        FROM pr
     """.format(pts=_PTS)
     # LCC 2SP forward (Snyder §15), EPSG:26943 constants on GRS80 —
     # mirrors geom.lonlat_to_lcc operation-for-operation

@@ -67,6 +67,16 @@ CHECKS = {
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
          "ZERO Python operators — lang/quality/tokens all codegen"),
     ],
+    "union_by (general ST_Union)": [
+        ("FlatMapGroupsInPandas", "group-local arrangement union kernel"),
+        (r"Exchange hashpartitioning\([^)]*group", "ONE shuffle — the "
+         "group-key exchange; nothing else moves"),
+    ],
+    "erase (ST_Difference by mask)": [
+        ("ArrowEvalPython", "vectorized boolean-difference kernel"),
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — per-row map against the "
+                                  "closure mask, embarrassingly parallel"),
+    ],
     "raster_sample (ST_Value)": [
         ("BroadcastHashJoin", "tile table broadcast (payloads included by "
                               "choice; broadcast_tiles=False for huge "
@@ -141,6 +151,15 @@ def main():
     plans["raster_sample (ST_Value)"] = raster_sample(
         pts, raster_tiles_df(spark), point_id_col="c_custkey",
         origin_x=-10.0, origin_y=-10.0)
+    import numpy as np
+    from spandex_spark.operators.dissolve import union_by
+    from spandex_spark.operators.trim import erase
+    p4 = parcels_df(spark).withColumn(
+        "group_id", (F.col("parcel_id") % 50).cast("long"))
+    plans["union_by (general ST_Union)"] = union_by(p4, key_col="group_id")
+    plans["erase (ST_Difference by mask)"] = erase(
+        parcels_df(spark), np.array([-6.0, 6.0, 6.0, 0.0, 0.0, -6.0]),
+        np.array([-6.0, -6.0, 0.0, 0.0, 6.0, 6.0]))
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

@@ -169,6 +169,21 @@ def lcc_udf(lon, lat, epsg: int):
     return _lcc(lon, lat, F.lit(epsg))
 
 
+@pandas_udf(_MERC_TYPE)
+def _albers(lon: pd.Series, lat: pd.Series, epsg: pd.Series) -> pd.DataFrame:
+    p1, p2, p0, l0, fe, fn = _geom.ALBERS_ZONES[int(epsg.iloc[0])]
+    x, y = _geom.lonlat_to_albers(lon.to_numpy(np.float64),
+                                  lat.to_numpy(np.float64), phi1=p1, phi2=p2,
+                                  phi0=p0, lam0=l0, fe=fe, fn=fn)
+    return pd.DataFrame({"x": x, "y": y})
+
+
+def albers_udf(lon, lat, epsg: int):
+    """ST_Transform(4326 → Albers equal-area national grid) analog
+    (Snyder §14); supported EPSG codes in geom.ALBERS_ZONES."""
+    return _albers(lon, lat, F.lit(epsg))
+
+
 @pandas_udf(T.BooleanType())
 def _geom_is_valid(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
     out = np.fromiter(

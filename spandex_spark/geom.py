@@ -1065,3 +1065,81 @@ LCC_ZONES = {
     2154: (49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0),          # RGF93 / Lambert-93
     3347: (49.0, 77.0, 63.390675, -91.0 - 52.0 / 60, 6_200_000.0, 3_000_000.0),  # StatCan LCC
 }
+
+
+def _albers_q(phi, e):
+    s = np.sin(phi)
+    return (1.0 - e * e) * (s / (1.0 - e * e * s * s)
+                            - (1.0 / (2.0 * e))
+                            * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+def _albers_consts(phi1_deg: float, phi2_deg: float, phi0_deg: float,
+                   a: float, f: float):
+    """Snyder 1987 eqs 14-3..14-6: Albers Equal-Area Conic 2SP cone
+    constant n, C, and origin radius rho0 on an ellipsoid."""
+    e = np.sqrt(f * (2.0 - f))
+    p1, p2, p0 = np.radians([phi1_deg, phi2_deg, phi0_deg])
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1.0 - e * e * s * s)
+
+    m1, m2 = m(p1), m(p2)
+    q1, q2 = _albers_q(p1, e), _albers_q(p2, e)
+    if abs(phi1_deg - phi2_deg) < 1e-12:
+        n = np.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * _albers_q(p0, e)) / n
+    return e, n, C, rho0
+
+
+def lonlat_to_albers(lon: np.ndarray, lat: np.ndarray, *, phi1: float,
+                     phi2: float, phi0: float, lam0: float, fe: float,
+                     fn: float, a: float = _GRS80_A,
+                     f: float = _GRS80_F) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 → Albers Equal-Area Conic 2SP (Snyder 1987 §14) — the
+    projection behind the US national grids EPSG:5070 (NAD83 / CONUS
+    Albers) and EPSG:3310 (California Albers). Equal-area: the Jacobian
+    is exactly 1 against the ellipsoidal area element everywhere."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    e, n, C, rho0 = _albers_consts(phi1, phi2, phi0, a, f)
+    q = _albers_q(np.radians(lat), e)
+    rho = a * np.sqrt(C - n * q) / n
+    th = n * (np.radians(lon) - np.radians(lam0))
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def albers_to_lonlat(x: np.ndarray, y: np.ndarray, *, phi1: float,
+                     phi2: float, phi0: float, lam0: float, fe: float,
+                     fn: float, a: float = _GRS80_A, f: float = _GRS80_F,
+                     iters: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Albers 2SP → EPSG:4326 (Snyder eqs 14-8..14-11 with eq 3-16's
+    fixed-point iteration for phi; double precision in <= 8 rounds)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    e, n, C, rho0 = _albers_consts(phi1, phi2, phi0, a, f)
+    dx = x - fe
+    dy = rho0 - (y - fn)
+    rho = np.sign(n) * np.hypot(dx, dy)
+    th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    q = (C - (rho * n / a) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        d = 1.0 - e * e * s * s
+        phi = phi + (d * d / (2.0 * np.cos(phi))) * (
+            q / (1.0 - e * e) - s / d
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
+    return np.degrees(th / n + np.radians(lam0)), np.degrees(phi)
+
+
+# Defining constants (EPSG registry): (phi1, phi2, phi0, lam0, FE, FN)
+ALBERS_ZONES = {
+    5070: (29.5, 45.5, 23.0, -96.0, 0.0, 0.0),              # NAD83 / CONUS Albers
+    3310: (34.0, 40.5, 0.0, -120.0, 0.0, -4_000_000.0),     # NAD83 / California Albers
+    3577: (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),             # GDA94 / Australian Albers
+}

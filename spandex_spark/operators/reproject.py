@@ -3,10 +3,12 @@
 Reference semantics: spandex/spatialtoolz.py::conform_srids / ::reproject
 (ST_Transform to the project SRID). Supported analytically (no pyproj in
 env): EPSG:4326 <-> EPSG:3857, the UTM family EPSG:32601-32660 (north)
-/ 32701-32760 (south) via the transverse-Mercator series, and the
+/ 32701-32760 (south) via the transverse-Mercator series, the
 Lambert-Conformal-Conic 2SP family (geom.LCC_ZONES: NAD83 California
 state-plane zones 1-6 EPSG:26941-26946 — the CRSs spandex's UrbanSim
-parcel users live in — plus Lambert-93 EPSG:2154 and StatCan EPSG:3347). All internal engine
+parcel users live in — plus Lambert-93 EPSG:2154 and StatCan EPSG:3347),
+and the Albers equal-area family (geom.ALBERS_ZONES: EPSG:5070 CONUS,
+EPSG:3310 California Albers, EPSG:3577 Australian Albers). All internal engine
 math stays in 4326; reprojection is an output/ingest transform."""
 
 from __future__ import annotations
@@ -15,7 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spandex_spark import geom as _geom
-from spandex_spark.functions.spatial import webmercator_udf, utm_udf, lcc_udf
+from spandex_spark.functions.spatial import (webmercator_udf, utm_udf,
+                                             lcc_udf, albers_udf)
 
 
 def reproject(df: DataFrame, *, lon_col: str = "lon", lat_col: str = "lat",
@@ -28,9 +31,12 @@ def reproject(df: DataFrame, *, lon_col: str = "lon", lat_col: str = "lat",
         out = utm_udf(F.col(lon_col), F.col(lat_col), to_srid - 32700, False)
     elif to_srid in _geom.LCC_ZONES:
         out = lcc_udf(F.col(lon_col), F.col(lat_col), to_srid)
+    elif to_srid in _geom.ALBERS_ZONES:
+        out = albers_udf(F.col(lon_col), F.col(lat_col), to_srid)
     else:
         raise NotImplementedError(
             "analytic reprojection supports EPSG:3857, UTM "
-            "(EPSG:32601-32660 / 32701-32760) and the LCC zones in "
-            "geom.LCC_ZONES; no pyproj in env")
+            "(EPSG:32601-32660 / 32701-32760), the LCC zones in "
+            "geom.LCC_ZONES, and the Albers zones in geom.ALBERS_ZONES; "
+            "no pyproj in env")
     return df.withColumn(x_col, out["x"]).withColumn(y_col, out["y"])

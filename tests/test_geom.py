@@ -832,3 +832,52 @@ class TestBooleanRings:
             da = self._area(G.boolean_rings([a], [b], "difference"))
             want = abs(G.shoelace_area(a[0], a[1]))
             assert ia + da == pytest.approx(want, abs=1e-9)
+
+
+class TestAlbers:
+    """Albers Equal-Area Conic 2SP (Snyder §14) — EPSG:5070 family."""
+
+    P = dict(phi1=29.5, phi2=45.5, phi0=23.0, lam0=-96.0, fe=0.0, fn=0.0)
+
+    def test_origin_and_round_trip(self):
+        x, y = geom.lonlat_to_albers(np.array([-96.0]), np.array([23.0]),
+                                     **self.P)
+        assert x[0] == pytest.approx(0.0, abs=1e-6)
+        assert y[0] == pytest.approx(0.0, abs=1e-6)
+        rng = np.random.default_rng(1)
+        lon = rng.uniform(-125, -65, 2000)
+        lat = rng.uniform(24, 50, 2000)
+        x, y = geom.lonlat_to_albers(lon, lat, **self.P)
+        lon2, lat2 = geom.albers_to_lonlat(x, y, **self.P)
+        assert np.abs(lon2 - lon).max() < 1e-12
+        assert np.abs(lat2 - lat).max() < 1e-12
+
+    def test_equal_area_jacobian_unity(self):
+        """Defining property: projected area of an infinitesimal quad
+        equals its ellipsoidal area (M N cos(phi) dlam dphi) everywhere,
+        not just on the standard parallels."""
+        a, f = 6_378_137.0, 1 / 298.257222101
+        e2 = f * (2 - f)
+        for la in (25.0, 33.0, 37.5, 45.5, 49.0):
+            for lo in (-120.0, -96.0, -70.0):
+                d = 1e-5
+                qlon = np.array([lo, lo + d, lo + d, lo])
+                qlat = np.array([la, la, la + d, la + d])
+                qx, qy = geom.lonlat_to_albers(qlon, qlat, **self.P)
+                # center before shoelace: 1 m quad at 1e7-scale coords
+                # would lose ~10 digits to cancellation otherwise
+                area_proj = abs(geom.shoelace_area(qx - qx[0], qy - qy[0]))
+                s = np.sin(np.radians(la))
+                M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+                N = a / np.sqrt(1 - e2 * s * s)
+                area_true = (M * N * np.cos(np.radians(la))
+                             * np.radians(d) ** 2)
+                assert area_proj / area_true == pytest.approx(1.0, abs=1e-6)
+
+    def test_california_albers_zone(self):
+        p1, p2, p0, l0, fe, fn = geom.ALBERS_ZONES[3310]
+        x, y = geom.lonlat_to_albers(np.array([-120.0]), np.array([0.0]),
+                                     phi1=p1, phi2=p2, phi0=p0, lam0=l0,
+                                     fe=fe, fn=fn)
+        assert x[0] == pytest.approx(0.0, abs=1e-6)
+        assert y[0] == pytest.approx(-4_000_000.0, abs=1e-6)
