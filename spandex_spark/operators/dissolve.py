@@ -68,7 +68,8 @@ def dissolve_by(df: DataFrame, *, key_col: str, geom_col: str = "geom",
 
 
 def union_by(df: DataFrame, *, key_col: str, geom_col: str = "geom",
-             out_col: str = "geom") -> DataFrame:
+             out_col: str = "geom",
+             prepartition_level: int | None = None) -> DataFrame:
     """General `GROUP BY ST_Union(geom)` — OVERLAPPING members allowed.
 
     The semantic gap dissolve_by leaves open (its directed-edge
@@ -79,26 +80,37 @@ def union_by(df: DataFrame, *, key_col: str, geom_col: str = "geom",
     members all union correctly, holes included (outer rings CCW, holes
     CW, even-odd).
 
-    Scale shape: identical to dissolve_by — ONE shuffle on the group key,
-    group-local O(E^2) arrangement in an Arrow batch; each group's edge
-    set must fit an executor (the same contract PostGIS aggregate union
-    places on a work_mem-sized group)."""
+    Scale shape: ONE shuffle on the group key, group-local O(E^2)
+    arrangement in an Arrow batch; each group's edge set must fit an
+    executor (the same contract PostGIS aggregate union places on a
+    work_mem-sized group).
+
+    ``prepartition_level``: the 100-TB escape hatch for groups whose edge
+    sets exceed one executor (continent-sized dissolves). Union is
+    associative, so it runs as a TWO-LEVEL TREE: stage 1 groups by
+    (key, spatial cell of the member's bbox center at this level) and
+    unions locally; stage 2 unions the per-cell partials per key. Each
+    stage-1 task sees only its cell's members, bounding the arrangement;
+    stage 2 sees one partial geometry per occupied cell. Two shuffles
+    instead of one — only worth it when groups are huge."""
     import pyspark.sql.types as T
+    from spandex_spark.functions.cells_sql import cell_of_expr
     schema = T.StructType([df.schema[key_col],
                            T.StructField(out_col, _GEOM_TYPE)])
 
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[key_col].iloc[0]
+    def _merge_rows(key, geoms):
         polys = []
-        for g in pdf["_g"]:
+        for g in geoms:
+            if g is None:
+                continue
             o = g["ring_offsets"]
             polys.append((np.asarray(g["xs"], np.float64),
                           np.asarray(g["ys"], np.float64),
                           (np.asarray(o, np.int64)
                            if o is not None and len(o) > 2 else None)))
-        merged = _geom.union_rings(polys)
+        merged = _geom.union_rings(polys) if polys else []
         if not merged:
-            return pd.DataFrame({key_col: [key], out_col: [None]})
+            return {key_col: [key], out_col: [None]}
         ax = np.concatenate([r[0] for r in merged])
         ay = np.concatenate([r[1] for r in merged])
         ro = np.cumsum([0] + [r[0].shape[0] for r in merged])
@@ -107,7 +119,29 @@ def union_by(df: DataFrame, *, key_col: str, geom_col: str = "geom",
                 "ring_offsets": [int(v) for v in ro],
                 "bbox": {"minx": float(ax.min()), "miny": float(ay.min()),
                          "maxx": float(ax.max()), "maxy": float(ay.max())}}
-        return pd.DataFrame({key_col: [key], out_col: [geom]})
+        return {key_col: [key], out_col: [geom]}
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(_merge_rows(pdf[key_col].iloc[0], pdf["_g"]))
 
     src = df.select(key_col, F.col(geom_col).alias("_g"))
-    return src.groupBy(key_col).applyInPandas(_merge, schema=schema)
+    if prepartition_level is None:
+        return src.groupBy(key_col).applyInPandas(_merge, schema=schema)
+
+    cx = (F.col("_g")["bbox"]["minx"] + F.col("_g")["bbox"]["maxx"]) / 2.0
+    cy = (F.col("_g")["bbox"]["miny"] + F.col("_g")["bbox"]["maxy"]) / 2.0
+    staged = src.withColumn("_ucell",
+                            cell_of_expr(cx, cy, prepartition_level))
+    schema1 = T.StructType([df.schema[key_col],
+                            T.StructField("_ucell", T.LongType()),
+                            T.StructField(out_col, _GEOM_TYPE)])
+
+    def _merge1(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _merge_rows(pdf[key_col].iloc[0], pdf["_g"])
+        out["_ucell"] = [int(pdf["_ucell"].iloc[0])]
+        return pd.DataFrame(out)
+
+    partials = (staged.groupBy(key_col, "_ucell")
+                .applyInPandas(_merge1, schema=schema1)
+                .select(key_col, F.col(out_col).alias("_g")))
+    return partials.groupBy(key_col).applyInPandas(_merge, schema=schema)

@@ -21,6 +21,31 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _file_column_stats(md) -> dict:
+    """Per-file min/max for numeric/temporal columns, aggregated over row
+    groups from the Parquet footer — the Iceberg manifest `lower_bounds` /
+    `upper_bounds` analog that drives file-level pruning without opening
+    data pages."""
+    stats: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+                continue
+            name = col.path_in_schema
+            if name in stats:
+                stats[name] = [min(stats[name][0], lo),
+                               max(stats[name][1], hi)]
+            else:
+                stats[name] = [lo, hi]
+    return stats
+
+
 class IcebergishTable:
     """A directory of Parquet files governed by JSON snapshot manifests.
 
@@ -57,7 +82,8 @@ class IcebergishTable:
                 p = os.path.join(out, fn)
                 md = pq.read_metadata(p)
                 files.append({"path": os.path.relpath(p, self.root),
-                              "rows": md.num_rows})
+                              "rows": md.num_rows,
+                              "stats": _file_column_stats(md)})
                 total += md.num_rows
         parent = self.current_snapshot()
         seq = (parent["sequence"] + 1) if parent else 0
@@ -115,7 +141,8 @@ class IcebergishTable:
 
     def read(self, spark: SparkSession, *, all_snapshots: bool = True,
              as_of: str | None = None, as_of_seq: int | None = None,
-             as_of_ts: int | None = None) -> DataFrame:
+             as_of_ts: int | None = None,
+             between: tuple | None = None) -> DataFrame:
         """Read the table (union of live snapshot files — append log since
         the last compaction), or only the current snapshot's files.
 
@@ -128,6 +155,14 @@ class IcebergishTable:
         * ``as_of_seq`` — a sequence number (exact match);
         * ``as_of_ts`` — a timestamp_ms cutoff (latest snapshot at or
           before that time).
+
+        ``between=(col, lo, hi)`` prunes at the MANIFEST level (the
+        Iceberg lower/upper-bounds scan-planning analog): only data files
+        whose recorded [min, max] for ``col`` overlaps [lo, hi] are passed
+        to the Parquet reader at all — on a compacted (range-partitioned,
+        sorted) table a narrow range touches one file instead of the whole
+        table. The row-level filter is still the caller's job; files
+        lacking stats for ``col`` are read (safe).
 
         Old files survive compaction on disk precisely to keep every
         pre-rewrite state readable until a GC removes them."""
@@ -145,11 +180,31 @@ class IcebergishTable:
         else:
             snaps = (self._live_snapshots() if all_snapshots
                      else [self.current_snapshot()])
-        paths = [os.path.join(self.root, f["path"])
-                 for s in snaps if s for f in s["files"]]
+        files = [f for s in snaps if s for f in s["files"]]
+        if between is not None:
+            files = self._prune_files(files, *between)
+        paths = [os.path.join(self.root, f["path"]) for f in files]
         if not paths:
-            raise FileNotFoundError(f"empty Icebergish table at {self.root}")
+            raise FileNotFoundError(
+                f"empty Icebergish table at {self.root}"
+                + (f" (every file pruned by {between})" if between else ""))
         return spark.read.parquet(*paths)
+
+    @staticmethod
+    def _prune_files(files: list[dict], col: str, lo, hi) -> list[dict]:
+        kept = []
+        for f in files:
+            st = (f.get("stats") or {}).get(col)
+            if st is None or (st[0] <= hi and st[1] >= lo):
+                kept.append(f)
+        return kept
+
+    def files_for(self, between: tuple | None = None) -> list[str]:
+        """Paths the next live read would touch (diagnostics / tests)."""
+        files = [f for s in self._live_snapshots() for f in s["files"]]
+        if between is not None:
+            files = self._prune_files(files, *between)
+        return [os.path.join(self.root, f["path"]) for f in files]
 
     def _snapshots_as_of(self, as_of: str | None, as_of_seq: int | None,
                          as_of_ts: int | None) -> list[dict]:

@@ -324,3 +324,86 @@ class TestErase:
                                              lx, ly, None)[0]
                 checked_interior += 1
         assert checked_interior > 0
+
+
+class TestUnionByTree:
+    def test_two_level_matches_single_stage(self, spark):
+        """prepartition_level (the huge-group tree path) must produce the
+        same region as the single-stage union: same area, same even-odd
+        PIP on probe points — on overlapping chains that straddle cell
+        boundaries."""
+        from spandex_spark import geom as G
+        from spandex_spark.operators.dissolve import union_by
+        import numpy as np
+
+        rows = []
+        rng = np.random.default_rng(17)
+        for gid in range(4):
+            for i in range(12):
+                x0 = float(rng.uniform(-60, 60))
+                y0 = float(rng.uniform(-40, 40))
+                w, h = float(rng.uniform(5, 25)), float(rng.uniform(5, 25))
+                rows.append((gid, {"kind": 3,
+                                   "xs": [x0, x0 + w, x0 + w, x0],
+                                   "ys": [y0, y0, y0 + h, y0 + h],
+                                   "ring_offsets": [0, 4],
+                                   "bbox": {"minx": x0, "miny": y0,
+                                            "maxx": x0 + w, "maxy": y0 + h}}))
+        df = spark.createDataFrame(
+            rows, "gid long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        flat = {r.gid: r.geom for r in union_by(df, key_col="gid").collect()}
+        tree = {r.gid: r.geom
+                for r in union_by(df, key_col="gid",
+                                  prepartition_level=4).collect()}
+        px = rng.uniform(-70, 90, 5000)
+        py = rng.uniform(-50, 60, 5000)
+        for gid in range(4):
+            a, b = flat[gid], tree[gid]
+            aa = G.rings_area(np.asarray(a.xs), np.asarray(a.ys),
+                              np.asarray(a.ring_offsets))
+            ba = G.rings_area(np.asarray(b.xs), np.asarray(b.ys),
+                              np.asarray(b.ring_offsets))
+            assert ba == pytest.approx(aa, rel=1e-9)
+            pa = G.points_in_rings(px, py, np.asarray(a.xs),
+                                   np.asarray(a.ys), np.asarray(a.ring_offsets))
+            pb = G.points_in_rings(px, py, np.asarray(b.xs),
+                                   np.asarray(b.ys), np.asarray(b.ring_offsets))
+            assert (pa == pb).all()
+
+
+class TestManifestPruning:
+    def test_between_prunes_files_and_preserves_rows(self, spark, tmp_path):
+        """Manifest-level lower/upper-bound pruning: after compaction
+        (range-partitioned + sorted by cell), a narrow cell range must
+        plan a strict subset of data files, and the pruned read filtered
+        row-level must equal the full read filtered row-level."""
+        t = IcebergishTable(str(tmp_path / "pt"))
+        for i in range(4):
+            t.append(spark.range(i * 250, (i + 1) * 250)
+                     .select(F.col("id").alias("cell"),
+                             (F.col("id") * 3).alias("v")))
+        t.compact(spark, "cell", n_files=8)
+        all_files = t.files_for()
+        pruned_files = t.files_for(between=("cell", 100, 140))
+        assert len(pruned_files) < len(all_files)
+        full = (t.read(spark).filter((F.col("cell") >= 100)
+                                     & (F.col("cell") <= 140)).collect())
+        pr = (t.read(spark, between=("cell", 100, 140))
+              .filter((F.col("cell") >= 100) & (F.col("cell") <= 140))
+              .collect())
+        assert sorted((r.cell, r.v) for r in pr) == \
+            sorted((r.cell, r.v) for r in full)
+        assert len(full) == 41
+
+    def test_pruning_is_safe_without_stats_overlap_semantics(self, spark,
+                                                             tmp_path):
+        """Files whose [min,max] merely TOUCHES the range boundary are
+        kept; an empty plan raises a clear error."""
+        t = IcebergishTable(str(tmp_path / "pt2"))
+        t.append(spark.range(0, 100).select(F.col("id").alias("cell")))
+        assert len(t.files_for(between=("cell", 99, 200))) >= 1
+        import pytest as _pt
+        with _pt.raises(FileNotFoundError):
+            t.read(spark, between=("cell", 5000, 6000))
