@@ -221,10 +221,15 @@ def _read_ifd(buf: bytes, bo: str):
 
 
 def read_geotiff(spark, path: str, *, tile_rows: int = 256,
-                 tile_cols: int = 256):
-    """Parse a baseline GeoTIFF into the raster tile table. The pixel
-    matrix is decoded driver-side (one vectorized frombuffer per strip)
-    and re-tiled so downstream zonal/clip work distributes."""
+                 tile_cols: int = 256, band: int = 0):
+    """Parse a GeoTIFF into the raster tile table. The pixel matrix is
+    decoded driver-side (one vectorized frombuffer per strip/tile) and
+    re-tiled so downstream zonal/clip work distributes.
+
+    Multi-band images (SamplesPerPixel > 1): ``band`` selects ONE band,
+    in either chunky (PlanarConfiguration 1 — samples interleaved per
+    pixel) or planar (2 — one plane of strips per band) layout; the tile
+    table stays single-valued, one read per band of interest."""
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:2] == b"II":
@@ -238,10 +243,23 @@ def read_geotiff(spark, path: str, *, tile_rows: int = 256,
     ny = tags[257][0]
     bits = tags.get(258, (64,))[0]
     comp = tags.get(259, (1,))[0]
+    spp = tags.get(277, (1,))[0]
+    pcfg = tags.get(284, (1,))[0]
+    if not 0 <= band < spp:
+        raise ValueError(f"band {band} out of range (SamplesPerPixel={spp})")
+    if spp > 1:
+        if len(set(tags.get(258, (64,)))) > 1:
+            raise NotImplementedError("heterogeneous BitsPerSample per band")
+        if pcfg not in (1, 2):
+            raise NotImplementedError(f"PlanarConfiguration {pcfg}")
+        if 322 in tags:
+            raise NotImplementedError("multi-band tiled layout")
     predictor = tags.get(317, (1,))[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"predictor {predictor}"
                                   " (1 none / 2 horizontal only)")
+    if predictor == 2 and spp > 1:
+        raise NotImplementedError("predictor 2 with SamplesPerPixel > 1")
     sfmt = tags.get(339, (1,))[0]
     dt = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
           (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
@@ -273,10 +291,18 @@ def read_geotiff(spark, path: str, *, tile_rows: int = 256,
     else:
         offsets = tags[273]
         counts = tags[279]
+        if spp > 1 and pcfg == 2:
+            # planar: strips come plane-by-plane — keep only this band's
+            strips_per_plane = len(offsets) // spp
+            sel = slice(band * strips_per_plane, (band + 1) * strips_per_plane)
+            offsets, counts = offsets[sel], counts[sel]
         parts = []
         for si, (o, c) in enumerate(zip(offsets, counts)):
             raw = _decompress_strip(bytes(buf[o:o + c]), comp)
             strip = np.frombuffer(raw, dtype, len(raw) // dtype.itemsize)
+            if spp > 1 and pcfg == 1:
+                # chunky: samples interleaved per pixel — slice the band
+                strip = strip.reshape(-1, spp)[:, band]
             if predictor == 2:
                 # horizontal differencing: each sample stored as the delta
                 # to its left neighbour; undo with a per-row modular cumsum

@@ -289,3 +289,103 @@ class TestTiledLayout:
             back[r0:r0 + t.ny, c0:c0 + t.nx] = \
                 np.array(t.values).reshape(t.ny, t.nx)
         np.testing.assert_array_equal(back, a[::-1])
+
+
+class TestMultiBand:
+    @staticmethod
+    def _build(tmp_path, name, bands, pcfg, rows_per_strip):
+        """Hand-build a multi-band uint8 TIFF (chunky pcfg=1 interleaves
+        samples per pixel; planar pcfg=2 stores one plane of strips per
+        band)."""
+        spp = len(bands)
+        ny, nx = bands[0].shape
+        strips = []
+        if pcfg == 1:
+            inter = np.stack(bands, axis=-1)          # (ny, nx, spp)
+            for r0 in range(0, ny, rows_per_strip):
+                strips.append(inter[r0:r0 + rows_per_strip].tobytes())
+        else:
+            for b in bands:
+                for r0 in range(0, ny, rows_per_strip):
+                    strips.append(b[r0:r0 + rows_per_strip].tobytes())
+        n = len(strips)
+        offs, pos = [], 8
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        data = b"".join(strips)
+        entries = [(256, 4, 1, nx), (257, 4, 1, ny), (258, 3, spp, None),
+                   (259, 3, 1, 1), (273, 4, n, None), (277, 3, 1, spp),
+                   (278, 4, 1, rows_per_strip), (279, 4, n, None),
+                   (284, 3, 1, pcfg), (339, 3, 1, 1),
+                   (33550, 12, 3, None), (33922, 12, 6, None)]
+        ifd_off = 8 + len(data)
+        tail = ifd_off + 2 + len(entries) * 12 + 4
+        pos2 = tail
+        t_off = {}
+        if spp > 2:                       # BitsPerSample out-of-line
+            t_off[258] = pos2
+            pos2 += 2 * spp
+        t_off[273] = pos2
+        pos2 += 4 * n
+        t_off[279] = pos2
+        pos2 += 4 * n
+        t_off[33550] = pos2
+        t_off[33922] = pos2 + 24
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off)) + data
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHI", tag, typ, cnt)
+            if tag == 258:
+                if spp > 2:
+                    out += struct.pack("<I", t_off[258])
+                elif spp == 2:
+                    out += struct.pack("<HH", 8, 8)
+                else:
+                    out += struct.pack("<HH", 8, 0)
+            elif tag in t_off:
+                out += struct.pack("<I", t_off[tag])
+            elif typ == 3:
+                out += struct.pack("<HH", val, 0)
+            else:
+                out += struct.pack("<I", val)
+        out += struct.pack("<I", 0)
+        if spp > 2:
+            out += struct.pack(f"<{spp}H", *([8] * spp))
+        out += struct.pack(f"<{n}I", *offs)
+        out += struct.pack(f"<{n}I", *[len(s) for s in strips])
+        out += struct.pack("<3d", 0.5, 0.5, 0.0)
+        out += struct.pack("<6d", 0, 0, 0, 0.0, ny * 0.5, 0.0)
+        p = str(tmp_path / name)
+        open(p, "wb").write(bytes(out))
+        return p
+
+    def test_chunky_rgb_band_select(self, spark, tmp_path):
+        rng = np.random.default_rng(21)
+        bands = [rng.integers(0, 255, (12, 10)).astype("<u1")
+                 for _ in range(3)]
+        p = self._build(tmp_path, "rgb.tif", bands, pcfg=1, rows_per_strip=5)
+        from spandex_spark.sources.geotiff import read_geotiff
+        for bi in range(3):
+            r = read_geotiff(spark, p, band=bi).collect()[0]
+            got = np.asarray(r.values).reshape(12, 10)
+            np.testing.assert_array_equal(got, bands[bi][::-1].astype(float))
+
+    def test_planar_two_band(self, spark, tmp_path):
+        rng = np.random.default_rng(22)
+        bands = [rng.integers(0, 255, (9, 7)).astype("<u1")
+                 for _ in range(2)]
+        p = self._build(tmp_path, "pl.tif", bands, pcfg=2, rows_per_strip=4)
+        from spandex_spark.sources.geotiff import read_geotiff
+        for bi in range(2):
+            r = read_geotiff(spark, p, band=bi).collect()[0]
+            got = np.asarray(r.values).reshape(9, 7)
+            np.testing.assert_array_equal(got, bands[bi][::-1].astype(float))
+
+    def test_band_out_of_range(self, spark, tmp_path):
+        rng = np.random.default_rng(23)
+        bands = [rng.integers(0, 255, (4, 4)).astype("<u1")]
+        p = self._build(tmp_path, "sb.tif", bands, pcfg=1, rows_per_strip=4)
+        from spandex_spark.sources.geotiff import read_geotiff
+        with pytest.raises(ValueError):
+            read_geotiff(spark, p, band=1)
