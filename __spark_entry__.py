@@ -588,6 +588,30 @@ def _q_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("y", 2) + 0.0).alias("sp_y"))
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the board (operators/similarity.py::semantic_dedup):
+    200 constructed R^32 vectors in 50 planted duplicate classes — class
+    b = k % 50 maps to direction sin((b+1)(d+2)·1.234567) (max
+    cross-class cosine measured 0.31), members differ by a 1e-3
+    perturbation (within-class cosine ~ 0.999999) — so k-means
+    clustering plus within-cluster union-find must keep EXACTLY the
+    smallest id per class: kept <=> k < 50. The oracle is that closed
+    form."""
+    from spandex_spark.operators.similarity import semantic_dedup
+    k = F.col("id")
+    b = (k % 50).cast("double")
+    d = F.sequence(F.lit(0), F.lit(31))
+    vec = F.transform(d, lambda i: F.sin((b + 1.0) * (i.cast("double") + 2.0)
+                                         * 1.234567)
+                      + 0.001 * F.cos(k.cast("double") * 0.1
+                                      + i.cast("double")))
+    emb = spark.range(200).select(F.col("id").alias("vec_id"),
+                                  vec.alias("embedding"))
+    out = semantic_dedup(emb, n_centroids=8, threshold=0.99,
+                         sample_rows=1000, seed=42)
+    return out.select("vec_id", "kept").orderBy("vec_id")
+
+
 def _q_text_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-row invariant (BASELINE.json input_hint): extracted
     text must survive the pipeline BYTE-IDENTICAL per id. Documents run
@@ -1065,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_albers": _q_reproject_albers,
         "erase_parcels": _q_erase_parcels,
         "text_integrity": _q_text_integrity,
+        "semantic_dedup": _q_semantic_dedup,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1769,6 +1794,10 @@ def oracle_sql() -> dict[str, str]:
     # byte-identity invariant: the oracle hashes the SOURCE column with
     # zero transformations — any lossy re-serialization in the Spark
     # pipeline (geotag -> quality -> tokens -> repartition) breaks it
+    d["semantic_dedup"] = """
+        SELECT k AS vec_id, k < 50 AS kept
+        FROM range(200) t(k)
+    """
     d["text_integrity"] = """
         SELECT doc_id, sha256(text) AS text_sha,
                length(text) AS n_chars

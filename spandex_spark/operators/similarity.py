@@ -248,3 +248,73 @@ def _cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
     den[den == 0] = 1.0
     return pd.Series(num / den)
+
+
+def semantic_dedup(corpus: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_centroids: int = 64,
+                   threshold: float = 0.99, sample_rows: int = 20_000,
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the seeded mini k-means coarse quantizer, then within
+    each cluster connect pairs with cosine >= ``threshold`` and keep only
+    the SMALLEST id of each connected component.
+
+    Returns (id_col, cluster, kept) for every input row — callers filter
+    ``kept`` to drop semantic duplicates, or join back for audit.
+
+    100 TB shape: centroids train on a bounded sample; assignment is one
+    narrow vectorized pass (vectors never shuffle with their cluster key
+    ahead of the group — the exchange carries (id, vector) once, to the
+    cluster's executor); the quadratic cosine pass and the union-find are
+    CLUSTER-LOCAL, so n_centroids must scale with corpus size to keep
+    clusters executor-sized (SemDeDup's own operating point: ~corpus/1k
+    clusters). No global pair graph is materialized."""
+    assign = _ivf_assign_udf(
+        train_ivf_centroids(corpus, n_centroids=n_centroids, vec_col=vec_col,
+                            sample_rows=sample_rows, seed=seed), 1)
+    src = (corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+           .withColumn("_cluster", F.element_at(assign(F.col("_v")), 1)))
+
+    out_schema = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("kept", T.BooleanType()),
+    ])
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy(np.int64)
+        mat = np.stack([np.asarray(v, np.float64) for v in pdf["_v"]])
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        sims = (mat / n[:, None]) @ (mat / n[:, None]).T
+        m = ids.shape[0]
+        parent = np.arange(m)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        for i, j in zip(ii, jj):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(m)])
+        # keep the smallest id per component
+        kept = np.zeros(m, dtype=bool)
+        order = np.argsort(ids, kind="stable")
+        seen_root = set()
+        for i in order:
+            r = roots[i]
+            if r not in seen_root:
+                seen_root.add(r)
+                kept[i] = True
+        return pd.DataFrame({"_id": ids,
+                             "cluster": np.full(m, int(pdf["_cluster"].iloc[0]),
+                                                np.int32),
+                             "kept": kept})
+
+    out = src.groupBy("_cluster").applyInPandas(_dedup_cluster, out_schema)
+    return out.select(F.col("_id").alias(id_col), "cluster", "kept")

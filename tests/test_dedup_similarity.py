@@ -164,3 +164,50 @@ class TestDuplicateClusters:
         got = duplicate_clusters(pairs).collect()
         assert len(got) == n + 1
         assert all(r.cluster_id == 0 for r in got)
+
+
+class TestSemanticDedup:
+    def test_planted_duplicates_random(self, spark):
+        """Random planted duplicate groups: G well-separated random base
+        directions, each duplicated with tiny noise; semantic_dedup must
+        keep exactly the smallest id of every group and mark the rest."""
+        import numpy as np
+        from spandex_spark.operators.similarity import semantic_dedup
+        rng = np.random.default_rng(5)
+        G, dim = 30, 24
+        base = rng.normal(size=(G, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # reject pathological draws (random in R^24: max cosine ~0.7)
+        cs = base @ base.T
+        np.fill_diagonal(cs, -1)
+        assert cs.max() < 0.9
+        rows = []
+        vid = 0
+        sizes = rng.integers(1, 5, G)
+        for g in range(G):
+            for _ in range(sizes[g]):
+                v = base[g] + 1e-4 * rng.normal(size=dim)
+                rows.append((vid, v.tolist()))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r.vec_id: r.kept
+               for r in semantic_dedup(emb, n_centroids=8, threshold=0.99,
+                                       seed=3).collect()}
+        assert len(out) == vid
+        expect_kept = set()
+        vid = 0
+        for g in range(G):
+            expect_kept.add(vid)          # smallest id in each group
+            vid += int(sizes[g])
+        assert {v for v, kept in out.items() if kept} == expect_kept
+
+    def test_no_duplicates_keeps_everything(self, spark):
+        import numpy as np
+        from spandex_spark.operators.similarity import semantic_dedup
+        rng = np.random.default_rng(8)
+        base = rng.normal(size=(40, 24))
+        emb = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(40)],
+            "vec_id long, embedding array<double>")
+        out = semantic_dedup(emb, n_centroids=4, threshold=0.99).collect()
+        assert all(r.kept for r in out) and len(out) == 40
