@@ -588,6 +588,25 @@ def _q_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("y", 2) + 0.0).alias("sp_y"))
 
 
+def _q_geotag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 scale path on the board: the 'tokens' gazetteer strategy
+    (tokenize JVM-side, explode distinct tokens, broadcast-join the
+    place table — no regex alternation blow-up). Pages mention place
+    ville(k%32); the gazetteer grid formula is the closed-form oracle."""
+    from spandex_spark.geotag import geotag
+    from spandex_spark.sources.grids import gazetteer_grid_df
+    base = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey") % 32
+    pages = base.select(
+        "c_custkey",
+        F.format_string("crawl body mentions ville%02d among words", k)
+        .alias("text"))
+    out = geotag(pages, gazetteer_grid_df(spark), text_col="text",
+                 id_col="c_custkey", gazetteer_strategy="tokens")
+    return out.select("c_custkey", F.col("lon").alias("glon"),
+                      F.col("lat").alias("glat"), "tag_source")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup on the board (operators/similarity.py::semantic_dedup):
     200 constructed R^32 vectors in 50 planted duplicate classes — class
@@ -1090,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erase_parcels": _q_erase_parcels,
         "text_integrity": _q_text_integrity,
         "semantic_dedup": _q_semantic_dedup,
+        "geotag_tokens": _q_geotag_tokens,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1794,6 +1814,13 @@ def oracle_sql() -> dict[str, str]:
     # byte-identity invariant: the oracle hashes the SOURCE column with
     # zero transformations — any lossy re-serialization in the Spark
     # pipeline (geotag -> quality -> tokens -> repartition) breaks it
+    d["geotag_tokens"] = """
+        SELECT c_custkey,
+               -8.0 + CAST((c_custkey % 32) % 8 AS DOUBLE) AS glon,
+               -8.0 + 2.0 * CAST(((c_custkey % 32) - (c_custkey % 32) % 8) / 8 AS DOUBLE) AS glat,
+               'gazetteer' AS tag_source
+        FROM customer
+    """
     d["semantic_dedup"] = """
         SELECT k AS vec_id, k < 50 AS kept
         FROM range(200) t(k)
