@@ -683,28 +683,41 @@ def _arrangement_region(polys: list, member, quant: float = 1e-9,
         eps_off = 1e-7 * max(diag, 1.0)
     tol = 1e-12
 
-    # -- 1. split parameters per edge (O(m) vectorized passes, O(m^2) work)
+    # -- 1. split parameters per edge: blocked (B x m) matrix passes —
+    # O(m^2) arithmetic stays in numpy (a per-edge Python loop was the
+    # arrangement's hot spot); only the SPARSE hit lists surface to Python
     splits: list = [[] for _ in range(m)]
-    for i in range(m):
-        qpx, qpy = ax - ax[i], ay - ay[i]          # start_j - start_i
-        denom = rx_[i] * ry_ - ry_[i] * rx_        # cross(r_i, s_j)
-        cross_qr = qpx * ry_[i] - qpy * rx_[i]     # cross(qp, r_i)
-        par = np.abs(denom) <= tol * seg_len[i] * seg_len
+    L2_all = rx_ * rx_ + ry_ * ry_
+    BLK = 256
+    for s0 in range(0, m, BLK):
+        blk = slice(s0, min(s0 + BLK, m))
+        qpx = ax[None, :] - ax[blk, None]          # start_j - start_i
+        qpy = ay[None, :] - ay[blk, None]
+        denom = (rx_[blk, None] * ry_[None, :]
+                 - ry_[blk, None] * rx_[None, :])  # cross(r_i, s_j)
+        cross_qr = qpx * ry_[blk, None] - qpy * rx_[blk, None]  # cross(qp, r_i)
+        par = np.abs(denom) <= tol * seg_len[blk, None] * seg_len[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
-            t = np.where(par, np.nan, (qpx * ry_ - qpy * rx_) / denom)
+            t = np.where(par, np.nan,
+                         (qpx * ry_[None, :] - qpy * rx_[None, :]) / denom)
             u = np.where(par, np.nan, cross_qr / denom)
         hit = (~par & (u >= -tol) & (u <= 1.0 + tol)
                & (t > tol) & (t < 1.0 - tol))
-        if hit.any():
-            splits[i].extend(t[hit].tolist())
-        col = par & (np.abs(cross_qr) <= 1e-9 * seg_len[i]
+        for bi, bj in zip(*np.nonzero(hit)):
+            splits[s0 + bi].append(float(t[bi, bj]))
+        col = par & (np.abs(cross_qr) <= 1e-9 * seg_len[blk, None]
                      * np.maximum(np.hypot(qpx, qpy), 1.0))
-        if col.any():
-            L2 = rx_[i] * rx_[i] + ry_[i] * ry_[i]
-            t0 = (qpx[col] * rx_[i] + qpy[col] * ry_[i]) / L2
-            t1 = t0 + (rx_[col] * rx_[i] + ry_[col] * ry_[i]) / L2
-            for tv in np.concatenate([t0, t1]):
-                if tol < tv < 1.0 - tol:
+        ci, cj = np.nonzero(col)
+        if ci.size:
+            # collinear is cheap to TRIGGER (every pair of edges on one
+            # gridline matches, however far apart) — project vectorized
+            # and surface only endpoints landing strictly inside (0, 1)
+            gi = s0 + ci
+            t0v = (qpx[ci, cj] * rx_[gi] + qpy[ci, cj] * ry_[gi]) / L2_all[gi]
+            t1v = t0v + (rx_[cj] * rx_[gi] + ry_[cj] * ry_[gi]) / L2_all[gi]
+            for tv_arr in (t0v, t1v):
+                inside = (tv_arr > tol) & (tv_arr < 1.0 - tol)
+                for i, tv in zip(gi[inside], tv_arr[inside]):
                     splits[i].append(float(tv))
 
     def snap(x: float, y: float):
