@@ -510,6 +510,29 @@ def _q_nearest_road(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round("dist_deg", 6) + 0.0).alias("dist_deg"))
 
 
+def _q_nearest_road_shapefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 polyline slice on the board: the road LINESTRING layer is
+    round-tripped through an actual ESRI shapefile (type-3 polyline
+    records, multi-part offsets preserved) and must drive the nearest-
+    line join IDENTICALLY — same closed-form oracle as nearest_road."""
+    import tempfile
+    from spandex_spark.operators.lines import nearest_line_join
+    from spandex_spark.sources.grids import roads_df
+    from spandex_spark.sources.shapefile import (read_shapefile,
+                                                 write_shapefile)
+    rows = [(r[0], r[1].asDict(recursive=True))
+            for r in roads_df(spark).select("road_id", "geom").collect()]
+    path = os.path.join(tempfile.mkdtemp(), "roads")
+    write_shapefile(path, rows)
+    roads = read_shapefile(spark, path).withColumnRenamed("id", "road_id")
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = nearest_line_join(pts, roads, k=1,
+                            point_id_col="c_custkey", line_id_col="road_id")
+    return out.select("c_custkey", "road_id",
+                      (F.round("dist_deg", 6) + 0.0).alias("dist_deg"))
+
+
 def _q_nearest_road_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linestring kNN via the BIG-both-sides route: segments explode into
     exact covering cells, broadcast-index candidate boxes, pure-JVM
@@ -1110,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_integrity": _q_text_integrity,
         "semantic_dedup": _q_semantic_dedup,
         "geotag_tokens": _q_geotag_tokens,
+        "nearest_road_shapefile": _q_nearest_road_shapefile,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1988,5 +2012,6 @@ def oracle_sql() -> dict[str, str]:
     d["zonal_geotiff_lzw"] = d["zonal"]
     d["knn_cells"] = d["knn"]
     d["nearest_road_cells"] = d["nearest_road"]
+    d["nearest_road_shapefile"] = d["nearest_road"]
     d["asof_join_bucketed"] = d["asof_join"]
     return d
