@@ -342,6 +342,25 @@ def _q_dissolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.round(geom_area_udf(g), 9) + 0.0).alias("area"))
 
 
+def _q_intersect_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection GEOMETRY on the board (overlay.py::intersection_join
+    — the general-pair path runs the planar-arrangement boolean kernel):
+    0.5-degree parcels x holed donut zones. A parcel can never span the
+    2-degree hole, so every non-empty intersection is ONE ring; its area
+    is rect-overlap(outer) - rect-overlap(hole) — the SQL closed form."""
+    from spandex_spark.operators.overlay import intersection_join
+    from spandex_spark.sources.grids import donut_zones_df
+    from spandex_spark.functions.spatial import geom_area_udf
+    out = intersection_join(parcels_df(spark), donut_zones_df(spark),
+                            target_id_col="parcel_id",
+                            overlay_id_col="dz_id", level=7)
+    g = F.col("geom_ix")
+    return out.select(
+        "parcel_id", "dz_id",
+        (F.size(g["ring_offsets"]) - 1).cast("long").alias("n_rings"),
+        (F.round(geom_area_udf(g), 9) + 0.0).alias("ix_area"))
+
+
 def _q_union_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General ST_Union (operators/dissolve.py::union_by — the planar-
     arrangement union that handles OVERLAPPING members, the case
@@ -1134,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "geotag_tokens": _q_geotag_tokens,
         "nearest_road_shapefile": _q_nearest_road_shapefile,
+        "intersect_donut": _q_intersect_donut,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1838,6 +1858,25 @@ def oracle_sql() -> dict[str, str]:
     # byte-identity invariant: the oracle hashes the SOURCE column with
     # zero transformations — any lossy re-serialization in the Spark
     # pipeline (geotag -> quality -> tokens -> repartition) breaks it
+    d["intersect_donut"] = f"""
+        WITH z AS (
+          SELECT z AS dz_id,
+                 CAST(z % 4 AS DOUBLE) * 4 - 8 AS zx0,
+                 CAST((z - z % 4) / 4 AS DOUBLE) * 4 - 8 AS zy0
+          FROM range(16) t(z)
+        ), pr AS (
+          SELECT p.parcel_id, z.dz_id,
+                 GREATEST(0.0, LEAST(p.x1, z.zx0 + 4.0) - GREATEST(p.x0, z.zx0))
+                   * GREATEST(0.0, LEAST(p.y1, z.zy0 + 4.0) - GREATEST(p.y0, z.zy0))
+                 - GREATEST(0.0, LEAST(p.x1, z.zx0 + 3.0) - GREATEST(p.x0, z.zx0 + 1.0))
+                   * GREATEST(0.0, LEAST(p.y1, z.zy0 + 3.0) - GREATEST(p.y0, z.zy0 + 1.0))
+                   AS area
+          FROM ({_PARCELS}) p CROSS JOIN z
+        )
+        SELECT parcel_id, dz_id, CAST(1 AS BIGINT) AS n_rings,
+               round(area, 9) + 0.0 AS ix_area
+        FROM pr WHERE area > 0.0
+    """
     d["geotag_tokens"] = """
         SELECT c_custkey,
                -8.0 + CAST((c_custkey % 32) % 8 AS DOUBLE) AS glon,

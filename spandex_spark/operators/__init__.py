@@ -1,5 +1,5 @@
 from spandex_spark.operators.tag import tag_points, tag  # noqa: F401
-from spandex_spark.operators.overlay import proportion_overlap  # noqa: F401
+from spandex_spark.operators.overlay import proportion_overlap, intersection_join  # noqa: F401
 from spandex_spark.operators.knn import knn_join  # noqa: F401
 from spandex_spark.operators.zonal import (  # noqa: F401
     zonal_stats, clip_raster, downsample, raster_sample)
