@@ -361,6 +361,40 @@ def _q_intersect_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(geom_area_udf(g), 9) + 0.0).alias("ix_area"))
 
 
+def _q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 completed: bilinear resampling onto an arbitrary grid
+    (operators/zonal.py::resample_tiles — downsample covers only
+    integer-factor pooling). The input raster is LINEAR in (lon, lat)
+    (v = 2 + 3·lon − 1.5·lat), and bilinear interpolation reproduces a
+    linear field EXACTLY, so every output pixel has the closed-form SQL
+    value — the whole two-stage tile join + patch mosaic + interpolation
+    kernel must be bit-faithful to round(·, 9)."""
+    from spandex_spark.operators.zonal import resample_tiles
+    t = spark.range(16).select(F.col("id").alias("tile_id"))
+    tx = F.col("tile_id") % 4
+    ty = F.floor(F.col("tile_id") / 4)
+    x0 = -4.0 + tx.cast("double") * 2.0
+    y0 = -4.0 + ty.cast("double") * 2.0
+    vals = F.transform(
+        F.sequence(F.lit(0), F.lit(399)),
+        lambda p: 2.0 + 3.0 * (x0 + ((p % 20).cast("double") + 0.5) * 0.1)
+        - 1.5 * (y0 + (F.floor(p / 20).cast("double") + 0.5) * 0.1))
+    tiles = t.select("tile_id", x0.alias("x0"), y0.alias("y0"),
+                     F.lit(0.1).alias("res"), F.lit(20).alias("nx"),
+                     F.lit(20).alias("ny"), vals.alias("values"))
+    out = resample_tiles(tiles, x0_out=-3.0, y0_out=-3.0, res_out=0.17,
+                         nx_out=30, ny_out=25, origin_x=-4.0,
+                         origin_y=-4.0, tile_px=16)
+    px = out.select("x0", "y0", "res", "nx",
+                    F.posexplode("values").alias("p", "v"))
+    lon_c = F.col("x0") + ((F.col("p") % F.col("nx")).cast("double") + 0.5) * F.col("res")
+    lat_c = F.col("y0") + (F.floor(F.col("p") / F.col("nx")).cast("double") + 0.5) * F.col("res")
+    return px.select(
+        (F.round(lon_c, 9) + 0.0).alias("lon_c"),
+        (F.round(lat_c, 9) + 0.0).alias("lat_c"),
+        (F.round(F.col("v"), 9) + 0.0).alias("v"))
+
+
 def _q_union_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General ST_Union (operators/dissolve.py::union_by — the planar-
     arrangement union that handles OVERLAPPING members, the case
@@ -1154,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotag_tokens": _q_geotag_tokens,
         "nearest_road_shapefile": _q_nearest_road_shapefile,
         "intersect_donut": _q_intersect_donut,
+        "resample_bilinear": _q_resample_bilinear,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1858,6 +1893,24 @@ def oracle_sql() -> dict[str, str]:
     # byte-identity invariant: the oracle hashes the SOURCE column with
     # zero transformations — any lossy re-serialization in the Spark
     # pipeline (geotag -> quality -> tokens -> repartition) breaks it
+    d["resample_bilinear"] = """
+        WITH tilespec AS (
+          SELECT t AS tid, t % 2 AS tc, (t - t % 2) / 2 AS tr,
+                 -3.0 + CAST(t % 2 AS DOUBLE) * 16 * 0.17 AS ox0,
+                 -3.0 + CAST((t - t % 2) / 2 AS DOUBLE) * 16 * 0.17 AS oy0,
+                 LEAST(16, 30 - CAST(t % 2 AS INT) * 16) AS onx,
+                 LEAST(16, 25 - CAST((t - t % 2) / 2 AS INT) * 16) AS ony
+          FROM range(4) s(t)
+        ), px AS (
+          SELECT ox0 + (CAST(p % onx AS DOUBLE) + 0.5) * 0.17 AS lon_c,
+                 oy0 + (CAST((p - p % onx) / onx AS DOUBLE) + 0.5) * 0.17 AS lat_c
+          FROM tilespec, LATERAL (SELECT unnest(range(onx * ony)) AS p)
+        )
+        SELECT round(lon_c, 9) + 0.0 AS lon_c,
+               round(lat_c, 9) + 0.0 AS lat_c,
+               round(2.0 + 3.0 * lon_c - 1.5 * lat_c, 9) + 0.0 AS v
+        FROM px
+    """
     d["intersect_donut"] = f"""
         WITH z AS (
           SELECT z AS dz_id,

@@ -281,3 +281,133 @@ def _tile_cells_udf(x0: pd.Series, y0: pd.Series, res: pd.Series,
                               float(x0.iloc[i]) + w, float(y0.iloc[i]) + h, lvl)
         out.append(c.tolist())
     return pd.Series(out)
+
+
+def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
+                   res_out: float, nx_out: int, ny_out: int,
+                   origin_x: float, origin_y: float,
+                   tile_px: int = 50) -> DataFrame:
+    """rastertoolz to_matrix/resample completed: BILINEAR resampling of a
+    regular tile table onto an ARBITRARY output grid (any origin/res —
+    downsample() covers only integer-factor pooling on the same grid).
+
+    Output pixel centers interpolate the four surrounding INPUT pixel
+    centers. Distributed shape: output tiles are generated as spec rows;
+    each derives the integer index range of input tiles its support box
+    (one input-pixel halo) touches via JVM sequence-explode, equi-joins
+    the input tiles on the same (1<<20)-packed key raster_sample uses,
+    and one applyInPandas per output tile assembles its patch and
+    interpolates vectorized. The only payload shuffle is the halo-bounded
+    input-tile duplication per overlapping output tile. Output pixels
+    whose 4-neighbourhood leaves the input raster come out NULL
+    (the kernel's NaN crosses the Arrow boundary as null).
+    """
+    spark = tiles.sparkSession
+    shapes = tiles.select("res", "nx", "ny").distinct().limit(2).collect()  # collect-ok: <=2-row tile-shape probe (regular-tiling check)
+    if not shapes:
+        raise ValueError("resample_tiles: empty tile table")
+    if len(shapes) > 1:
+        raise ValueError("resample_tiles requires a regular input tiling")
+    res_in = float(shapes[0]["res"])
+    nx_in, ny_in = int(shapes[0]["nx"]), int(shapes[0]["ny"])
+    tw, th = res_in * nx_in, res_in * ny_in
+
+    n_tx = (nx_out + tile_px - 1) // tile_px
+    n_ty = (ny_out + tile_px - 1) // tile_px
+    spec = spark.range(n_tx * n_ty).select(
+        F.col("id").alias("otile_id"),
+        (F.col("id") % n_tx).cast("int").alias("_tc"),
+        F.floor(F.col("id") / n_tx).cast("int").alias("_tr"))
+    spec = spec.select(
+        "otile_id",
+        (F.lit(x0_out) + F.col("_tc") * (tile_px * res_out)).alias("ox0"),
+        (F.lit(y0_out) + F.col("_tr") * (tile_px * res_out)).alias("oy0"),
+        F.least(F.lit(tile_px),
+                F.lit(nx_out) - F.col("_tc") * tile_px).alias("onx"),
+        F.least(F.lit(tile_px),
+                F.lit(ny_out) - F.col("_tr") * tile_px).alias("ony"))
+    # support box: first/last output pixel centers +/- one input pixel
+    sx0 = F.col("ox0") + 0.5 * res_out - res_in
+    sx1 = F.col("ox0") + (F.col("onx") - 0.5) * res_out + res_in
+    sy0 = F.col("oy0") + 0.5 * res_out - res_in
+    sy1 = F.col("oy0") + (F.col("ony") - 0.5) * res_out + res_in
+    ix0 = F.floor((sx0 - F.lit(origin_x)) / F.lit(tw)).cast("int")
+    ix1 = F.floor((sx1 - F.lit(origin_x)) / F.lit(tw)).cast("int")
+    iy0 = F.floor((sy0 - F.lit(origin_y)) / F.lit(th)).cast("int")
+    iy1 = F.floor((sy1 - F.lit(origin_y)) / F.lit(th)).cast("int")
+    cand = (spec
+            .withColumn("_ix", F.explode(F.sequence(ix0, ix1)))
+            .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
+            .withColumn("_tk", (F.col("_iy").cast("long") * (1 << 20)
+                                + F.col("_ix")).cast("long")))
+    tkey_t = (F.floor((F.col("y0") - F.lit(origin_y)) / F.lit(th))
+              * F.lit(1 << 20)
+              + F.floor((F.col("x0") - F.lit(origin_x)) / F.lit(tw)))
+    tt = tiles.select(F.col("x0").alias("_px0"), F.col("y0").alias("_py0"),
+                      F.col("values").alias("_pv"),
+                      tkey_t.cast("long").alias("_tk"))
+    joined = (cand.join(tt, "_tk", "inner")
+              .groupBy("otile_id", "ox0", "oy0", "onx", "ony")
+              .agg(F.collect_list(F.struct("_px0", "_py0", "_pv"))
+                   .alias("_patch")))
+
+    out_schema = T.StructType([
+        T.StructField("tile_id", T.LongType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("res", T.DoubleType()),
+        T.StructField("nx", T.IntegerType()),
+        T.StructField("ny", T.IntegerType()),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in pdf.iterrows():
+            onx, ony = int(row["onx"]), int(row["ony"])
+            ox0, oy0 = float(row["ox0"]), float(row["oy0"])
+            # mosaic the patch into one array indexed by input pixel
+            xs0 = [float(p["_px0"]) for p in row["_patch"]]
+            ys0 = [float(p["_py0"]) for p in row["_patch"]]
+            gx0 = min(xs0); gy0 = min(ys0)
+            cols = round((max(xs0) - gx0) / tw) + 1
+            rws = round((max(ys0) - gy0) / th) + 1
+            mosaic = np.full((rws * ny_in, cols * nx_in), np.nan)
+            for p in row["_patch"]:
+                rr = round((float(p["_py0"]) - gy0) / th) * ny_in
+                cc = round((float(p["_px0"]) - gx0) / tw) * nx_in
+                mosaic[rr:rr + ny_in, cc:cc + nx_in] = \
+                    np.asarray(p["_pv"], np.float64).reshape(ny_in, nx_in)
+            # output pixel centers
+            X = ox0 + (np.arange(onx) + 0.5) * res_out
+            Y = oy0 + (np.arange(ony) + 0.5) * res_out
+            # fractional index into the mosaic's pixel-center lattice
+            fx = (X - (gx0 + 0.5 * res_in)) / res_in
+            fy = (Y - (gy0 + 0.5 * res_in)) / res_in
+            i0 = np.floor(fx).astype(np.int64)
+            j0 = np.floor(fy).astype(np.int64)
+            wx = fx - i0
+            wy = fy - j0
+            H, W = mosaic.shape
+            valid_x = (i0 >= 0) & (i0 + 1 < W)
+            valid_y = (j0 >= 0) & (j0 + 1 < H)
+            i0c = np.clip(i0, 0, W - 2)
+            j0c = np.clip(j0, 0, H - 2)
+            v00 = mosaic[j0c[:, None], i0c[None, :]]
+            v01 = mosaic[j0c[:, None], i0c[None, :] + 1]
+            v10 = mosaic[j0c[:, None] + 1, i0c[None, :]]
+            v11 = mosaic[j0c[:, None] + 1, i0c[None, :] + 1]
+            vals = (v00 * (1 - wx[None, :]) * (1 - wy[:, None])
+                    + v01 * wx[None, :] * (1 - wy[:, None])
+                    + v10 * (1 - wx[None, :]) * wy[:, None]
+                    + v11 * wx[None, :] * wy[:, None])
+            vals[~valid_y, :] = np.nan
+            vals[:, ~valid_x] = np.nan
+            rows.append({"tile_id": int(row["otile_id"]), "x0": ox0,
+                         "y0": oy0, "res": float(res_out),
+                         "nx": onx, "ny": ony,
+                         "values": vals.ravel().tolist()})
+        return pd.DataFrame(rows)
+
+    return joined.groupBy("otile_id").applyInPandas(
+        lambda pdf: _interp(pdf), out_schema)

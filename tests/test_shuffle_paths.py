@@ -4,6 +4,7 @@ doesn't fit in executor memory."""
 
 import os
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -405,3 +406,72 @@ def test_raster_sample_shuffle_path_matches_broadcast(spark):
          raster_sample(pts, tiles, point_id_col="p", origin_x=-10.0,
                        origin_y=-10.0, broadcast_tiles=False).collect()}
     assert a == b and len(a) == 5000
+
+
+class TestResampleTiles:
+    @staticmethod
+    def _tiles(spark, f):
+        from pyspark.sql import functions as F
+        t = spark.range(16).select(F.col("id").alias("tile_id"))
+        tx = t["tile_id"] % 4
+        ty = F.floor(t["tile_id"] / 4)
+        x0 = -4.0 + tx.cast("double") * 2.0
+        y0 = -4.0 + ty.cast("double") * 2.0
+        vals = F.transform(F.sequence(F.lit(0), F.lit(399)),
+                           lambda p: f(x0 + ((p % 20).cast("double") + 0.5) * 0.1,
+                                       y0 + (F.floor(p / 20).cast("double") + 0.5) * 0.1))
+        return t.select("tile_id", x0.alias("x0"), y0.alias("y0"),
+                        F.lit(0.1).alias("res"), F.lit(20).alias("nx"),
+                        F.lit(20).alias("ny"), vals.alias("values"))
+
+    def test_linear_field_exact(self, spark):
+        """Bilinear reproduces a linear field exactly at any output grid."""
+        from pyspark.sql import functions as F
+        from spandex_spark.operators.zonal import resample_tiles
+        tiles = self._tiles(spark, lambda lon, lat: 1.0 + 2.0 * lon + 0.5 * lat)
+        out = resample_tiles(tiles, x0_out=-3.5, y0_out=-2.0, res_out=0.23,
+                             nx_out=20, ny_out=18, origin_x=-4.0,
+                             origin_y=-4.0, tile_px=12).collect()
+        n = 0
+        for r in out:
+            v = np.array(r.values).reshape(r.ny, r.nx)
+            X = r.x0 + (np.arange(r.nx) + 0.5) * r.res
+            Y = r.y0 + (np.arange(r.ny) + 0.5) * r.res
+            want = 1.0 + 2.0 * X[None, :] + 0.5 * Y[:, None]
+            assert not np.isnan(v).any()
+            np.testing.assert_allclose(v, want, rtol=0, atol=1e-9)
+            n += v.size
+        assert n == 20 * 18
+
+    def test_edge_pixels_nan(self, spark):
+        """Output pixels whose 4-neighbourhood leaves the input raster are
+        NULL (NaN crosses Arrow as null), not extrapolated."""
+        from spandex_spark.operators.zonal import resample_tiles
+        tiles = self._tiles(spark, lambda lon, lat: lon * 0.0 + 1.0)
+        # output grid hangs past the input's west edge (-4.0)
+        out = resample_tiles(tiles, x0_out=-4.5, y0_out=0.0, res_out=0.1,
+                             nx_out=12, ny_out=4, origin_x=-4.0,
+                             origin_y=-4.0, tile_px=12).collect()
+        v = np.concatenate([np.array(r.values, dtype=float).reshape(r.ny, r.nx)
+                            for r in sorted(out, key=lambda r: r.x0)], axis=1)
+        # columns west of (input x0 + half input pixel) must be NaN
+        X = -4.5 + (np.arange(12) + 0.5) * 0.1
+        expect_nan = X < -4.0 + 0.05
+        got_nan = np.isnan(v).all(axis=0)
+        assert (got_nan == expect_nan).all()
+        assert np.nanmax(v) == np.nanmin(v) == 1.0
+
+    def test_identity_grid_roundtrip(self, spark):
+        """Resampling onto the input's own pixel-center grid returns the
+        input values exactly (weights collapse to 1/0)."""
+        from spandex_spark.operators.zonal import resample_tiles
+        tiles = self._tiles(spark, lambda lon, lat: F.sin(lon) + F.cos(lat))
+        src = {(round(r.x0, 6), round(r.y0, 6)):
+               np.array(r.values).reshape(20, 20)
+               for r in tiles.collect()}
+        out = resample_tiles(tiles, x0_out=-2.0, y0_out=-2.0, res_out=0.1,
+                             nx_out=20, ny_out=20, origin_x=-4.0,
+                             origin_y=-4.0, tile_px=20).collect()
+        assert len(out) == 1
+        got = np.array(out[0].values).reshape(20, 20)
+        np.testing.assert_allclose(got, src[(-2.0, -2.0)], rtol=0, atol=1e-12)
