@@ -1210,15 +1210,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_targets": _q_scale,
         "q1_pricing": _q_q1,
         "window_topk": _q_window_topk,
+        "ann_lsh": _q_ann_lsh,
         "revenue_by_segment": _q_revenue_by_segment,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
-        "asof_join": _q_asof_join,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
-        "ann_lsh": _q_ann_lsh,
+        "asof_join": _q_asof_join,
         "simplify_parcels": _q_simplify,
         "dissolve_groups": _q_dissolve_groups,
         "hull_parcels": _q_hull_parcels,
