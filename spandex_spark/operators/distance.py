@@ -47,6 +47,18 @@ def _grid_floor(coord, origin: float, extent: float, n: int):
             .cast("long")
 
 
+def grid_key_of(lon: float, lat: float, level: int) -> int:
+    """The join key within_distance_join buckets a feature at — PASS THESE
+    to ``salt_hot``. This is the operator's own row-major grid key
+    (gy * 2^level + gx over the clamped lon/lat grid), NOT cells.cell_of's
+    interleaved quadkey; a quadkey in ``salt_hot`` silently matches no row
+    and the salting is a no-op."""
+    n = 1 << level
+    gx = min(n - 1, max(0, int(math.floor((lon + 180.0) / 360.0 * n))))
+    gy = min(n - 1, max(0, int(math.floor((lat + 90.0) / 180.0 * n))))
+    return gy * n + gx
+
+
 def level_for_radius(dlat_deg: float, max_level: int = 20) -> int:
     """Finest level whose cell still spans the latitude radius, so the
     radius box never needs more than one ring of neighbours per axis at
@@ -74,7 +86,12 @@ def within_distance_join(points: DataFrame, features: DataFrame, *,
     ``salt_hot``: explicit mega-cell mitigation (E3, operators/skew.py) —
     the listed cell keys join on (cell, salt) with the feature side fanned
     out ``salt_fanout``×, splitting a dense-city cell's shuffle partition.
-    Result-identical; pointless under ``broadcast_features``.
+    Keys MUST come from ``grid_key_of(lon, lat, level)`` (this operator's
+    row-major grid key — not cells.cell_of's quadkey, which silently
+    matches nothing). Result-identical; only relevant when the feature
+    side actually SHUFFLES (too big for Catalyst's auto-broadcast) AND
+    AQE skew-join can't split the partition — pointless under
+    ``broadcast_features``.
     """
     if metric not in ("haversine", "planar"):
         raise ValueError(f"unknown metric {metric!r}")

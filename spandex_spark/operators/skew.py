@@ -36,11 +36,22 @@ def hot_cells(points_with_cell: DataFrame, *, threshold_rows: int,
 
 def salted_cell_join(points: DataFrame, features_by_cell: DataFrame, *,
                      hot: list[int], fanout: int,
-                     point_salt_col: str = "url") -> DataFrame:
+                     point_salt_col: str = "url",
+                     num_partitions: int | None = None) -> DataFrame:
     """Equi-join points⋈features on `cell`, with rows in ``hot`` cells joined
     on (cell, salt) instead: point side gets salt = pmod(xxhash64(key), S);
     feature side is exploded xS for hot cells only. Identical results to the
-    plain join; the hot cell's shuffle partition splits S ways."""
+    plain join; the hot cell's shuffle partition splits S ways.
+
+    The point side is EXPLICITLY repartitioned by (cell, _salt) with a
+    fixed partition count: AQE's partition coalescing sizes by shuffle
+    BYTES, and a salted hot cell's buckets are small on the wire while
+    their join OUTPUT is quadratic — left to the byte heuristic, AQE
+    merges the salt buckets back into one partition and silently undoes
+    the salting (measured: salted == unsalted wall time until the
+    repartition was pinned). An explicit repartition count is exempt from
+    AQE coalescing and satisfies the join's distribution requirement, so
+    no extra exchange is added."""
     if not hot:
         return points.join(features_by_cell, "cell", "inner")
     hot_lit = F.array(*[F.lit(c) for c in hot])
@@ -49,6 +60,9 @@ def salted_cell_join(points: DataFrame, features_by_cell: DataFrame, *,
         F.when(F.array_contains(hot_lit, F.col("cell")),
                F.pmod(F.xxhash64(F.col(point_salt_col)), F.lit(fanout)))
          .otherwise(F.lit(0)))
+    n_parts = num_partitions or max(
+        4 * fanout, points.sparkSession.sparkContext.defaultParallelism * 2)
+    pts = pts.repartition(n_parts, "cell", "_salt")
     feats = features_by_cell.withColumn(
         "_salt",
         F.explode(F.when(F.array_contains(hot_lit, F.col("cell")),

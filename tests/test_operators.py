@@ -518,13 +518,12 @@ class TestBuffer:
                 within_distance_join(p, f, radius=0.8, point_id_col="pid",
                                      feature_id_col="fid",
                                      metric="planar").collect()}
-        # hot cell keys at the level the join picks for r=0.8 (level 7)
-        from spandex_spark.operators.distance import level_for_radius
-        lvl = level_for_radius(0.8)
-        n = 1 << lvl
-        gx = int((0.15 + 180.0) / 360.0 * n)
-        gy = int((0.15 + 90.0) / 180.0 * n)
-        hot = [gy * n + gx]
+        # hot cell keys at the level the join picks for r=0.8 (level 7),
+        # via the public helper (the operator's own grid key — a quadkey
+        # here would silently salt nothing)
+        from spandex_spark.operators.distance import (grid_key_of,
+                                                      level_for_radius)
+        hot = [grid_key_of(0.15, 0.15, level_for_radius(0.8))]
         salted = {(r.pid, r.fid) for r in
                   within_distance_join(p, f, radius=0.8, point_id_col="pid",
                                        feature_id_col="fid", metric="planar",
