@@ -683,6 +683,26 @@ def _q_geotag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("lat").alias("glat"), "tag_source")
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on the board: binary payloads constructed from
+    deterministic strings flow through extract_features' mapInPandas
+    Arrow-binary batch path; media_id/kind/n_bytes/sha256-digest are all
+    SQL-reproducible (the stubbed feature VECTORS are seeded noise and
+    stay out of the oracle — real decode is env-blocked and documented)."""
+    from spandex_spark.operators.multimodal import extract_features
+    base = _t(spark, sf_dir, "customer").select("c_custkey").limit(500)
+    k = F.col("c_custkey")
+    media = base.select(
+        k.alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (k % 3 + 1).cast("int")).alias("kind"),
+        F.concat(F.lit("payload-"), k.cast("string"), F.lit("-"),
+                 F.repeat(F.lit("x"), (k % 50).cast("int")))
+        .cast("binary").alias("payload"))
+    out = extract_features(media, decode_stub=True)
+    return out.select("media_id", "kind", "n_bytes", "digest")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup on the board (operators/similarity.py::semantic_dedup):
     200 constructed R^32 vectors in 50 planted duplicate classes — class
@@ -1189,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_road_shapefile": _q_nearest_road_shapefile,
         "intersect_donut": _q_intersect_donut,
         "resample_bilinear": _q_resample_bilinear,
+        "media_features": _q_media_features,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1936,6 +1957,20 @@ def oracle_sql() -> dict[str, str]:
                -8.0 + 2.0 * CAST(((c_custkey % 32) - (c_custkey % 32) % 8) / 8 AS DOUBLE) AS glat,
                'gazetteer' AS tag_source
         FROM customer
+    """
+    d["media_features"] = """
+        WITH m AS (
+          SELECT c_custkey AS media_id,
+                 CASE c_custkey % 3 WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 'payload-' || CAST(c_custkey AS VARCHAR) || '-'
+                   || repeat('x', CAST(c_custkey % 50 AS INT)) AS payload
+          FROM customer ORDER BY c_custkey LIMIT 500
+        )
+        SELECT media_id, kind,
+               CAST(length(payload) AS BIGINT) AS n_bytes,
+               substr(sha256(payload), 1, 16) AS digest
+        FROM m
     """
     d["semantic_dedup"] = """
         SELECT k AS vec_id, k < 50 AS kept
