@@ -683,6 +683,25 @@ def _q_geotag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("lat").alias("glat"), "tag_source")
 
 
+def _q_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MakeValid on the board (operators/validate.py::make_valid —
+    even-odd region re-extraction via the arrangement kernel) over the
+    validity zoo: squares/triangles come back unchanged (1 ring), each
+    bowtie splits into its 2 lobes (6 vertices, area 2 x 1/4), collinear
+    zero-area rows go NULL and drop out. All closed-form by type."""
+    from spandex_spark.operators.validate import make_valid
+    from spandex_spark.sources.grids import validity_zoo_df
+    from spandex_spark.functions.spatial import geom_area_udf
+    out = make_valid(validity_zoo_df(spark))
+    g = F.col("geom_valid")
+    return (out.filter(g.isNotNull())
+            .select("gid",
+                    (F.size(g["ring_offsets"]) - 1).cast("long")
+                    .alias("n_rings"),
+                    F.size(g["xs"]).cast("long").alias("n_vertices"),
+                    (F.round(geom_area_udf(g), 9) + 0.0).alias("area")))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on the board: binary payloads constructed from
     deterministic strings flow through extract_features' mapInPandas
@@ -1210,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_donut": _q_intersect_donut,
         "resample_bilinear": _q_resample_bilinear,
         "media_features": _q_media_features,
+        "make_valid": _q_make_valid,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1957,6 +1977,17 @@ def oracle_sql() -> dict[str, str]:
                -8.0 + 2.0 * CAST(((c_custkey % 32) - (c_custkey % 32) % 8) / 8 AS DOUBLE) AS glat,
                'gazetteer' AS tag_source
         FROM customer
+    """
+    d["make_valid"] = """
+        SELECT g AS gid,
+               CAST(CASE WHEN (g % 32) % 4 = 1 THEN 2 ELSE 1 END AS BIGINT)
+                 AS n_rings,
+               CAST(CASE (g % 32) % 4 WHEN 0 THEN 4 WHEN 1 THEN 6
+                    ELSE 3 END AS BIGINT) AS n_vertices,
+               round(CASE (g % 32) % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                     ELSE 0.5 END, 9) + 0.0 AS area
+        FROM range(64) t(g)
+        WHERE (g % 32) % 4 <> 2
     """
     d["media_features"] = """
         WITH m AS (

@@ -1156,3 +1156,18 @@ ALBERS_ZONES = {
     3310: (34.0, 40.5, 0.0, -120.0, 0.0, -4_000_000.0),     # NAD83 / California Albers
     3577: (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),             # GDA94 / Australian Albers
 }
+
+
+def make_valid_rings(xs: np.ndarray, ys: np.ndarray, offsets=None,
+                     quant: float = 1e-9, eps_off: float = None) -> list:
+    """ST_MakeValid analog: re-extract the EVEN-ODD region of a possibly
+    self-intersecting / mis-oriented / degenerate polygon as properly
+    oriented simple rings (outer CCW, holes CW) via the arrangement
+    kernel — a bowtie splits into its two lobes, zero-area geometry
+    returns []. Valid input comes back equivalent (possibly re-oriented).
+    """
+    polys = _normalize_polys([(xs, ys, offsets)])
+    xs_n, ys_n, offs_n = polys[0]
+    return _arrangement_region(
+        polys, lambda px, py: points_in_rings(px, py, xs_n, ys_n, offs_n),
+        quant=quant, eps_off=eps_off)

@@ -881,3 +881,34 @@ class TestAlbers:
                                      fe=fe, fn=fn)
         assert x[0] == pytest.approx(0.0, abs=1e-6)
         assert y[0] == pytest.approx(-4_000_000.0, abs=1e-6)
+
+
+class TestMakeValid:
+    def test_bowtie_splits_into_lobes(self):
+        bx = np.array([0.0, 2.0, 2.0, 0.0])
+        by = np.array([0.0, 2.0, 0.0, 2.0])
+        rings = geom.make_valid_rings(bx, by)
+        assert len(rings) == 2
+        areas = sorted(geom.shoelace_area(rx, ry) for rx, ry in rings)
+        assert areas == pytest.approx([1.0, 1.0])
+
+    def test_valid_input_round_trips(self):
+        sq = (np.array([0.0, 1.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0, 1.0]))
+        rings = geom.make_valid_rings(sq[0], sq[1])
+        assert len(rings) == 1
+        assert geom.shoelace_area(*rings[0]) == pytest.approx(1.0)
+        # CW (mis-oriented) input comes back CCW
+        rings = geom.make_valid_rings(sq[0][::-1].copy(), sq[1][::-1].copy())
+        assert geom.shoelace_area(*rings[0]) == pytest.approx(1.0)
+
+    def test_zero_area_returns_empty(self):
+        assert geom.make_valid_rings(np.array([0.0, 1.0, 2.0]),
+                                     np.array([0.0, 0.0, 0.0])) == []
+
+    def test_self_overlapping_ring_even_odd(self):
+        """A ring that wraps a square twice has even winding everywhere —
+        even-odd MakeValid yields the EMPTY region (PostGIS buffer-style
+        repair differs; our documented semantics are even-odd)."""
+        xs = np.array([0.0, 1.0, 1.0, 0.0] * 2)
+        ys = np.array([0.0, 0.0, 1.0, 1.0] * 2)
+        assert geom.make_valid_rings(xs, ys) == []
