@@ -1230,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_bilinear": _q_resample_bilinear,
         "media_features": _q_media_features,
         "make_valid": _q_make_valid,
+        "ann_lsh": _q_ann_lsh,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
         "corpus_select": _q_corpus_select,
@@ -1251,7 +1252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_targets": _q_scale,
         "q1_pricing": _q_q1,
         "window_topk": _q_window_topk,
-        "ann_lsh": _q_ann_lsh,
         "revenue_by_segment": _q_revenue_by_segment,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
