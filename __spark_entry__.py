@@ -1984,8 +1984,8 @@ def oracle_sql() -> dict[str, str]:
                  AS n_rings,
                CAST(CASE (g % 32) % 4 WHEN 0 THEN 4 WHEN 1 THEN 6
                     ELSE 3 END AS BIGINT) AS n_vertices,
-               round(CASE (g % 32) % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
-                     ELSE 0.5 END, 9) + 0.0 AS area
+               round(CAST(CASE (g % 32) % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                     ELSE 0.5 END AS DOUBLE), 9) + 0.0 AS area
         FROM range(64) t(g)
         WHERE (g % 32) % 4 <> 2
     """
