@@ -77,6 +77,19 @@ CHECKS = {
         (r"^(?![\s\S]*Exchange)", "ZERO shuffles — per-row map against the "
                                   "closure mask, embarrassingly parallel"),
     ],
+    "intersection_join (pairwise ST_Intersection)": [
+        ("BroadcastHashJoin", "overlay side broadcast (refpoint pairs)"),
+        (r"ArrowEvalPython|Union", "rect fast path unions with the "
+                                   "arrangement-kernel general path"),
+    ],
+    "make_valid (ST_MakeValid)": [
+        ("ArrowEvalPython", "per-row even-odd re-extraction kernel"),
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — embarrassingly parallel map"),
+    ],
+    "resample_tiles (bilinear)": [
+        ("Generate explode", "halo-bounded input-tile index ranges"),
+        ("FlatMapGroupsInPandas", "per-output-tile mosaic + interpolation"),
+    ],
     "raster_sample (ST_Value)": [
         ("BroadcastHashJoin", "tile table broadcast (payloads included by "
                               "choice; broadcast_tiles=False for huge "
@@ -160,6 +173,17 @@ def main():
     plans["erase (ST_Difference by mask)"] = erase(
         parcels_df(spark), np.array([-6.0, 6.0, 6.0, 0.0, 0.0, -6.0]),
         np.array([-6.0, -6.0, 0.0, 0.0, 6.0, 6.0]))
+    from spandex_spark.operators.overlay import intersection_join
+    from spandex_spark.operators.validate import make_valid
+    from spandex_spark.operators.zonal import resample_tiles
+    from spandex_spark.sources.grids import donut_zones_df, validity_zoo_df
+    plans["intersection_join (pairwise ST_Intersection)"] = intersection_join(
+        parcels_df(spark), donut_zones_df(spark),
+        target_id_col="parcel_id", overlay_id_col="dz_id", level=7)
+    plans["make_valid (ST_MakeValid)"] = make_valid(validity_zoo_df(spark))
+    plans["resample_tiles (bilinear)"] = resample_tiles(
+        raster_tiles_df(spark), x0_out=-9.0, y0_out=-9.0, res_out=0.07,
+        nx_out=100, ny_out=100, origin_x=-10.0, origin_y=-10.0)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
