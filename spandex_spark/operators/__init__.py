@@ -2,9 +2,10 @@ from spandex_spark.operators.tag import tag_points, tag  # noqa: F401
 from spandex_spark.operators.overlay import proportion_overlap, intersection_join  # noqa: F401
 from spandex_spark.operators.knn import knn_join  # noqa: F401
 from spandex_spark.operators.zonal import (  # noqa: F401
-    zonal_stats, clip_raster, downsample, raster_sample)
+    zonal_stats, clip_raster, downsample, raster_sample, resample_tiles)
 from spandex_spark.operators.scaling import scale_to_targets  # noqa: F401
-from spandex_spark.operators.validate import invalid_geometry_check, duplicate_stacked_geometry_check  # noqa: F401
+from spandex_spark.operators.validate import (  # noqa: F401
+    invalid_geometry_check, duplicate_stacked_geometry_check, make_valid)
 from spandex_spark.operators.reproject import reproject  # noqa: F401
 from spandex_spark.operators.trim import trim, erase  # noqa: F401
 from spandex_spark.operators.simplify import simplify, convex_hull  # noqa: F401
