@@ -129,3 +129,48 @@ def stream_page_rates(spark: SparkSession, input_dir: str,
            .select(F.col("w.start").alias("window_start"), "lang", "n_pages"))
     return (agg.writeStream.format("memory").queryName("page_rates")
             .outputMode("complete").trigger(availableNow=True).start())
+
+
+def stream_append_table(spark: SparkSession, input_dir: str,
+                        table_root: str, checkpoint_dir: str,
+                        gazetteer: DataFrame | None = None, level: int = 9,
+                        available_now: bool = True):
+    """File-source stream → geotag → cell assignment → IcebergishTable
+    APPEND sink (foreachBatch): every micro-batch publishes one atomic
+    snapshot, so the table's manifest log doubles as streaming lineage —
+    a crash between batches leaves the last committed snapshot readable
+    and the stream's checkpoint replays only the uncommitted batch (the
+    Iceberg streaming-sink shape; exactly-once at snapshot granularity
+    modulo a replayed batch landing as a duplicate snapshot, which the
+    batch id in ``partition_values`` makes detectable/skippable).
+
+    Returns the query handle; read the table with IcebergishTable.read
+    (time travel and manifest pruning work on streamed snapshots too)."""
+    from spandex_spark.tables import IcebergishTable
+
+    pages = (spark.readStream.schema(PAGES_SCHEMA)
+             .option("maxFilesPerTrigger", 8)
+             .parquet(input_dir))
+    tagged = geotag(pages, gazetteer)
+    tagged = tagged.withColumn(
+        "cell", F.when(F.col("lon").isNotNull(),
+                       cell_of_expr(F.col("lon"), F.col("lat"), level)))
+    table = IcebergishTable(table_root)
+    committed = set()
+
+    def _sink(batch_df, batch_id: int):
+        # replay protection: a restarted stream re-offers the in-flight
+        # batch; skip if a snapshot already carries this batch id
+        done = {s["partition_values"].get("stream_batch")
+                for s in table.snapshots()}
+        if batch_id in committed or batch_id in done:
+            return
+        table.append(batch_df, partition_values={"stream_batch": batch_id})
+        committed.add(batch_id)
+
+    writer = (tagged.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

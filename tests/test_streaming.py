@@ -96,3 +96,32 @@ def test_stream_zone_rates_matches_batch(spark, fixture_dir, tmp_path):
              .agg(F.count("*").alias("n")))
     want = {(r.w.start, r.zone_id): r.n for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_append_icebergish_table(spark, fixture_dir, tmp_path):
+    """Streaming -> IcebergishTable sink: micro-batches land as atomic
+    snapshots, the streamed table equals the batch pipeline's output, and
+    time travel / pruning work on streamed snapshots."""
+    from pyspark.sql import functions as F
+    from spandex_spark.geotag import geotag
+    from spandex_spark.streaming.ingest import stream_append_table
+    from spandex_spark.tables import IcebergishTable
+    src = _stage_dir(fixture_dir, tmp_path, "in_tbl")
+    troot = str(tmp_path / "stream_tbl")
+    q = stream_append_table(spark, src, troot, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    t = IcebergishTable(troot)
+    snaps = t.snapshots()
+    assert len(snaps) >= 1
+    assert all(s["partition_values"].get("stream_batch") is not None
+               for s in snaps)
+    streamed = t.read(spark)
+    batch = geotag(spark.read.parquet(src), None)
+    assert streamed.count() == batch.count()
+    a = {r.url: (r.lon, r.lat) for r in streamed.collect()}
+    b = {r.url: (r.lon, r.lat) for r in batch.collect()}
+    assert a == b
+    # a second run of the same drained source appends nothing new
+    q2 = stream_append_table(spark, src, troot, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert IcebergishTable(troot).read(spark).count() == batch.count()
