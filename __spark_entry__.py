@@ -683,6 +683,20 @@ def _q_geotag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("lat").alias("glat"), "tag_source")
 
 
+def _q_buffer_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer(polygon, r) on the board (operators/buffer.py::
+    buffer_polygons — offset edges + lattice-stepped arcs): every parcel
+    rect buffers to the classic rounded rect with the EXACT closed forms
+    area = wh + 2(w+h)r + s·r²·sin(2π/s)/2 and s+4 vertices."""
+    from spandex_spark.operators.buffer import buffer_polygons
+    from spandex_spark.functions.spatial import geom_area_udf
+    out = buffer_polygons(parcels_df(spark), radius=0.1, segments=16)
+    g = F.col("geom_buffered")
+    return out.select("parcel_id",
+                      F.size(g["xs"]).cast("long").alias("n_vertices"),
+                      (F.round(geom_area_udf(g), 9) + 0.0).alias("area"))
+
+
 def _q_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MakeValid on the board (operators/validate.py::make_valid —
     even-odd region re-extraction via the arrangement kernel) over the
@@ -1230,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_bilinear": _q_resample_bilinear,
         "media_features": _q_media_features,
         "make_valid": _q_make_valid,
+        "buffer_parcels": _q_buffer_parcels,
         "ann_lsh": _q_ann_lsh,
         # r3-green, verified once — keep in-window where room allows
         "grid_cluster": _q_grid_cluster,
@@ -1977,6 +1992,14 @@ def oracle_sql() -> dict[str, str]:
                -8.0 + 2.0 * CAST(((c_custkey % 32) - (c_custkey % 32) % 8) / 8 AS DOUBLE) AS glat,
                'gazetteer' AS tag_source
         FROM customer
+    """
+    d["buffer_parcels"] = f"""
+        SELECT parcel_id, CAST(20 AS BIGINT) AS n_vertices,
+               round((x1 - x0) * (y1 - y0)
+                     + 2.0 * ((x1 - x0) + (y1 - y0)) * 0.1
+                     + 0.5 * 16.0 * 0.01 * sin(2.0 * pi() / 16.0), 9) + 0.0
+                 AS area
+        FROM ({_PARCELS})
     """
     d["make_valid"] = """
         SELECT g AS gid,

@@ -568,3 +568,80 @@ class TestGridCluster:
         assert n_core_a > 200 and n_core_b > 200
         for i in noise_ids:
             assert out[i] is None
+
+
+class TestBufferPolygons:
+    GEOM_SCHEMA = ("pid long, geom struct<kind:tinyint, xs:array<double>,"
+                   " ys:array<double>, ring_offsets:array<int>,"
+                   " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+
+    def _df(self, spark, xs, ys):
+        row = (1, {"kind": 3, "xs": xs, "ys": ys,
+                   "ring_offsets": [0, len(xs)],
+                   "bbox": {"minx": min(xs), "miny": min(ys),
+                            "maxx": max(xs), "maxy": max(ys)}})
+        return spark.createDataFrame([row], self.GEOM_SCHEMA)
+
+    def test_triangle_closed_forms(self, spark):
+        """Convex buffer identities: area = A + P·r + s·r²·sin(2π/s)/2 and
+        perimeter-side vertex counts hold for any convex ring (corner arcs
+        jointly sweep one full turn)."""
+        import math
+        from spandex_spark.operators.buffer import buffer_polygons
+        from spandex_spark import geom as G
+        xs, ys = [0.0, 4.0, 0.0], [0.0, 0.0, 3.0]
+        out = buffer_polygons(self._df(spark, xs, ys), radius=0.25,
+                              segments=32).collect()[0].geom_buffered
+        a = G.rings_area(np.asarray(out.xs), np.asarray(out.ys),
+                         np.asarray(out.ring_offsets))
+        A = 6.0
+        P = 3 + 4 + 5
+        r = 0.25
+        # exact fan area of the arc construction: corner arcs carry the
+        # lattice points PLUS the exact normal endpoints (normals of a
+        # 3-4-5 triangle are off-lattice), so sum sin over the actual
+        # angular gaps rather than assuming the pure s-gon identity
+        verts = list(zip(out.xs, out.ys))
+        tri = [(0.0, 0.0), (4.0, 0.0), (0.0, 3.0)]
+        fan = 0.0
+        n = len(verts)
+        for i in range(n):
+            x0, y0 = verts[i]
+            x1, y1 = verts[(i + 1) % n]
+            # consecutive buffer vertices around the same corner subtend
+            # an arc; identify the corner as the nearest triangle vertex
+            for cx, cy in tri:
+                if (abs(math.hypot(x0 - cx, y0 - cy) - r) < 1e-9
+                        and abs(math.hypot(x1 - cx, y1 - cy) - r) < 1e-9):
+                    a0 = math.atan2(y0 - cy, x0 - cx)
+                    a1 = math.atan2(y1 - cy, x1 - cx)
+                    d = (a1 - a0) % (2 * math.pi)
+                    if d < math.pi / 2 + 1e-9:
+                        fan += 0.5 * r * r * math.sin(d)
+                    break
+        want = A + P * r + fan
+        assert a == pytest.approx(want, abs=1e-9)
+
+    def test_mis_oriented_input_ok(self, spark):
+        """CW input reorients before offsetting (same result as CCW)."""
+        from spandex_spark.operators.buffer import buffer_polygons
+        from spandex_spark import geom as G
+        ccw = buffer_polygons(self._df(spark, [0.0, 1.0, 1.0, 0.0],
+                                       [0.0, 0.0, 1.0, 1.0]),
+                              radius=0.2, segments=8).collect()[0].geom_buffered
+        cw = buffer_polygons(self._df(spark, [0.0, 0.0, 1.0, 1.0],
+                                      [0.0, 1.0, 1.0, 0.0]),
+                             radius=0.2, segments=8).collect()[0].geom_buffered
+        a1 = G.rings_area(np.asarray(ccw.xs), np.asarray(ccw.ys),
+                          np.asarray(ccw.ring_offsets))
+        a2 = G.rings_area(np.asarray(cw.xs), np.asarray(cw.ys),
+                          np.asarray(cw.ring_offsets))
+        assert a1 == pytest.approx(a2, abs=1e-12)
+
+    def test_concave_returns_null(self, spark):
+        from spandex_spark.operators.buffer import buffer_polygons
+        lx = [0.0, 2.0, 2.0, 1.0, 1.0, 0.0]
+        ly = [0.0, 0.0, 1.0, 1.0, 2.0, 2.0]
+        out = buffer_polygons(self._df(spark, lx, ly),
+                              radius=0.2, segments=8).collect()[0]
+        assert out.geom_buffered is None
