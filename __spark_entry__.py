@@ -1207,10 +1207,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # go first; multi-round-stable queries rotate to the tail (unchecked
     # this round, rotated back next round).  No query may go more than 2
     # rounds unverified.
-    # r4 head: the 16 queries that sat past slot 50 in r3 (last verified
-    # r2), then clip_roads (errored in r3 — fixed, must re-verify), then
-    # round-4 additions, then the r3-green set.  r4 tail (unchecked): the
-    # pip_tag/knn/overlay/zonal families, green in r1+r2+r3.
+    # r4 head: the 16 r2-verified tail orphans, the fixed clip_roads, all
+    # 15 round-4 additions (union/erase/boolean, geotiff codecs, LCC/
+    # Albers, text_integrity, semantic_dedup, geotag_tokens, shapefile
+    # polyline, intersect_donut, resample, media, make_valid, buffer) and
+    # the rows-only ann_lsh.  r4 tail (31 unchecked, ALL r3-green): from
+    # revenue_by_segment through zonal_weighted — in r5 these MUST lead
+    # the dict (they will then be 1 round unverified), with the r4-
+    # verified head rotating to the tail.
     return {
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
