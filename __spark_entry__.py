@@ -1207,67 +1207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # go first; multi-round-stable queries rotate to the tail (unchecked
     # this round, rotated back next round).  No query may go more than 2
     # rounds unverified.
-    # r4 head: the 16 r2-verified tail orphans, the fixed clip_roads, all
-    # 15 round-4 additions (union/erase/boolean, geotiff codecs, LCC/
-    # Albers, text_integrity, semantic_dedup, geotag_tokens, shapefile
-    # polyline, intersect_donut, resample, media, make_valid, buffer) and
-    # the rows-only ann_lsh.  r4 tail (31 unchecked, ALL r3-green): from
-    # revenue_by_segment through zonal_weighted — in r5 these MUST lead
-    # the dict (they will then be 1 round unverified), with the r4-
-    # verified head rotating to the tail.
+    # r5 head: the 31 queries that were outside the r4 window (all were
+    # r3-green; after this round they are freshly verified again), then
+    # this round's new queries.  The 50 r4-verified queries rotate to the
+    # tail; the first ~15 of them still land inside the window.  The
+    # ordering below guarantees no query is ever >2 rounds unverified.
     return {
-        "bpe_piece_count": _q_bpe_count,
-        "fingerprint": _q_fingerprint,
-        "ann_topk": _q_ann_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "dup_clusters": _q_dup_clusters,
-        "ann_ivf": _q_ann_ivf,
-        "minhash_neardup": _q_minhash_neardup,
-        "simhash_neardup": _q_simhash_neardup,
-        "cube_pricing": _q_cube,
-        "rollup_nation": _q_rollup_nation,
-        "setops_customers": _q_setops,
-        "orders_by_month": _q_orders_by_month,
-        "string_funcs": _q_string_funcs,
-        "pivot_status": _q_pivot,
-        "semi_anti_join": _q_semi_join,
-        "array_funcs": _q_array_funcs,
-        "clip_roads": _q_clip_roads,
-        # new in r4
-        "union_overlapping": _q_union_overlapping,
-        "zonal_geotiff_deflate": _q_zonal_geotiff_deflate,
-        "zonal_geotiff_lzw": _q_zonal_geotiff_lzw,
-        "reproject_lcc": _q_reproject_lcc,
-        "reproject_albers": _q_reproject_albers,
-        "erase_parcels": _q_erase_parcels,
-        "text_integrity": _q_text_integrity,
-        "semantic_dedup": _q_semantic_dedup,
-        "geotag_tokens": _q_geotag_tokens,
-        "nearest_road_shapefile": _q_nearest_road_shapefile,
-        "intersect_donut": _q_intersect_donut,
-        "resample_bilinear": _q_resample_bilinear,
-        "media_features": _q_media_features,
-        "make_valid": _q_make_valid,
-        "buffer_parcels": _q_buffer_parcels,
-        "ann_lsh": _q_ann_lsh,
-        # r3-green, verified once — keep in-window where room allows
-        "grid_cluster": _q_grid_cluster,
-        "corpus_select": _q_corpus_select,
-        "raster_downsample": _q_raster_downsample,
-        "raster_sample": _q_raster_sample,
-        "clip_raster": _q_clip_raster,
-        "zonal_geotiff": _q_zonal_geotiff,
-        "asof_join_bucketed": _q_asof_join_bucketed,
-        "trim_area": _q_trim_area,
-        "trim_dissolved": _q_trim_dissolved,
-        "clip_centroid": _q_clip_centroid,
-        "buffer_stats": _q_buffer_stats,
-        "geom_validity": _q_geom_validity,
-        "geom_dups": _q_geom_dups,
-        "nearest_road": _q_nearest_road,
-        "nearest_road_cells": _q_nearest_road_cells,
-        "nearest_road_k3": _q_nearest_road_k3,
-        "geotag": _q_geotag,
+        # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
         "q1_pricing": _q_q1,
         "window_topk": _q_window_topk,
@@ -1289,7 +1235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_area": _q_geodesic_area,
         "overlay_m2": _q_overlay_m2,
         "cell_index": _q_cell_index,
-        # stable tail — green r1+r2+r3, rotated out of the check window r4
         "pip_tag": _q_pip_tag,
         "pip_tag_holes": _q_pip_tag_holes,
         "pip_tag_multipart": _q_pip_tag_multipart,
@@ -1300,6 +1245,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay": _q_overlay,
         "zonal": _q_zonal,
         "zonal_weighted": _q_zonal_weighted,
+        # new in r5 — must be inside the check window
+        # (inserted here as they land)
+        # r4-verified, rotating toward the tail; first ~15 stay in-window
+        "bpe_piece_count": _q_bpe_count,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "dup_clusters": _q_dup_clusters,
+        "ann_ivf": _q_ann_ivf,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash_neardup": _q_simhash_neardup,
+        "cube_pricing": _q_cube,
+        "rollup_nation": _q_rollup_nation,
+        "setops_customers": _q_setops,
+        "orders_by_month": _q_orders_by_month,
+        "string_funcs": _q_string_funcs,
+        "pivot_status": _q_pivot,
+        "semi_anti_join": _q_semi_join,
+        "array_funcs": _q_array_funcs,
+        "clip_roads": _q_clip_roads,
+        "union_overlapping": _q_union_overlapping,
+        "zonal_geotiff_deflate": _q_zonal_geotiff_deflate,
+        "zonal_geotiff_lzw": _q_zonal_geotiff_lzw,
+        "reproject_lcc": _q_reproject_lcc,
+        "reproject_albers": _q_reproject_albers,
+        "erase_parcels": _q_erase_parcels,
+        "text_integrity": _q_text_integrity,
+        "semantic_dedup": _q_semantic_dedup,
+        "geotag_tokens": _q_geotag_tokens,
+        "nearest_road_shapefile": _q_nearest_road_shapefile,
+        "intersect_donut": _q_intersect_donut,
+        "resample_bilinear": _q_resample_bilinear,
+        "media_features": _q_media_features,
+        "make_valid": _q_make_valid,
+        "buffer_parcels": _q_buffer_parcels,
+        "ann_lsh": _q_ann_lsh,
+        "grid_cluster": _q_grid_cluster,
+        "corpus_select": _q_corpus_select,
+        "raster_downsample": _q_raster_downsample,
+        "raster_sample": _q_raster_sample,
+        "clip_raster": _q_clip_raster,
+        "zonal_geotiff": _q_zonal_geotiff,
+        "asof_join_bucketed": _q_asof_join_bucketed,
+        "trim_area": _q_trim_area,
+        "trim_dissolved": _q_trim_dissolved,
+        "clip_centroid": _q_clip_centroid,
+        "buffer_stats": _q_buffer_stats,
+        "geom_validity": _q_geom_validity,
+        "geom_dups": _q_geom_dups,
+        "nearest_road": _q_nearest_road,
+        "nearest_road_cells": _q_nearest_road_cells,
+        "nearest_road_k3": _q_nearest_road_k3,
+        "geotag": _q_geotag,
     }
 
 
