@@ -92,6 +92,13 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
         for x_arr, y_arr, o_arr in zip(xs, ys, offs):
             rx = np.asarray(x_arr, np.float64)
             ry = np.asarray(y_arr, np.float64)
+            # drop duplicated consecutive vertices up front: they carry no
+            # geometry, pass the convexity test (cross == 0), and would
+            # divide by a zero edge length below
+            if rx.shape[0] > 1:
+                dup = (rx == np.roll(rx, 1)) & (ry == np.roll(ry, 1))
+                if dup.any():
+                    rx, ry = rx[~dup], ry[~dup]
             multi = o_arr is not None and len(o_arr) > 2
             if multi or rx.shape[0] < 3:
                 kinds.append(None); oxs.append(None); oys.append(None)

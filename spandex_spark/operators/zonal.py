@@ -299,8 +299,11 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
     and one applyInPandas per output tile assembles its patch and
     interpolates vectorized. The only payload shuffle is the halo-bounded
     input-tile duplication per overlapping output tile. Output pixels
-    whose 4-neighbourhood leaves the input raster come out NULL
-    (the kernel's NaN crosses the Arrow boundary as null).
+    whose 4-neighbourhood leaves the input raster come out NULL (NaNs are
+    converted to real nulls before crossing the Arrow boundary — Arrow
+    would otherwise carry NaN through as a double), and output tiles whose
+    support box overlaps NO input tile are still emitted, all-NULL (the
+    spec side of the patch join is preserved with a left join).
     """
     spark = tiles.sparkSession
     shapes = tiles.select("res", "nx", "ny").distinct().limit(2).collect()  # collect-ok: <=2-row tile-shape probe (regular-tiling check)
@@ -346,10 +349,11 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
     tt = tiles.select(F.col("x0").alias("_px0"), F.col("y0").alias("_py0"),
                       F.col("values").alias("_pv"),
                       tkey_t.cast("long").alias("_tk"))
-    joined = (cand.join(tt, "_tk", "inner")
-              .groupBy("otile_id", "ox0", "oy0", "onx", "ony")
-              .agg(F.collect_list(F.struct("_px0", "_py0", "_pv"))
-                   .alias("_patch")))
+    patches = (cand.join(tt, "_tk", "inner")
+               .groupBy("otile_id")
+               .agg(F.collect_list(F.struct("_px0", "_py0", "_pv"))
+                    .alias("_patch")))
+    joined = spec.join(patches, "otile_id", "left")
 
     out_schema = T.StructType([
         T.StructField("tile_id", T.LongType()),
@@ -366,14 +370,21 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
         for _, row in pdf.iterrows():
             onx, ony = int(row["onx"]), int(row["ony"])
             ox0, oy0 = float(row["ox0"]), float(row["oy0"])
+            patch = row["_patch"]
+            if patch is None or len(patch) == 0:
+                rows.append({"tile_id": int(row["otile_id"]), "x0": ox0,
+                             "y0": oy0, "res": float(res_out),
+                             "nx": onx, "ny": ony,
+                             "values": [None] * (onx * ony)})
+                continue
             # mosaic the patch into one array indexed by input pixel
-            xs0 = [float(p["_px0"]) for p in row["_patch"]]
-            ys0 = [float(p["_py0"]) for p in row["_patch"]]
+            xs0 = [float(p["_px0"]) for p in patch]
+            ys0 = [float(p["_py0"]) for p in patch]
             gx0 = min(xs0); gy0 = min(ys0)
             cols = round((max(xs0) - gx0) / tw) + 1
             rws = round((max(ys0) - gy0) / th) + 1
             mosaic = np.full((rws * ny_in, cols * nx_in), np.nan)
-            for p in row["_patch"]:
+            for p in patch:
                 rr = round((float(p["_py0"]) - gy0) / th) * ny_in
                 cc = round((float(p["_px0"]) - gx0) / tw) * nx_in
                 mosaic[rr:rr + ny_in, cc:cc + nx_in] = \
@@ -403,10 +414,12 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
                     + v11 * wx[None, :] * wy[:, None])
             vals[~valid_y, :] = np.nan
             vals[:, ~valid_x] = np.nan
+            flat = vals.ravel()
             rows.append({"tile_id": int(row["otile_id"]), "x0": ox0,
                          "y0": oy0, "res": float(res_out),
                          "nx": onx, "ny": ony,
-                         "values": vals.ravel().tolist()})
+                         "values": [None if np.isnan(v) else float(v)
+                                    for v in flat]})
         return pd.DataFrame(rows)
 
     return joined.groupBy("otile_id").applyInPandas(

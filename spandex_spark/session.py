@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 timestamps carry NO Parquet footer statistics; micros (the
+        # Iceberg-mandated physical type) give manifest min/max bounds so
+        # IcebergishTable temporal between= pruning can engage
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPANDEX_ARROW_BATCH", "20000"))

@@ -13,6 +13,7 @@ the reference's storage layer; Parquet+manifest is ours).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -21,11 +22,33 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _stat_value(v):
+    """Normalize a Parquet footer statistic to a JSON-storable, totally
+    ordered value. Numerics pass through; timestamps/dates (pyarrow hands
+    back datetime objects) become epoch MILLISECONDS (UTC) — the same
+    canonical form Iceberg uses for temporal lower/upper bounds — so
+    ``between=(ts_col, lo, hi)`` actually prunes on temporal columns.
+    Returns None for types that don't participate in pruning."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1000)
+    if isinstance(v, datetime.date):
+        return int(datetime.datetime(
+            v.year, v.month, v.day,
+            tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    return None
+
+
 def _file_column_stats(md) -> dict:
     """Per-file min/max for numeric/temporal columns, aggregated over row
     groups from the Parquet footer — the Iceberg manifest `lower_bounds` /
     `upper_bounds` analog that drives file-level pruning without opening
-    data pages."""
+    data pages. Temporal stats are stored as epoch millis (`_stat_value`)."""
     stats: dict = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -34,8 +57,8 @@ def _file_column_stats(md) -> dict:
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            lo, hi = st.min, st.max
-            if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
                 continue
             name = col.path_in_schema
             if name in stats:
@@ -192,6 +215,11 @@ class IcebergishTable:
 
     @staticmethod
     def _prune_files(files: list[dict], col: str, lo, hi) -> list[dict]:
+        # datetime/date bounds are normalized exactly like the recorded
+        # stats, so temporal between= works with either datetimes or
+        # pre-converted epoch-millis ints.
+        lo = _stat_value(lo) if isinstance(lo, datetime.date) else lo
+        hi = _stat_value(hi) if isinstance(hi, datetime.date) else hi
         kept = []
         for f in files:
             st = (f.get("stats") or {}).get(col)

@@ -638,6 +638,21 @@ class TestBufferPolygons:
                           np.asarray(cw.ring_offsets))
         assert a1 == pytest.approx(a2, abs=1e-12)
 
+    def test_duplicate_vertices_ok(self, spark):
+        """Doubled consecutive vertices buffer like the clean ring instead
+        of dividing by a zero-length incoming edge (ADVICE r4)."""
+        from spandex_spark.operators.buffer import buffer_polygons
+        clean = buffer_polygons(
+            self._df(spark, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+            radius=0.2, segments=8).collect()[0].geom_buffered
+        dup = buffer_polygons(
+            self._df(spark, [0.0, 1.0, 1.0, 1.0, 0.0],
+                     [0.0, 0.0, 0.0, 1.0, 1.0]),
+            radius=0.2, segments=8).collect()[0].geom_buffered
+        assert dup is not None
+        assert list(dup.xs) == list(clean.xs)
+        assert list(dup.ys) == list(clean.ys)
+
     def test_concave_returns_null(self, spark):
         from spandex_spark.operators.buffer import buffer_polygons
         lx = [0.0, 2.0, 2.0, 1.0, 1.0, 0.0]

@@ -460,6 +460,25 @@ class TestResampleTiles:
         got_nan = np.isnan(v).all(axis=0)
         assert (got_nan == expect_nan).all()
         assert np.nanmax(v) == np.nanmin(v) == 1.0
+        # contract: out-of-input pixels are REAL nulls in the Spark rows,
+        # not Arrow NaN doubles
+        assert any(x is None for r in out for x in r.values)
+        assert not any(x is not None and np.isnan(x)
+                       for r in out for x in r.values)
+
+    def test_uncovered_tile_emitted_all_null(self, spark):
+        """An output tile whose support box overlaps NO input tile is
+        still emitted, with every value NULL (left join keeps the spec)."""
+        from spandex_spark.operators.zonal import resample_tiles
+        tiles = self._tiles(spark, lambda lon, lat: lon * 0.0 + 1.0)
+        # input covers [-4, 4]; second output tile sits in [8, 9.2] - far east
+        out = resample_tiles(tiles, x0_out=2.0, y0_out=0.0, res_out=0.5,
+                             nx_out=24, ny_out=2, origin_x=-4.0,
+                             origin_y=-4.0, tile_px=12).collect()
+        assert len(out) == 2
+        far = [r for r in out if r.x0 == 8.0]
+        assert len(far) == 1 and len(far[0].values) == 24
+        assert all(v is None for v in far[0].values)
 
     def test_identity_grid_roundtrip(self, spark):
         """Resampling onto the input's own pixel-center grid returns the

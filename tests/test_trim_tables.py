@@ -397,6 +397,29 @@ class TestManifestPruning:
             sorted((r.cell, r.v) for r in full)
         assert len(full) == 41
 
+    def test_temporal_between_prunes(self, spark, tmp_path):
+        """Timestamp columns participate in manifest pruning: footer
+        datetime stats are recorded as epoch millis, and between= accepts
+        datetime bounds (ADVICE r4 — the advertised temporal pruning
+        previously never engaged)."""
+        import datetime as dt
+        t = IcebergishTable(str(tmp_path / "ptts"))
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        for i in range(4):
+            t.append(spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k"),
+                (F.lit(int(base.timestamp())).cast("long")
+                 + F.col("id") * 3600).cast("timestamp").alias("ts")))
+        all_files = t.files_for()
+        lo = base + dt.timedelta(hours=150)
+        hi = base + dt.timedelta(hours=160)
+        pruned = t.files_for(between=("ts", lo, hi))
+        assert 0 < len(pruned) < len(all_files)
+        rows = (t.read(spark, between=("ts", lo, hi))
+                .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+                .count())
+        assert rows == 11
+
     def test_pruning_is_safe_without_stats_overlap_semantics(self, spark,
                                                              tmp_path):
         """Files whose [min,max] merely TOUCHES the range boundary are
