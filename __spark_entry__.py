@@ -101,6 +101,27 @@ def _q_pip_tag_shapefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "dz_id")
 
 
+def _q_pip_tag_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB interop on the board (sources/wkb.py): the donut zone layer is
+    round-tripped through EWKB bytes — the reference's native geometry
+    wire format (spandex/io.py::TableLoader loads into EWKB-storing
+    PostGIS) — and must tag IDENTICALLY to the generated layer: same
+    oracle as pip_tag_holes. Exercises polygon-with-hole ring grouping,
+    ring closure conversion, and the SRID header, distributed through the
+    Arrow pandas-UDF codec (no driver round-trip)."""
+    from spandex_spark.operators import tag_points
+    from spandex_spark.sources.grids import donut_zones_df
+    from spandex_spark.sources.wkb import from_wkb, to_wkb
+    wkb_layer = to_wkb(donut_zones_df(spark), geom_col="geom",
+                       out_col="wkb", srid=4326).select("dz_id", "wkb")
+    zones = from_wkb(wkb_layer, wkb_col="wkb", out_col="geom")
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = tag_points(pts, zones, poly_id_col="dz_id",
+                     point_id_col="c_custkey", level=7)
+    return out.select("c_custkey", "dz_id")
+
+
 def _q_pip_tag_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/E1 on MULTIPOLYGONs: two disjoint parts share one zone id; a hit
     in either part tags the id."""
@@ -1246,7 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal": _q_zonal,
         "zonal_weighted": _q_zonal_weighted,
         # new in r5 — must be inside the check window
-        # (inserted here as they land)
+        "pip_tag_wkb": _q_pip_tag_wkb,
         # r4-verified, rotating toward the tail; first ~15 stay in-window
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
@@ -2190,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
     # so they share the same oracles
     d["tag_shuffle"] = d["pip_tag"]
     d["pip_tag_shapefile"] = d["pip_tag_holes"]
+    d["pip_tag_wkb"] = d["pip_tag_holes"]
     d["zonal_geotiff"] = d["zonal"]
     d["zonal_geotiff_deflate"] = d["zonal"]
     d["zonal_geotiff_lzw"] = d["zonal"]
