@@ -101,6 +101,39 @@ def _q_pip_tag_shapefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "dz_id")
 
 
+def _q_reproject_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 BOTH WAYS: forward → inverse must reproduce the source lattice
+    (operators/reproject.py::reproject_inverse — the ingest direction;
+    spandex's conform_srids runs projected→4326 when loading state-plane
+    parcels). One 0.01-degree lattice over the Monterey/zone-10 window is
+    pushed through all four families; 3857/LCC/Albers inverses are
+    analytically exact (round 9), the UTM series round-trips to ~5e-9 deg
+    (round 6 — still centimeter class). Oracle: the untouched lattice."""
+    from spandex_spark.operators.reproject import reproject, reproject_inverse
+
+    pts = spark.range(2500).select(
+        F.col("id").alias("k"),
+        (F.lit(-125.0) + (F.col("id") % 50).cast("double") * 0.01).alias("lon"),
+        (F.lit(33.0) + F.floor(F.col("id") / 50).cast("double") * 0.01).alias("lat"))
+
+    def rt(df, srid, prefix, digits):
+        fwd = reproject(df, to_srid=srid, x_col="_x", y_col="_y")
+        inv = reproject_inverse(fwd, from_srid=srid, x_col="_x", y_col="_y",
+                                lon_col=f"_{prefix}lon", lat_col=f"_{prefix}lat")
+        return (inv.withColumn(f"{prefix}lon",
+                               F.round(f"_{prefix}lon", digits) + 0.0)
+                .withColumn(f"{prefix}lat",
+                            F.round(f"_{prefix}lat", digits) + 0.0)
+                .drop("_x", "_y", f"_{prefix}lon", f"_{prefix}lat"))
+
+    out = rt(pts, 3857, "m_", 9)
+    out = rt(out, 32610, "u_", 6)
+    out = rt(out, 26943, "l_", 9)   # NAD83 California zone 3
+    out = rt(out, 5070, "a_", 9)    # CONUS Albers
+    return out.select("k", "m_lon", "m_lat", "u_lon", "u_lat",
+                      "l_lon", "l_lat", "a_lon", "a_lat")
+
+
 def _q_pip_tag_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB interop on the board (sources/wkb.py): the donut zone layer is
     round-tripped through EWKB bytes — the reference's native geometry
@@ -1268,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted": _q_zonal_weighted,
         # new in r5 — must be inside the check window
         "pip_tag_wkb": _q_pip_tag_wkb,
+        "reproject_roundtrip": _q_reproject_roundtrip,
         # r4-verified, rotating toward the tail; first ~15 stay in-window
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
@@ -2212,6 +2246,20 @@ def oracle_sql() -> dict[str, str]:
     d["tag_shuffle"] = d["pip_tag"]
     d["pip_tag_shapefile"] = d["pip_tag_holes"]
     d["pip_tag_wkb"] = d["pip_tag_holes"]
+    d["reproject_roundtrip"] = """
+        WITH lattice AS (
+          SELECT k,
+                 -125.0 + CAST(k % 50 AS DOUBLE) * 0.01 AS lon,
+                 33.0 + CAST(k // 50 AS DOUBLE) * 0.01 AS lat
+          FROM range(2500) t(k)
+        )
+        SELECT k,
+               round(lon, 9) + 0.0 AS m_lon, round(lat, 9) + 0.0 AS m_lat,
+               round(lon, 6) + 0.0 AS u_lon, round(lat, 6) + 0.0 AS u_lat,
+               round(lon, 9) + 0.0 AS l_lon, round(lat, 9) + 0.0 AS l_lat,
+               round(lon, 9) + 0.0 AS a_lon, round(lat, 9) + 0.0 AS a_lat
+        FROM lattice
+    """
     d["zonal_geotiff"] = d["zonal"]
     d["zonal_geotiff_deflate"] = d["zonal"]
     d["zonal_geotiff_lzw"] = d["zonal"]

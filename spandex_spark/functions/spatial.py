@@ -184,6 +184,66 @@ def albers_udf(lon, lat, epsg: int):
     return _albers(lon, lat, F.lit(epsg))
 
 
+_LL_TYPE = T.StructType([T.StructField("lon", T.DoubleType()),
+                         T.StructField("lat", T.DoubleType())])
+
+
+@pandas_udf(_LL_TYPE)
+def _webmercator_inv(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    lon, lat = _geom.webmercator_to_lonlat(x.to_numpy(np.float64),
+                                           y.to_numpy(np.float64))
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+def webmercator_inv_udf(x, y):
+    """ST_Transform(3857→4326) analog — the ingest direction spandex's
+    conform_srids runs when loading projected layers."""
+    return _webmercator_inv(x, y)
+
+
+@pandas_udf(_LL_TYPE)
+def _utm_inv(x: pd.Series, y: pd.Series, zone: pd.Series,
+             north: pd.Series) -> pd.DataFrame:
+    lon, lat = _geom.utm_to_lonlat(x.to_numpy(np.float64),
+                                   y.to_numpy(np.float64),
+                                   int(zone.iloc[0]), bool(north.iloc[0]))
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+def utm_inv_udf(x, y, zone: int, north: bool = True):
+    """ST_Transform(EPSG:326xx/327xx → 4326) analog (Snyder 8-17..8-25)."""
+    return _utm_inv(x, y, F.lit(zone), F.lit(north))
+
+
+@pandas_udf(_LL_TYPE)
+def _lcc_inv(x: pd.Series, y: pd.Series, epsg: pd.Series) -> pd.DataFrame:
+    p1, p2, p0, l0, fe, fn = _geom.LCC_ZONES[int(epsg.iloc[0])]
+    lon, lat = _geom.lcc_to_lonlat(x.to_numpy(np.float64),
+                                   y.to_numpy(np.float64), phi1=p1, phi2=p2,
+                                   phi0=p0, lam0=l0, fe=fe, fn=fn)
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+def lcc_inv_udf(x, y, epsg: int):
+    """ST_Transform(LCC-2SP state plane → 4326) analog — loading
+    state-plane parcels is the reference's canonical ingest case."""
+    return _lcc_inv(x, y, F.lit(epsg))
+
+
+@pandas_udf(_LL_TYPE)
+def _albers_inv(x: pd.Series, y: pd.Series, epsg: pd.Series) -> pd.DataFrame:
+    p1, p2, p0, l0, fe, fn = _geom.ALBERS_ZONES[int(epsg.iloc[0])]
+    lon, lat = _geom.albers_to_lonlat(x.to_numpy(np.float64),
+                                      y.to_numpy(np.float64), phi1=p1,
+                                      phi2=p2, phi0=p0, lam0=l0, fe=fe, fn=fn)
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+def albers_inv_udf(x, y, epsg: int):
+    """ST_Transform(Albers equal-area → 4326) analog (Snyder §14 inverse)."""
+    return _albers_inv(x, y, F.lit(epsg))
+
+
 @pandas_udf(T.BooleanType())
 def _geom_is_valid(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
     out = np.fromiter(

@@ -329,6 +329,46 @@ class TestReproject:
         np.testing.assert_allclose(out["x"], x)
         np.testing.assert_allclose(out["y"], y)
 
+    def test_inverse_roundtrips_all_families(self, spark):
+        """reproject → reproject_inverse reproduces the source lon/lat:
+        exact (1e-12 deg) for 3857/LCC/Albers closed forms, series-bounded
+        (1e-8 deg ≈ mm) for UTM."""
+        from pyspark.sql import functions as F
+        from spandex_spark.operators import reproject_inverse
+        pts = spark.range(500).select(
+            (F.lit(-124.0) + (F.col("id") % 25).cast("double") * 0.1)
+            .alias("lon"),
+            (F.lit(34.0) + F.floor(F.col("id") / 25).cast("double") * 0.1)
+            .alias("lat"))
+        for srid, tol in ((3857, 1e-12), (32610, 1e-8),
+                          (26943, 1e-12), (5070, 1e-12)):
+            back = reproject_inverse(
+                reproject(pts, to_srid=srid), from_srid=srid,
+                lon_col="lon2", lat_col="lat2").toPandas()
+            np.testing.assert_allclose(back["lon2"], back["lon"],
+                                       rtol=0, atol=tol)
+            np.testing.assert_allclose(back["lat2"], back["lat"],
+                                       rtol=0, atol=tol)
+
+    def test_inverse_known_points(self, spark):
+        """Published grid origins invert exactly: CA zone 3 (2e6, 5e5) →
+        (-120.5, 36.5); CONUS Albers (0, 0) → (-96, 23)."""
+        from spandex_spark.operators import reproject_inverse
+        df = spark.createDataFrame([(2_000_000.0, 500_000.0)], "x double, y double")
+        r = reproject_inverse(df, from_srid=26943).collect()[0]
+        assert r.lon == pytest.approx(-120.5, abs=1e-9)
+        assert r.lat == pytest.approx(36.5, abs=1e-9)
+        df2 = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
+        r2 = reproject_inverse(df2, from_srid=5070).collect()[0]
+        assert r2.lon == pytest.approx(-96.0, abs=1e-9)
+        assert r2.lat == pytest.approx(23.0, abs=1e-9)
+
+    def test_inverse_unknown_srid_raises(self, spark):
+        from spandex_spark.operators import reproject_inverse
+        df = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
+        with pytest.raises(NotImplementedError):
+            reproject_inverse(df, from_srid=27700)
+
 
 class TestAsofJoin:
     def test_backward_asof_with_ties_and_missing(self, spark):
