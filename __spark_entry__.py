@@ -101,6 +101,41 @@ def _q_pip_tag_shapefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "dz_id")
 
 
+def _q_buffer_lshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer on CONCAVE rings (operators/buffer.py::buffer_polygons
+    arrangement path — union of the ring, per-edge offset strips, and
+    per-convex-vertex lattice arcs via geom.union_rings). 1500 L-shapes
+    (5 convex + 1 reflex right angle) with notch clearances > 2r so the
+    closed form is exact: area = A + P·r + 5·(s/4)·(r²·sin(2π/s)/2) − r²
+    (the −r² is the double-counted strip-overlap square at the reflex
+    corner), 5·(s/4+1)+1 = 16 envelope vertices at s=8, ONE ring. Rounded
+    to 6 decimals — the arrangement quantizes vertices at 1e-9, so areas
+    carry ~1e-10 grid noise that round(·,9) could flip."""
+    from spandex_spark.operators.buffer import buffer_polygons
+    from spandex_spark.functions.spatial import geom_area_udf
+    n = spark.range(1500).select(F.col("id").alias("gid"))
+    w = F.lit(2.0) + (F.col("gid") % 5).cast("double") * 0.5
+    h = F.lit(1.75) + (F.col("gid") % 6).cast("double") * 0.25
+    w1 = F.lit(0.75) + (F.col("gid") % 3).cast("double") * 0.25
+    h1 = F.lit(0.75) + (F.col("gid") % 2).cast("double") * 0.25
+    z = F.lit(0.0)
+    geom = F.struct(
+        F.lit(3).cast("tinyint").alias("kind"),
+        F.array(z, w, w, w1, w1, z).alias("xs"),
+        F.array(z, z, h1, h1, h, h).alias("ys"),
+        F.array(F.lit(0), F.lit(6)).alias("ring_offsets"),
+        F.struct(z.alias("minx"), z.alias("miny"),
+                 w.alias("maxx"), h.alias("maxy")).alias("bbox"))
+    out = buffer_polygons(n.select("gid", geom.alias("geom")),
+                          radius=0.25, segments=8)
+    g = F.col("geom_buffered")
+    return out.select(
+        "gid",
+        (F.size(g["ring_offsets"]) - 1).cast("long").alias("n_rings"),
+        F.size(g["xs"]).cast("long").alias("n_vertices"),
+        (F.round(geom_area_udf(g), 6) + 0.0).alias("area"))
+
+
 def _q_reproject_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 BOTH WAYS: forward → inverse must reproduce the source lattice
     (operators/reproject.py::reproject_inverse — the ingest direction;
@@ -1302,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 — must be inside the check window
         "pip_tag_wkb": _q_pip_tag_wkb,
         "reproject_roundtrip": _q_reproject_roundtrip,
+        "buffer_lshape": _q_buffer_lshape,
         # r4-verified, rotating toward the tail; first ~15 stay in-window
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
@@ -2246,6 +2282,22 @@ def oracle_sql() -> dict[str, str]:
     d["tag_shuffle"] = d["pip_tag"]
     d["pip_tag_shapefile"] = d["pip_tag_holes"]
     d["pip_tag_wkb"] = d["pip_tag_holes"]
+    d["buffer_lshape"] = """
+        WITH l AS (
+          SELECT g AS gid,
+                 2.0 + CAST(g % 5 AS DOUBLE) * 0.5 AS w,
+                 1.75 + CAST(g % 6 AS DOUBLE) * 0.25 AS h,
+                 0.75 + CAST(g % 3 AS DOUBLE) * 0.25 AS w1,
+                 0.75 + CAST(g % 2 AS DOUBLE) * 0.25 AS h1
+          FROM range(1500) t(g)
+        )
+        SELECT gid, CAST(1 AS BIGINT) AS n_rings,
+               CAST(16 AS BIGINT) AS n_vertices,
+               round(w * h - (w - w1) * (h - h1) + 2.0 * (w + h) * 0.25
+                     + 5.0 * 2.0 * (0.0625 * sin(2 * pi() / 8) / 2)
+                     - 0.0625, 6) + 0.0 AS area
+        FROM l
+    """
     d["reproject_roundtrip"] = """
         WITH lattice AS (
           SELECT k,

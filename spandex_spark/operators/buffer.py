@@ -65,19 +65,30 @@ def buffer_points(df: DataFrame, *, radius, segments: int = 16,
 def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
                     geom_col: str = "geom",
                     out_col: str = "geom_buffered") -> DataFrame:
-    """ST_Buffer(polygon, r) for CONVEX single-ring polygons: each edge
-    offsets outward by ``radius`` and each vertex grows a polygonal arc
-    between its adjacent edge normals, stepped on the global
+    """ST_Buffer(polygon, r) for single-ring polygons, convex OR concave:
+    each edge offsets outward by ``radius`` and each convex vertex grows a
+    polygonal arc between its adjacent edge normals, stepped on the global
     2π/``segments`` angle lattice — the rounded-polygon construction
     PostGIS's quad_segs approximation produces, built per row in one
     Arrow-vectorized pandas UDF (no shuffle).
 
-    Convexity keeps offsets self-intersection-free (the concave case
-    needs the full arrangement union of edge capsules — out of scope,
-    honest NotImplementedError per row via NULL). For an axis-aligned
-    rectangle with segments % 4 == 0 the result is the classic rounded
-    rect: area = w·h + 2(w+h)·r + ½·s·r²·sin(2π/s), vertices = s + 4 —
-    the closed forms the driver oracle checks."""
+    CONVEX rings take the direct path (offsets are self-intersection-free,
+    the boundary is written out in one walk). CONCAVE rings go through the
+    planar-arrangement union (geom.union_rings) of {the ring itself, one
+    outward offset rectangle per edge, one corner fan per convex vertex} —
+    at reflex vertices adjacent offset strips cross and the arrangement
+    clips them to their envelope, exactly PostGIS's buffer topology
+    (a buffer may even close a narrow inlet into a hole; the arrangement
+    emits the hole ring). Multi-part / holed inputs return NULL (inward
+    hole erosion is a different operator class — documented boundary).
+
+    Closed forms the driver oracles check (axis-aligned, segments % 4
+    == 0): rounded rect area = w·h + 2(w+h)·r + ½·s·r²·sin(2π/s) with
+    s + 4 vertices; the L-shape (5 convex + 1 reflex right angle) buffers
+    to area = A + P·r + 5·r²·(s/8)·sin(2π/s)·... — see the buffer_lshape
+    query: A + P·r + 5·(s/4)·(r²·sin(2π/s)/2) − r², with 5·(s/4 + 1) + 1
+    vertices (the −r² is the double-counted strip overlap square at the
+    reflex corner; the +1 its single envelope vertex)."""
     from spandex_spark import geom as _geom
     from spandex_spark.operators.trim import _GEOM_TYPE
     if radius <= 0:
@@ -85,6 +96,62 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
     if segments < 4:
         raise ValueError("segments must be >= 4")
     step = 2.0 * math.pi / segments
+
+    def _arc_points(vx, vy, a0, a1_nx, a1_ny):
+        """Lattice-stepped arc points strictly between angle a0 and the
+        angle of (a1_nx, a1_ny), walking CCW. Returns list of (x, y)."""
+        a1 = math.atan2(a1_ny, a1_nx)
+        sweep = (a1 - a0) % (2.0 * math.pi)
+        pts = []
+        k0 = math.ceil(round(a0 / step, 9))
+        while (k0 * step - a0) % (2.0 * math.pi) <= sweep + 1e-12:
+            ang = k0 * step
+            pts.append((vx + radius * math.cos(ang),
+                        vy + radius * math.sin(ang)))
+            k0 += 1
+        return pts
+
+    def _buffer_concave(rx, ry):
+        """Arrangement-union buffer for a simple CCW ring with reflex
+        vertices. Returns list of (xs, ys) rings or None."""
+        n = rx.shape[0]
+        polys = [(rx, ry, None)]
+        for i in range(n):
+            j = (i + 1) % n
+            ex, ey = rx[j] - rx[i], ry[j] - ry[i]
+            ln = math.hypot(ex, ey)
+            if ln == 0:
+                continue
+            nx_, ny_ = ey / ln, -ex / ln
+            ox, oy = radius * nx_, radius * ny_
+            # outward offset rectangle of edge i, CCW
+            polys.append((np.array([rx[i], rx[i] + ox, rx[j] + ox, rx[j]]),
+                          np.array([ry[i], ry[i] + oy, ry[j] + oy, ry[j]]),
+                          None))
+            # corner fan at vertex j if convex (left turn)
+            k = (j + 1) % n
+            fx, fy = rx[k] - rx[j], ry[k] - ry[j]
+            fln = math.hypot(fx, fy)
+            if fln == 0:
+                continue
+            if ex * fy - ey * fx <= 0:
+                continue  # reflex or straight: no fan
+            fnx, fny = fy / fln, -fx / fln
+            a0 = math.atan2(ny_, nx_)
+            fan_x = [rx[j], rx[j] + ox]
+            fan_y = [ry[j], ry[j] + oy]
+            for px_, py_ in _arc_points(rx[j], ry[j], a0, fnx, fny):
+                if (abs(px_ - fan_x[-1]) > 1e-12
+                        or abs(py_ - fan_y[-1]) > 1e-12):
+                    fan_x.append(px_)
+                    fan_y.append(py_)
+            ex2, ey2 = rx[j] + radius * fnx, ry[j] + radius * fny
+            if abs(ex2 - fan_x[-1]) > 1e-12 or abs(ey2 - fan_y[-1]) > 1e-12:
+                fan_x.append(ex2)
+                fan_y.append(ey2)
+            if len(fan_x) >= 3:
+                polys.append((np.array(fan_x), np.array(fan_y), None))
+        return _geom.union_rings(polys) or None
 
     @pandas_udf(_GEOM_TYPE)
     def _buf(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.DataFrame:
@@ -107,8 +174,19 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
             if _geom.shoelace_area(rx, ry) < 0:
                 rx, ry = rx[::-1].copy(), ry[::-1].copy()
             if not _geom._is_convex_ccw(rx, ry):
-                kinds.append(None); oxs.append(None); oys.append(None)
-                ooffs.append(None); bbs.append(None)
+                merged = _buffer_concave(rx, ry)
+                if not merged:
+                    kinds.append(None); oxs.append(None); oys.append(None)
+                    ooffs.append(None); bbs.append(None)
+                    continue
+                ax = np.concatenate([m[0] for m in merged])
+                ay = np.concatenate([m[1] for m in merged])
+                ro = np.cumsum([0] + [m[0].shape[0] for m in merged])
+                kinds.append(3 if len(merged) == 1 else 6)
+                oxs.append(ax.tolist()); oys.append(ay.tolist())
+                ooffs.append([int(v) for v in ro])
+                bbs.append({"minx": float(ax.min()), "miny": float(ay.min()),
+                            "maxx": float(ax.max()), "maxy": float(ay.max())})
                 continue
             n = rx.shape[0]
             bx, by = [], []

@@ -693,10 +693,59 @@ class TestBufferPolygons:
         assert list(dup.xs) == list(clean.xs)
         assert list(dup.ys) == list(clean.ys)
 
-    def test_concave_returns_null(self, spark):
+    def test_concave_l_closed_form(self, spark):
+        """Concave buffering (arrangement path): the right-angle L hits
+        the exact closed form A + P·r + 5·(s/4)·(r²·sin(2π/s)/2) − r²
+        with 5·(s/4+1)+1 envelope vertices, one ring."""
+        import math
         from spandex_spark.operators.buffer import buffer_polygons
+        from spandex_spark import geom as G
         lx = [0.0, 2.0, 2.0, 1.0, 1.0, 0.0]
         ly = [0.0, 0.0, 1.0, 1.0, 2.0, 2.0]
+        r, s = 0.2, 8
         out = buffer_polygons(self._df(spark, lx, ly),
-                              radius=0.2, segments=8).collect()[0]
+                              radius=r, segments=s).collect()[0].geom_buffered
+        assert out is not None
+        xs, ys = np.asarray(out.xs), np.asarray(out.ys)
+        offs = np.asarray(out.ring_offsets)
+        assert len(offs) - 1 == 1
+        assert xs.shape[0] == 5 * (s // 4 + 1) + 1
+        A, P = 3.0, 8.0
+        want = A + P * r + 5 * (s / 4) * (r * r * math.sin(2 * math.pi / s) / 2) - r * r
+        assert G.rings_area(xs, ys, offs) == pytest.approx(want, abs=1e-8)
+
+    def test_concave_inlet_closes_to_hole(self, spark):
+        """A flask cavity — neck narrower than 2r, chamber wider than 2r:
+        the neck-wall buffers seal the mouth but can't fill the chamber,
+        so the arrangement emits an enclosed HOLE ring — the buffer
+        topology change PostGIS produces, impossible for naive offsetting."""
+        from spandex_spark.operators.buffer import buffer_polygons
+        from spandex_spark import geom as G
+        # outer 4x3; chamber [1,3]x[0.5,2]; neck [1.85,2.15]x[2,3]
+        ux = [0.0, 4.0, 4.0, 2.15, 2.15, 3.0, 3.0, 1.0, 1.0, 1.85, 1.85, 0.0]
+        uy = [0.0, 0.0, 3.0, 3.0, 2.0, 2.0, 0.5, 0.5, 2.0, 2.0, 3.0, 3.0]
+        out = buffer_polygons(self._df(spark, ux, uy),
+                              radius=0.25, segments=8).collect()[0].geom_buffered
+        assert out is not None
+        xs, ys = np.asarray(out.xs), np.asarray(out.ys)
+        offs = np.asarray(out.ring_offsets)
+        n_rings = len(offs) - 1
+        assert n_rings == 2
+        signed = [G.shoelace_area(xs[offs[i]:offs[i + 1]],
+                                  ys[offs[i]:offs[i + 1]])
+                  for i in range(n_rings)]
+        assert max(signed) > 0 and min(signed) < 0  # outer + hole
+
+    def test_multipart_returns_null(self, spark):
+        """Holed / multi-part inputs stay NULL (inward hole erosion is a
+        different operator class — documented boundary)."""
+        from spandex_spark.operators.buffer import buffer_polygons
+        row = (1, {"kind": 6,
+                   "xs": [0.0, 4.0, 4.0, 0.0, 1.0, 1.0, 2.0, 2.0],
+                   "ys": [0.0, 0.0, 4.0, 4.0, 1.0, 2.0, 2.0, 1.0],
+                   "ring_offsets": [0, 4, 8],
+                   "bbox": {"minx": 0.0, "miny": 0.0,
+                            "maxx": 4.0, "maxy": 4.0}})
+        df = spark.createDataFrame([row], self.GEOM_SCHEMA)
+        out = buffer_polygons(df, radius=0.2, segments=8).collect()[0]
         assert out.geom_buffered is None
