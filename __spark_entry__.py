@@ -615,6 +615,62 @@ def _q_zonal_geotiff(spark: SparkSession, sf_dir: str,
                       (F.round("px_max", 6) + 0.0).alias("px_max"))
 
 
+def _q_zonal_geotiff_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TILED MULTI-BAND GeoTIFF on the board (sources/geotiff.py — the
+    cloud-optimized-GeoTIFF shape real satellite products use): the zonal
+    raster rides as band 2 of a 3-band chunky tiled file (bands 0/1 are
+    decoys) written by the pure-numpy writer; band-selected read must
+    produce byte-identical zonal statistics — same oracle as zonal."""
+    import tempfile
+    import numpy as np
+    from spandex_spark.operators import zonal_stats
+    from spandex_spark.sources.geotiff import read_geotiff, write_geotiff
+    full = np.zeros((400, 400))
+    for r in raster_tiles_df(spark).collect():
+        rr = round((r.y0 + 10.0) / 0.05)
+        cc = round((r.x0 + 10.0) / 0.05)
+        full[rr:rr + 50, cc:cc + 50] = np.asarray(r.values).reshape(50, 50)
+    decoy0 = np.full((400, 400), -1.0)
+    decoy1 = np.arange(400 * 400, dtype=float).reshape(400, 400)
+    stack = np.stack([decoy0, decoy1[::-1], full[::-1]])
+    path = os.path.join(tempfile.mkdtemp(), "raster_mb.tif")
+    write_geotiff(path, stack, x0=-10.0, y0=-10.0, res=0.05,
+                  tile=(128, 128), compression="deflate")
+    tiles = read_geotiff(spark, path, band=2, tile_rows=100, tile_cols=100)
+    out = zonal_stats(tiles, zones_df(spark), level=7)
+    return out.select("zone_id", "px_count",
+                      (F.round("px_sum", 6) + 0.0).alias("px_sum"),
+                      (F.round("px_mean", 6) + 0.0).alias("px_mean"),
+                      (F.round("px_min", 6) + 0.0).alias("px_min"),
+                      (F.round("px_max", 6) + 0.0).alias("px_max"))
+
+
+def _q_zonal_geotiff_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANISOTROPIC ModelPixelScale on the board (sy != sx): an 800x400
+    raster at 0.05 deg x 0.025 deg holding the analytic linear field
+    v = 2 + 3·lon − 1.5·lat round-trips the writer/reader (res_y column)
+    and zonal-stats against the closed-form grid-zone oracle — every
+    pixel center, zone assignment, and per-zone aggregate is
+    SQL-reproducible from the raster's georeferencing alone."""
+    import tempfile
+    import numpy as np
+    from spandex_spark.operators import zonal_stats
+    from spandex_spark.sources.geotiff import read_geotiff, write_geotiff
+    lon_c = -10.0 + (np.arange(400) + 0.5) * 0.05
+    lat_c = -10.0 + (np.arange(800) + 0.5) * 0.025
+    field = 2.0 + 3.0 * lon_c[None, :] - 1.5 * lat_c[:, None]
+    path = os.path.join(tempfile.mkdtemp(), "raster_aniso.tif")
+    write_geotiff(path, field[::-1], x0=-10.0, y0=-10.0, res=0.05,
+                  res_y=0.025)
+    tiles = read_geotiff(spark, path, tile_rows=100, tile_cols=100)
+    out = zonal_stats(tiles, zones_df(spark), level=7)
+    return out.select("zone_id", "px_count",
+                      (F.round("px_sum", 6) + 0.0).alias("px_sum"),
+                      (F.round("px_mean", 6) + 0.0).alias("px_mean"),
+                      (F.round("px_min", 6) + 0.0).alias("px_min"),
+                      (F.round("px_max", 6) + 0.0).alias("px_max"))
+
+
 def _q_zonal_geotiff_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deflate-compressed GeoTIFF round-trip — same bytes, same oracle."""
     return _q_zonal_geotiff(spark, sf_dir, compression="deflate")
@@ -1338,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_tag_wkb": _q_pip_tag_wkb,
         "reproject_roundtrip": _q_reproject_roundtrip,
         "buffer_lshape": _q_buffer_lshape,
+        "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
+        "zonal_geotiff_aniso": _q_zonal_geotiff_aniso,
         # r4-verified, rotating toward the tail; first ~15 stay in-window
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
@@ -2313,6 +2371,25 @@ def oracle_sql() -> dict[str, str]:
         FROM lattice
     """
     d["zonal_geotiff"] = d["zonal"]
+    d["zonal_geotiff_multiband"] = d["zonal"]
+    d["zonal_geotiff_aniso"] = """
+        WITH px AS (
+          SELECT -10.0 + (CAST(i AS DOUBLE) + 0.5) * 0.05 AS lon,
+                 -10.0 + (CAST(j AS DOUBLE) + 0.5) * 0.025 AS lat
+          FROM range(400) a(i) CROSS JOIN range(800) b(j)
+        ), v AS (
+          SELECT CAST((floor(lat) + 10) * 20 + (floor(lon) + 10) AS BIGINT)
+                   AS zone_id,
+                 2.0 + 3.0 * lon - 1.5 * lat AS val
+          FROM px
+        )
+        SELECT zone_id, COUNT(*) AS px_count,
+               round(SUM(val), 6) + 0.0 AS px_sum,
+               round(SUM(val) / COUNT(*), 6) + 0.0 AS px_mean,
+               round(MIN(val), 6) + 0.0 AS px_min,
+               round(MAX(val), 6) + 0.0 AS px_max
+        FROM v GROUP BY zone_id
+    """
     d["zonal_geotiff_deflate"] = d["zonal"]
     d["zonal_geotiff_lzw"] = d["zonal"]
     d["knn_cells"] = d["knn"]

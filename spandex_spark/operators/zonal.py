@@ -31,6 +31,16 @@ from spandex_spark import geom as _geom
 from spandex_spark import cells as _cells
 from spandex_spark.functions.spatial import cover_cells_udf
 
+def _with_res_y(tiles: DataFrame) -> DataFrame:
+    """Tile tables may carry an anisotropic y resolution (``res_y``,
+    emitted by sources/geotiff.py for sy != sx rasters); square tables
+    get res_y = res so the kernels below are uniform."""
+    if "res_y" in tiles.columns:
+        return tiles.withColumn(
+            "res_y", F.coalesce(F.col("res_y"), F.col("res")))
+    return tiles.withColumn("res_y", F.col("res"))
+
+
 _PARTIAL_SCHEMA = T.StructType([
     T.StructField("zone_id", T.LongType()),
     T.StructField("cnt", T.LongType()),
@@ -58,6 +68,7 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
     if weight not in ("none", "sph_area"):
         raise ValueError(f"unknown weight {weight!r}")
     weighted = weight == "sph_area"
+    tiles = _with_res_y(tiles)
     zc = zones.select(F.col(zone_id_col).alias("_zid"),
                       F.col("geom")["xs"].alias("_zxs"),
                       F.col("geom")["ys"].alias("_zys"),
@@ -69,7 +80,8 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
     tile_cells = tiles.select(
         "tile_id",
         F.explode(_tile_cells_udf(F.col("x0"), F.col("y0"), F.col("res"),
-                                  F.col("nx"), F.col("ny"), F.lit(level))).alias("cell"))
+                                  F.col("res_y"), F.col("nx"), F.col("ny"),
+                                  F.lit(level))).alias("cell"))
 
     # candidate pairs on ids only — the pixel arrays stay out of this shuffle
     pairs = (tile_cells.join(zc, "cell", "inner")
@@ -86,15 +98,19 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
             for _, row in pdf.iterrows():
                 vals = np.asarray(row["values"], np.float64)
                 nx, ny, res = int(row["nx"]), int(row["ny"]), float(row["res"])
+                ry = float(row["res_y"])
                 px = float(row["x0"]) + (np.arange(nx) + 0.5) * res
-                py = float(row["y0"]) + (np.arange(ny) + 0.5) * res
+                py = float(row["y0"]) + (np.arange(ny) + 0.5) * ry
                 lon, lat = np.meshgrid(px, py)
                 lon, lat = lon.ravel(), lat.ravel()
                 if weighted:
+                    # Δλ comes from the x resolution, the latitude band
+                    # edges from the y resolution (they differ on
+                    # anisotropic rasters)
                     r2 = _geom.EARTH_RADIUS_M * _geom.EARTH_RADIUS_M
                     wrow = (r2 * np.radians(res)
-                            * (np.sin(np.radians(py + res / 2.0))
-                               - np.sin(np.radians(py - res / 2.0))))
+                            * (np.sin(np.radians(py + ry / 2.0))
+                               - np.sin(np.radians(py - ry / 2.0))))
                     w_full = np.repeat(wrow, nx)
                 else:
                     w_full = None
@@ -166,7 +182,8 @@ def clip_raster(tiles: DataFrame, boundary_xs, boundary_ys) -> DataFrame:
                 vals = np.asarray(row["values"], np.float64)
                 nx, ny, res = int(row["nx"]), int(row["ny"]), float(row["res"])
                 px = float(row["x0"]) + (np.arange(nx) + 0.5) * res
-                py = float(row["y0"]) + (np.arange(ny) + 0.5) * res
+                py = (float(row["y0"])
+                      + (np.arange(ny) + 0.5) * float(row["res_y"]))
                 lon, lat = np.meshgrid(px, py)
                 lon, lat = lon.ravel(), lat.ravel()
                 mask = _geom.points_in_polygon(lon, lat, bx, by)
@@ -179,11 +196,11 @@ def clip_raster(tiles: DataFrame, boundary_xs, boundary_ys) -> DataFrame:
                    pd.DataFrame({"tile_id": pd.Series([], dtype="int64"),
                                  "lon_c": [], "lat_c": [], "v": []}))
 
-    pruned = tiles.filter(
+    pruned = _with_res_y(tiles).filter(
         (F.col("x0") < float(bx.max()))
         & (F.col("x0") + F.col("res") * F.col("nx") > float(bx.min()))
         & (F.col("y0") < float(by.max()))
-        & (F.col("y0") + F.col("res") * F.col("ny") > float(by.min())))
+        & (F.col("y0") + F.col("res_y") * F.col("ny") > float(by.min())))
     return pruned.mapInPandas(_clip, schema=schema)
 
 
@@ -209,7 +226,8 @@ def raster_sample(points: DataFrame, tiles: DataFrame, *,
     # One-row metadata probe (collect-ok: O(1) driver-side tile-shape
     # lookup), plus a regularity check — the integer tile-key math below is
     # only valid when every tile shares res/nx/ny.
-    shapes = (tiles.select("res", "nx", "ny").distinct().limit(2).collect())  # collect-ok: <=2-row tile-shape probe (regular-tiling check)
+    tiles = _with_res_y(tiles)
+    shapes = (tiles.select("res", "res_y", "nx", "ny").distinct().limit(2).collect())  # collect-ok: <=2-row tile-shape probe (regular-tiling check)
     if not shapes:
         raise ValueError("raster_sample: empty tile table")
     if len(shapes) > 1:
@@ -218,7 +236,7 @@ def raster_sample(points: DataFrame, tiles: DataFrame, *,
             f"found at least {shapes[0]} and {shapes[1]}")
     t0 = shapes[0]
     tw = float(t0["res"]) * int(t0["nx"])
-    th = float(t0["res"]) * int(t0["ny"])
+    th = float(t0["res_y"]) * int(t0["ny"])
     tkey_t = (F.floor((F.col("y0") - F.lit(origin_y)) / F.lit(th))
               * F.lit(1 << 20)
               + F.floor((F.col("x0") - F.lit(origin_x)) / F.lit(tw)))
@@ -231,7 +249,7 @@ def raster_sample(points: DataFrame, tiles: DataFrame, *,
     pp = points.withColumn("_tk", tkey_p.cast("long"))
     j = pp.join(tt, "_tk", "left")
     col = F.floor((F.col(lon_col) - F.col("x0")) / F.col("res"))
-    row = F.floor((F.col(lat_col) - F.col("y0")) / F.col("res"))
+    row = F.floor((F.col(lat_col) - F.col("y0")) / F.col("res_y"))
     inside = ((col >= 0) & (col < F.col("nx"))
               & (row >= 0) & (row < F.col("ny")))
     v = F.when(inside, F.element_at(
@@ -259,11 +277,14 @@ def downsample(tiles: DataFrame, factor: int) -> DataFrame:
                 v = np.asarray(row["values"], np.float64).reshape(ny, nx)
                 p = v.reshape(ny // factor, factor,
                               nx // factor, factor).mean(axis=(1, 3))
-                rows.append({"tile_id": int(row["tile_id"]),
-                             "x0": float(row["x0"]), "y0": float(row["y0"]),
-                             "res": float(row["res"]) * factor,
-                             "nx": nx // factor, "ny": ny // factor,
-                             "values": p.ravel().tolist()})
+                rec = {"tile_id": int(row["tile_id"]),
+                       "x0": float(row["x0"]), "y0": float(row["y0"]),
+                       "res": float(row["res"]) * factor,
+                       "nx": nx // factor, "ny": ny // factor,
+                       "values": p.ravel().tolist()}
+                if "res_y" in pdf.columns:
+                    rec["res_y"] = float(row["res_y"]) * factor
+                rows.append(rec)
             yield pd.DataFrame(rows)
 
     return tiles.mapInPandas(_pool, schema=out_schema)
@@ -271,12 +292,13 @@ def downsample(tiles: DataFrame, factor: int) -> DataFrame:
 
 @pandas_udf(T.ArrayType(T.LongType()))
 def _tile_cells_udf(x0: pd.Series, y0: pd.Series, res: pd.Series,
-                    nx: pd.Series, ny: pd.Series, level: pd.Series) -> pd.Series:
+                    res_y: pd.Series, nx: pd.Series, ny: pd.Series,
+                    level: pd.Series) -> pd.Series:
     lvl = int(level.iloc[0])
     out = []
     for i in range(len(x0)):
         w = float(res.iloc[i]) * int(nx.iloc[i])
-        h = float(res.iloc[i]) * int(ny.iloc[i])
+        h = float(res_y.iloc[i]) * int(ny.iloc[i])
         c = _cells.cover_bbox(float(x0.iloc[i]), float(y0.iloc[i]),
                               float(x0.iloc[i]) + w, float(y0.iloc[i]) + h, lvl)
         out.append(c.tolist())
@@ -306,11 +328,18 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
     spec side of the patch join is preserved with a left join).
     """
     spark = tiles.sparkSession
-    shapes = tiles.select("res", "nx", "ny").distinct().limit(2).collect()  # collect-ok: <=2-row tile-shape probe (regular-tiling check)
+    probe_cols = ["res", "nx", "ny"] + (
+        ["res_y"] if "res_y" in tiles.columns else [])
+    shapes = tiles.select(*probe_cols).distinct().limit(2).collect()  # collect-ok: <=2-row tile-shape probe (regular-tiling check)
     if not shapes:
         raise ValueError("resample_tiles: empty tile table")
     if len(shapes) > 1:
         raise ValueError("resample_tiles requires a regular input tiling")
+    if ("res_y" in probe_cols and shapes[0]["res_y"] is not None
+            and shapes[0]["res_y"] != shapes[0]["res"]):
+        raise NotImplementedError(
+            "resample_tiles requires square pixels (anisotropic res_y "
+            "rasters: go through zonal/clip/sample, which honor res_y)")
     res_in = float(shapes[0]["res"])
     nx_in, ny_in = int(shapes[0]["nx"]), int(shapes[0]["ny"])
     tw, th = res_in * nx_in, res_in * ny_in

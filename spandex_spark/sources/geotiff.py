@@ -151,12 +151,35 @@ def _compress_strip(raw: bytes, compression: str) -> tuple[bytes, int]:
 
 
 def write_geotiff(path: str, arr: np.ndarray, *, x0: float, y0: float,
-                  res: float, compression: str = "none") -> None:
-    """Write a single-band float64 GeoTIFF (little-endian, one strip;
-    ``compression``: 'none' | 'deflate' | 'lzw'). ``arr`` is row-major
-    with row 0 at the TOP (max latitude), per TIFF convention; (x0, y0)
-    is the lower-left corner of the covered box."""
+                  res: float, compression: str = "none",
+                  res_y: float | None = None,
+                  tile: tuple[int, int] | None = None,
+                  planar: bool = False) -> None:
+    """Write a float64 GeoTIFF (little-endian; ``compression``: 'none' |
+    'deflate' | 'lzw'). ``arr`` is row-major with row 0 at the TOP (max
+    latitude), per TIFF convention; (x0, y0) is the lower-left corner of
+    the covered box.
+
+    Beyond the classic single-band one-strip layout:
+
+    * ``arr`` of shape (spp, ny, nx) writes a MULTI-BAND file
+      (SamplesPerPixel=spp) — chunky (PlanarConfiguration 1, samples
+      interleaved per pixel) by default, one plane per band with
+      ``planar=True``;
+    * ``tile=(tw, th)`` writes the TILED layout (TIFF 6.0 §15, the
+      cloud-optimized-GeoTIFF shape; edge tiles zero-padded to full
+      tw×th);
+    * ``res_y`` writes an ANISOTROPIC ModelPixelScale (sy != sx — common
+      on real satellite products); defaults to ``res``.
+
+    The single-band / strip / square default path is byte-stable (the
+    spec tests assert its exact layout)."""
     arr = np.asarray(arr, np.float64)
+    if arr.ndim == 3 or tile is not None or res_y is not None:
+        _write_geotiff_general(path, arr, x0=x0, y0=y0, res=res,
+                               compression=compression, res_y=res_y,
+                               tile=tile, planar=planar)
+        return
     ny, nx = arr.shape
     data, comp_tag = _compress_strip(arr.astype("<f8").tobytes(), compression)
     # layout: 8-byte header | pixel data | IFD | out-of-line tag values
@@ -195,6 +218,122 @@ def write_geotiff(path: str, arr: np.ndarray, *, x0: float, y0: float,
     out += struct.pack("<3d", res, res, 0.0)
     # tiepoint: raster (0,0) [top-left] ↦ model (x0, y0 + ny*res)
     out += struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0 + ny * res, 0.0)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def _write_geotiff_general(path: str, arr: np.ndarray, *, x0: float,
+                           y0: float, res: float, compression: str,
+                           res_y: float | None,
+                           tile: tuple[int, int] | None,
+                           planar: bool) -> None:
+    """Multi-band / tiled / anisotropic float64 writer (see write_geotiff)."""
+    bands = arr if arr.ndim == 3 else arr[None]
+    spp = bands.shape[0]
+    ny, nx = bands.shape[1], bands.shape[2]
+    ry = res if res_y is None else float(res_y)
+    pcfg = 2 if (planar and spp > 1) else 1
+
+    def _pad_tile(src: np.ndarray, th: int, tw: int) -> np.ndarray:
+        t = np.zeros((th, tw) + src.shape[2:], np.float64)
+        t[:src.shape[0], :src.shape[1]] = src
+        return t
+
+    blobs: list[bytes] = []
+    comp_tag = 1
+    if tile is not None:
+        tw, th = int(tile[0]), int(tile[1])
+        tiles_across = (nx + tw - 1) // tw
+        tiles_down = (ny + th - 1) // th
+        if pcfg == 1:
+            src = np.stack(bands, axis=-1) if spp > 1 else bands[0]
+            for tr in range(tiles_down):
+                for tc in range(tiles_across):
+                    t = _pad_tile(src[tr * th:tr * th + th,
+                                      tc * tw:tc * tw + tw], th, tw)
+                    blob, comp_tag = _compress_strip(
+                        t.astype("<f8").tobytes(), compression)
+                    blobs.append(blob)
+        else:
+            for b in bands:
+                for tr in range(tiles_down):
+                    for tc in range(tiles_across):
+                        t = _pad_tile(b[tr * th:tr * th + th,
+                                        tc * tw:tc * tw + tw], th, tw)
+                        blob, comp_tag = _compress_strip(
+                            t.astype("<f8").tobytes(), compression)
+                        blobs.append(blob)
+    else:
+        if pcfg == 1:
+            src = np.stack(bands, axis=-1) if spp > 1 else bands[0]
+            blob, comp_tag = _compress_strip(
+                src.astype("<f8").tobytes(), compression)
+            blobs.append(blob)
+        else:
+            for b in bands:
+                blob, comp_tag = _compress_strip(
+                    b.astype("<f8").tobytes(), compression)
+                blobs.append(blob)
+    n = len(blobs)
+    offs, pos = [], 8
+    for b in blobs:
+        offs.append(pos)
+        pos += len(b)
+    data = b"".join(blobs)
+
+    entries = [(256, 4, 1, nx), (257, 4, 1, ny), (258, 3, spp, None),
+               (259, 3, 1, comp_tag), (277, 3, 1, spp)]
+    if tile is not None:
+        entries += [(322, 4, 1, tw), (323, 4, 1, th),
+                    (324, 4, n, None), (325, 4, n, None)]
+    else:
+        entries += [(273, 4, n, None), (278, 4, 1, ny), (279, 4, n, None)]
+    entries += [(284, 3, 1, pcfg), (339, 3, 1, 3),
+                (33550, 12, 3, None), (33922, 12, 6, None)]
+    entries.sort()
+    strip_tags = (324, 325) if tile is not None else (273, 279)
+    ifd_off = 8 + len(data)
+    tail = ifd_off + 2 + len(entries) * 12 + 4
+    t_off: dict[int, int] = {}
+    pos2 = tail
+    if spp > 2:
+        t_off[258] = pos2
+        pos2 += 2 * spp
+    if n > 1:
+        for tg in strip_tags:
+            t_off[tg] = pos2
+            pos2 += 4 * n
+    t_off[33550] = pos2
+    t_off[33922] = pos2 + 24
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off)) + data
+    out += struct.pack("<H", len(entries))
+    counts_arr = [len(b) for b in blobs]
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if tag == 258:
+            if spp > 2:
+                out += struct.pack("<I", t_off[258])
+            elif spp == 2:
+                out += struct.pack("<HH", 64, 64)
+            else:
+                out += struct.pack("<HH", 64, 0)
+        elif tag in strip_tags and n == 1:
+            out += struct.pack(
+                "<I", offs[0] if tag in (273, 324) else counts_arr[0])
+        elif tag in t_off:
+            out += struct.pack("<I", t_off[tag])
+        elif typ == 3:
+            out += struct.pack("<HH", val, 0)
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)
+    if spp > 2:
+        out += struct.pack(f"<{spp}H", *([64] * spp))
+    if n > 1:
+        out += struct.pack(f"<{n}I", *offs)
+        out += struct.pack(f"<{n}I", *counts_arr)
+    out += struct.pack("<3d", res, ry, 0.0)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0 + ny * ry, 0.0)
     with open(path, "wb") as fh:
         fh.write(bytes(out))
 
@@ -252,8 +391,6 @@ def read_geotiff(spark, path: str, *, tile_rows: int = 256,
             raise NotImplementedError("heterogeneous BitsPerSample per band")
         if pcfg not in (1, 2):
             raise NotImplementedError(f"PlanarConfiguration {pcfg}")
-        if 322 in tags:
-            raise NotImplementedError("multi-band tiled layout")
     predictor = tags.get(317, (1,))[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"predictor {predictor}"
@@ -276,10 +413,21 @@ def read_geotiff(spark, path: str, *, tile_rows: int = 256,
         tw, th = tags[322][0], tags[323][0]
         offsets, counts = tags[324], tags[325]
         tiles_across = (nx + tw - 1) // tw
+        tiles_down = (ny + th - 1) // th
+        if spp > 1 and pcfg == 2:
+            # planar: tiles come plane-by-plane — keep only this band's
+            per_plane = tiles_across * tiles_down
+            sel = slice(band * per_plane, (band + 1) * per_plane)
+            offsets, counts = offsets[sel], counts[sel]
         arr = np.empty((ny, nx), np.float64)
         for ti, (o, c) in enumerate(zip(offsets, counts)):
             raw = _decompress_strip(bytes(buf[o:o + c]), comp)
-            t = np.frombuffer(raw, dtype, tw * th)
+            if spp > 1 and pcfg == 1:
+                # chunky: samples interleaved per pixel — slice the band
+                t = np.frombuffer(raw, dtype,
+                                  tw * th * spp).reshape(-1, spp)[:, band]
+            else:
+                t = np.frombuffer(raw, dtype, tw * th)
             if predictor == 2:
                 t = t.reshape(th, tw).cumsum(axis=1, dtype=dtype)
             t = np.asarray(t, np.float64).reshape(th, tw)
@@ -317,21 +465,23 @@ def read_geotiff(spark, path: str, *, tile_rows: int = 256,
     top_x = tp[3] - tp[0] * sx
     top_y = tp[4] + tp[1] * sy
     res = float(sx)
-    if abs(sy - sx) > 1e-12 * max(abs(sx), 1.0):
-        raise NotImplementedError("anisotropic pixel scale")
+    # anisotropic pixel scale (sy != sx — common on satellite products):
+    # carried as a res_y column; zonal/clip/sample honor it, integer-factor
+    # resampling paths require squares and raise
+    res_y = float(sy)
     # flip to engine convention: row 0 at MIN latitude
     arr = arr[::-1]
-    y0_all = top_y - ny * res
+    y0_all = top_y - ny * res_y
     rows = []
     tid = 0
     for r0 in range(0, ny, tile_rows):
         for c0 in range(0, nx, tile_cols):
             sub = arr[r0:r0 + tile_rows, c0:c0 + tile_cols]
             rows.append((tid, float(top_x + c0 * res),
-                         float(y0_all + r0 * res), res,
+                         float(y0_all + r0 * res_y), res, res_y,
                          int(sub.shape[1]), int(sub.shape[0]),
                          sub.ravel().tolist()))
             tid += 1
     return spark.createDataFrame(
         rows, "tile_id long, x0 double, y0 double, res double, "
-              "nx int, ny int, values array<double>")
+              "res_y double, nx int, ny int, values array<double>")

@@ -389,3 +389,97 @@ class TestMultiBand:
         from spandex_spark.sources.geotiff import read_geotiff
         with pytest.raises(ValueError):
             read_geotiff(spark, p, band=1)
+
+
+class TestGeneralWriter:
+    """write_geotiff's multi-band / tiled / anisotropic path, round-tripped
+    through read_geotiff (writer and reader share only the TIFF spec)."""
+
+    def test_tiled_multiband_chunky_roundtrip(self, spark, tmp_path):
+        rng = np.random.default_rng(31)
+        a = np.round(rng.uniform(-5, 5, (3, 70, 50)), 3)
+        p = str(tmp_path / "mb.tif")
+        write_geotiff(p, a, x0=-2.0, y0=-1.0, res=0.1, tile=(32, 32))
+        for bi in range(3):
+            got = read_geotiff(spark, p, band=bi, tile_rows=64,
+                               tile_cols=64).collect()
+            back = np.zeros((70, 50))
+            for t in got:
+                r0 = round((t.y0 + 1.0) / 0.1)
+                c0 = round((t.x0 + 2.0) / 0.1)
+                back[r0:r0 + t.ny, c0:c0 + t.nx] = \
+                    np.array(t.values).reshape(t.ny, t.nx)
+            np.testing.assert_array_equal(back, a[bi][::-1])
+
+    def test_tiled_multiband_planar_deflate_roundtrip(self, spark, tmp_path):
+        rng = np.random.default_rng(32)
+        a = np.round(rng.uniform(0, 9, (2, 40, 33)), 3)
+        p = str(tmp_path / "mbp.tif")
+        write_geotiff(p, a, x0=0.0, y0=0.0, res=0.5, tile=(16, 16),
+                      planar=True, compression="deflate")
+        for bi in range(2):
+            got = read_geotiff(spark, p, band=bi, tile_rows=64,
+                               tile_cols=64).collect()
+            back = np.zeros((40, 33))
+            for t in got:
+                r0 = round(t.y0 / 0.5)
+                c0 = round(t.x0 / 0.5)
+                back[r0:r0 + t.ny, c0:c0 + t.nx] = \
+                    np.array(t.values).reshape(t.ny, t.nx)
+            np.testing.assert_array_equal(back, a[bi][::-1])
+
+    def test_multiband_strip_via_writer(self, spark, tmp_path):
+        """Strip-layout multi-band (chunky and planar) from the writer."""
+        rng = np.random.default_rng(33)
+        a = np.round(rng.uniform(-1, 1, (3, 12, 10)), 3)
+        for planar, name in ((False, "sc.tif"), (True, "sp.tif")):
+            p = str(tmp_path / name)
+            write_geotiff(p, a, x0=0.0, y0=0.0, res=0.5, planar=planar)
+            for bi in range(3):
+                r = read_geotiff(spark, p, band=bi).collect()[0]
+                got = np.asarray(r.values).reshape(12, 10)
+                np.testing.assert_array_equal(got, a[bi][::-1])
+
+    def test_anisotropic_roundtrip_georef(self, spark, tmp_path):
+        """sy != sx: values land at the right latitudes, res_y is carried."""
+        rng = np.random.default_rng(34)
+        a = np.round(rng.uniform(-3, 3, (80, 40)), 3)
+        p = str(tmp_path / "aniso.tif")
+        write_geotiff(p, a, x0=-2.0, y0=-1.0, res=0.1, res_y=0.025)
+        got = read_geotiff(spark, p, tile_rows=50, tile_cols=50).collect()
+        assert all(abs(t.res_y - 0.025) < 1e-15 and abs(t.res - 0.1) < 1e-15
+                   for t in got)
+        back = np.zeros((80, 40))
+        for t in got:
+            r0 = round((t.y0 + 1.0) / 0.025)
+            c0 = round((t.x0 + 2.0) / 0.1)
+            back[r0:r0 + t.ny, c0:c0 + t.nx] = \
+                np.array(t.values).reshape(t.ny, t.nx)
+        np.testing.assert_array_equal(back, a[::-1])
+        # total y extent: 80 * 0.025 = 2.0 → top edge at y = 1.0
+        assert max(t.y0 + t.ny * t.res_y for t in got) == pytest.approx(1.0)
+
+    def test_anisotropic_raster_sample_and_clip(self, spark, tmp_path):
+        """raster_sample picks the correct row with res_y; clip_raster
+        emits anisotropic pixel centers."""
+        from spandex_spark.operators.zonal import clip_raster, raster_sample
+        ny, nx = 40, 20
+        a = np.arange(ny * nx, dtype=float).reshape(ny, nx)
+        p = str(tmp_path / "as.tif")
+        write_geotiff(p, a[::-1], x0=0.0, y0=0.0, res=0.1, res_y=0.05)
+        tiles = read_geotiff(spark, p, tile_rows=40, tile_cols=20)
+        pts = spark.createDataFrame(
+            [(0, 0.55, 0.17), (1, 1.25, 1.99), (2, 0.05, 2.5)],
+            "pid long, lon double, lat double")
+        got = {r.pid: r.v for r in
+               raster_sample(pts, tiles, point_id_col="pid",
+                             origin_x=0.0, origin_y=0.0).collect()}
+        assert got[0] == a[3, 5]      # row = floor(0.17/0.05)
+        assert got[1] == a[39, 12]
+        assert got[2] is None         # above the raster (2.0 top)
+        clipped = clip_raster(tiles, [0.0, 0.35, 0.35, 0.0],
+                              [0.0, 0.0, 0.22, 0.22]).collect()
+        # pixel centers: lon in {0.05,...,0.3}, lat in {0.025,...,0.175}
+        assert len(clipped) == 3 * 4
+        lats = sorted({round(r.lat_c, 6) for r in clipped})
+        assert lats == [0.025, 0.075, 0.125, 0.175]
