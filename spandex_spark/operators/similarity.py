@@ -153,15 +153,22 @@ def ann_lsh(queries: DataFrame, corpus: DataFrame, *, k: int, dim: int,
 
 def train_ivf_centroids(corpus: DataFrame, *, n_centroids: int,
                         vec_col: str = "embedding", sample_rows: int = 20_000,
-                        iters: int = 10, seed: int = 42) -> np.ndarray:
+                        iters: int = 10, seed: int = 42,
+                        approx_rows: int | None = None) -> np.ndarray:
     """Deterministic mini k-means (fixed seed, fixed iterations) on a corpus
     sample → L2-normalized centroid matrix for the IVF coarse quantizer.
     The sample is collected (bounded by sample_rows); training is numpy.
 
     Sampling is a seeded Bernoulli ``sample()`` over the WHOLE corpus —
     ``limit()`` would read only the first partitions, which at 100 TB is a
-    spatially/temporally biased, partition-order-dependent sample."""
-    n_total = corpus.count()
+    spatially/temporally biased, partition-order-dependent sample.
+
+    ``approx_rows`` skips the corpus ``count()`` job entirely: pass
+    ``IcebergishTable.row_count()`` (manifest row sums — free) or any
+    honest estimate. It only sizes the Bernoulli fraction, so a rough
+    figure is fine; without it, training costs one extra full-corpus scan
+    at 10^12 rows."""
+    n_total = approx_rows if approx_rows is not None else corpus.count()
     if n_total <= sample_rows:
         frac_rows = corpus.select(vec_col).collect()  # collect-ok: bounded by sample_rows (k-means training sample)
     else:
@@ -208,14 +215,15 @@ def ann_ivf(queries: DataFrame, corpus: DataFrame, *, k: int,
             n_centroids: int = 64, nprobe: int = 4,
             q_id: str = "vec_id", c_id: str = "vec_id",
             q_vec: str = "embedding", c_vec: str = "embedding",
-            seed: int = 42) -> DataFrame:
+            seed: int = 42, approx_rows: int | None = None) -> DataFrame:
     """IVF ANN: corpus vectors bucketed by nearest k-means centroid (one
     list each); queries probe their ``nprobe`` nearest centroids and rerank
     candidates with exact cosine. The 100 TB shape: centroid train on a
     sample, bucket assignment is one narrow pass, search touches
     nprobe/n_centroids of the corpus."""
     cents = train_ivf_centroids(corpus, n_centroids=n_centroids,
-                                vec_col=c_vec, seed=seed)
+                                vec_col=c_vec, seed=seed,
+                                approx_rows=approx_rows)
     c_assign = _ivf_assign_udf(cents, 1)
     q_assign = _ivf_assign_udf(cents, nprobe)
     c = (corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
@@ -253,7 +261,8 @@ def _cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 def semantic_dedup(corpus: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_centroids: int = 64,
                    threshold: float = 0.99, sample_rows: int = 20_000,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42,
+                   approx_rows: int | None = None) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
     embeddings with the seeded mini k-means coarse quantizer, then within
     each cluster connect pairs with cosine >= ``threshold`` and keep only
@@ -271,7 +280,8 @@ def semantic_dedup(corpus: DataFrame, *, id_col: str = "vec_id",
     clusters). No global pair graph is materialized."""
     assign = _ivf_assign_udf(
         train_ivf_centroids(corpus, n_centroids=n_centroids, vec_col=vec_col,
-                            sample_rows=sample_rows, seed=seed), 1)
+                            sample_rows=sample_rows, seed=seed,
+                            approx_rows=approx_rows), 1)
     src = (corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
            .withColumn("_cluster", F.element_at(assign(F.col("_v")), 1)))
 

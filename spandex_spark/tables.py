@@ -227,6 +227,16 @@ class IcebergishTable:
                 kept.append(f)
         return kept
 
+    def row_count(self) -> int:
+        """Total rows across live snapshot files, computed from the
+        manifests alone (no data-file scan) — the Iceberg
+        row-count-from-manifest analog. Feed it to
+        ``train_ivf_centroids(approx_rows=...)`` (and through
+        ``ann_ivf``/``semantic_dedup``) so sample sizing costs zero jobs
+        instead of a full-corpus ``count()``."""
+        return sum(f["rows"] for s in self._live_snapshots() if s
+                   for f in s["files"])
+
     def files_for(self, between: tuple | None = None) -> list[str]:
         """Paths the next live read would touch (diagnostics / tests)."""
         files = [f for s in self._live_snapshots() for f in s["files"]]

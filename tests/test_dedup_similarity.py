@@ -211,3 +211,43 @@ class TestSemanticDedup:
             "vec_id long, embedding array<double>")
         out = semantic_dedup(emb, n_centroids=4, threshold=0.99).collect()
         assert all(r.kept for r in out) and len(out) == 40
+
+    def test_approx_rows_skips_count_job(self, spark):
+        """With an approx_rows hint (e.g. IcebergishTable.row_count()
+        manifest sums) training runs ZERO count() jobs — at 10^12 rows
+        that's a full corpus scan saved per IVF/SemDeDup call — and the
+        result is identical when the hint equals the true count."""
+        import numpy as np
+        from spandex_spark.operators.similarity import (semantic_dedup,
+                                                        train_ivf_centroids)
+        rng = np.random.default_rng(9)
+        base = rng.normal(size=(60, 16))
+        emb = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(60)],
+            "vec_id long, embedding array<double>")
+        want = train_ivf_centroids(emb, n_centroids=4, seed=3)
+        emb.count = lambda: (_ for _ in ()).throw(
+            AssertionError("count() job ran despite approx_rows hint"))
+        got = train_ivf_centroids(emb, n_centroids=4, seed=3, approx_rows=60)
+        np.testing.assert_array_equal(got, want)
+        out = semantic_dedup(emb, n_centroids=4, threshold=0.99,
+                             approx_rows=60).collect()
+        assert len(out) == 60
+
+    def test_manifest_row_count_feeds_hint(self, spark, tmp_path):
+        """IcebergishTable.row_count() returns the exact live row total
+        from manifests alone and plugs into the approx_rows path."""
+        from pyspark.sql import functions as F
+        from spandex_spark.tables import IcebergishTable
+        from spandex_spark.operators.similarity import train_ivf_centroids
+        t = IcebergishTable(str(tmp_path / "emb"))
+        for lo in (0, 30):
+            t.append(spark.range(lo, lo + 30).select(
+                F.col("id").alias("vec_id"),
+                F.array(*[F.rand(seed=7 + i) for i in range(8)])
+                .alias("embedding")))
+        assert t.row_count() == 60
+        corpus = t.read(spark)
+        cents = train_ivf_centroids(corpus, n_centroids=4, seed=1,
+                                    approx_rows=t.row_count())
+        assert cents.shape == (4, 8)
