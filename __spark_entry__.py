@@ -681,6 +681,13 @@ def _q_zonal_geotiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_zonal_geotiff(spark, sf_dir, compression="lzw")
 
 
+def _q_zonal_geotiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PackBits-compressed (TIFF 6.0 §9 RLE, from-spec codec both
+    directions, per-row streams) GeoTIFF round-trip — same bytes, same
+    oracle."""
+    return _q_zonal_geotiff(spark, sf_dir, compression="packbits")
+
+
 def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5: EPSG:4326 → 3857 analytic reprojection."""
     from spandex_spark.operators import reproject
@@ -1396,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_lshape": _q_buffer_lshape,
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
         "zonal_geotiff_aniso": _q_zonal_geotiff_aniso,
+        "zonal_geotiff_packbits": _q_zonal_geotiff_packbits,
         # r4-verified, rotating toward the tail; first ~15 stay in-window
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
@@ -2372,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
     """
     d["zonal_geotiff"] = d["zonal"]
     d["zonal_geotiff_multiband"] = d["zonal"]
+    d["zonal_geotiff_packbits"] = d["zonal"]
     d["zonal_geotiff_aniso"] = """
         WITH px AS (
           SELECT -10.0 + (CAST(i AS DOUBLE) + 0.5) * 0.05 AS lon,

@@ -128,6 +128,56 @@ def lzw_decode(data: bytes) -> bytes:
         prev = entry
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (spec §9, the Apple RLE): control byte n as signed —
+    0..127 copies n+1 literals, -1..-127 repeats the next byte 1-n times,
+    -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += data[i:i + 1] * (257 - c)
+            i += 1
+        # 128 → no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes, row_bytes: int | None = None) -> bytes:
+    """PackBits encoder. The spec requires each ROW compressed
+    independently (so any row is decodable alone); pass ``row_bytes`` to
+    honor that — without it the whole buffer is one stream (still decodes
+    fine through packbits_decode and libtiff-style strip-at-once readers)."""
+    if row_bytes:
+        return b"".join(packbits_encode(data[i:i + row_bytes])
+                        for i in range(0, len(data), row_bytes))
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal stretch: until a run of >= 3 starts (2-byte runs aren't
+        # worth breaking a literal for) or 128 bytes
+        lit = i
+        while (j < n and j - lit < 128
+               and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])):
+            j += 1
+        j = min(j, lit + 128, n)
+        out += bytes([j - lit - 1]) + data[lit:j]
+        i = j
+    return bytes(out)
+
+
 def _decompress_strip(raw: bytes, comp: int) -> bytes:
     if comp == 1:
         return raw
@@ -135,19 +185,25 @@ def _decompress_strip(raw: bytes, comp: int) -> bytes:
         return zlib.decompress(raw)
     if comp == 5:                   # LZW
         return lzw_decode(raw)
+    if comp == 32773:               # PackBits
+        return packbits_decode(raw)
     raise NotImplementedError(f"compression {comp}"
-                              " (supported: 1 none, 5 LZW, 8/32946 deflate)")
+                              " (supported: 1 none, 5 LZW, 8/32946 deflate,"
+                              " 32773 PackBits)")
 
 
-def _compress_strip(raw: bytes, compression: str) -> tuple[bytes, int]:
+def _compress_strip(raw: bytes, compression: str,
+                    row_bytes: int | None = None) -> tuple[bytes, int]:
     if compression == "none":
         return raw, 1
     if compression == "deflate":
         return zlib.compress(raw, 6), 8
     if compression == "lzw":
         return lzw_encode(raw), 5
+    if compression == "packbits":
+        return packbits_encode(raw, row_bytes), 32773
     raise ValueError(f"unknown compression {compression!r}"
-                     " (none | deflate | lzw)")
+                     " (none | deflate | lzw | packbits)")
 
 
 def write_geotiff(path: str, arr: np.ndarray, *, x0: float, y0: float,
@@ -156,7 +212,7 @@ def write_geotiff(path: str, arr: np.ndarray, *, x0: float, y0: float,
                   tile: tuple[int, int] | None = None,
                   planar: bool = False) -> None:
     """Write a float64 GeoTIFF (little-endian; ``compression``: 'none' |
-    'deflate' | 'lzw'). ``arr`` is row-major with row 0 at the TOP (max
+    'deflate' | 'lzw' | 'packbits'). ``arr`` is row-major with row 0 at the TOP (max
     latitude), per TIFF convention; (x0, y0) is the lower-left corner of
     the covered box.
 
@@ -181,7 +237,8 @@ def write_geotiff(path: str, arr: np.ndarray, *, x0: float, y0: float,
                                tile=tile, planar=planar)
         return
     ny, nx = arr.shape
-    data, comp_tag = _compress_strip(arr.astype("<f8").tobytes(), compression)
+    data, comp_tag = _compress_strip(arr.astype("<f8").tobytes(), compression,
+                                     row_bytes=nx * 8)
     # layout: 8-byte header | pixel data | IFD | out-of-line tag values
     data_off = 8
     ifd_off = data_off + len(data)
@@ -252,7 +309,8 @@ def _write_geotiff_general(path: str, arr: np.ndarray, *, x0: float,
                     t = _pad_tile(src[tr * th:tr * th + th,
                                       tc * tw:tc * tw + tw], th, tw)
                     blob, comp_tag = _compress_strip(
-                        t.astype("<f8").tobytes(), compression)
+                        t.astype("<f8").tobytes(), compression,
+                        row_bytes=tw * spp * 8)
                     blobs.append(blob)
         else:
             for b in bands:
@@ -261,18 +319,20 @@ def _write_geotiff_general(path: str, arr: np.ndarray, *, x0: float,
                         t = _pad_tile(b[tr * th:tr * th + th,
                                         tc * tw:tc * tw + tw], th, tw)
                         blob, comp_tag = _compress_strip(
-                            t.astype("<f8").tobytes(), compression)
+                            t.astype("<f8").tobytes(), compression,
+                            row_bytes=tw * 8)
                         blobs.append(blob)
     else:
         if pcfg == 1:
             src = np.stack(bands, axis=-1) if spp > 1 else bands[0]
             blob, comp_tag = _compress_strip(
-                src.astype("<f8").tobytes(), compression)
+                src.astype("<f8").tobytes(), compression,
+                row_bytes=nx * spp * 8)
             blobs.append(blob)
         else:
             for b in bands:
                 blob, comp_tag = _compress_strip(
-                    b.astype("<f8").tobytes(), compression)
+                    b.astype("<f8").tobytes(), compression, row_bytes=nx * 8)
                 blobs.append(blob)
     n = len(blobs)
     offs, pos = [], 8
@@ -339,20 +399,48 @@ def _write_geotiff_general(path: str, arr: np.ndarray, *, x0: float,
 
 
 def _read_ifd(buf: bytes, bo: str):
-    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
-    (n,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
+    """Parse the first IFD — classic TIFF (magic 42: 2-byte entry count,
+    12-byte entries, 4-byte offsets) or BigTIFF (magic 43, the >4 GB
+    format real satellite mosaics ship in: 8-byte entry count, 20-byte
+    entries, 8-byte offsets, LONG8/SLONG8/IFD8 value types)."""
+    (magic,) = struct.unpack(bo + "H", buf[2:4])
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+        (n,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
+        ent0, ent_sz, inline = ifd_off + 2, 12, 4
+    elif magic == 43:
+        big = True
+        offsize, zero = struct.unpack(bo + "HH", buf[4:8])
+        if offsize != 8 or zero != 0:
+            raise NotImplementedError(
+                f"BigTIFF offset size {offsize} (spec fixes it at 8)")
+        (ifd_off,) = struct.unpack(bo + "Q", buf[8:16])
+        (n,) = struct.unpack(bo + "Q", buf[ifd_off:ifd_off + 8])
+        ent0, ent_sz, inline = ifd_off + 8, 20, 8
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    types = dict(_TIFF_TYPES)
+    if big:
+        types.update({16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)})
     tags = {}
     for i in range(n):
-        e = ifd_off + 2 + i * 12
-        tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
-        fmt, size = _TIFF_TYPES.get(typ, (None, None))
+        e = ent0 + i * ent_sz
+        if big:
+            tag, typ = struct.unpack(bo + "HH", buf[e:e + 4])
+            (count,) = struct.unpack(bo + "Q", buf[e + 4:e + 12])
+        else:
+            tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
+        fmt, size = types.get(typ, (None, None))
         if fmt is None:
             continue
         total = size * count
-        if total <= 4:
-            raw = buf[e + 8:e + 8 + total]
+        vpos = e + ent_sz - inline
+        if total <= inline:
+            raw = buf[vpos:vpos + total]
         else:
-            (off,) = struct.unpack(bo + "I", buf[e + 8:e + 12])
+            (off,) = struct.unpack(bo + ("Q" if big else "I"),
+                                   buf[vpos:vpos + inline])
             raw = buf[off:off + total]
         vals = struct.unpack(bo + fmt * count, raw)
         tags[tag] = vals

@@ -483,3 +483,79 @@ class TestGeneralWriter:
         assert len(clipped) == 3 * 4
         lats = sorted({round(r.lat_c, 6) for r in clipped})
         assert lats == [0.025, 0.075, 0.125, 0.175]
+
+
+class TestPackBitsAndBigTiff:
+    def test_packbits_spec_vector(self):
+        """The worked example from TIFF 6.0 §9 / Apple TN1023 packs and
+        unpacks byte-exactly."""
+        from spandex_spark.sources.geotiff import (packbits_decode,
+                                                   packbits_encode)
+        unpacked = bytes.fromhex(
+            "aaaaaa80002aaaaaaaaa80002a22aaaaaaaaaaaaaaaaaaaa")
+        packed = bytes.fromhex("feaa0280002afdaa0380002a22f7aa")
+        assert packbits_encode(unpacked) == packed
+        assert packbits_decode(packed) == unpacked
+
+    def test_packbits_roundtrip_random(self):
+        from spandex_spark.sources.geotiff import (packbits_decode,
+                                                   packbits_encode)
+        rng = np.random.default_rng(41)
+        for _ in range(20):
+            # runs + noise, including >128-long runs and empty
+            parts = []
+            for _ in range(rng.integers(0, 8)):
+                if rng.random() < 0.5:
+                    parts.append(bytes([rng.integers(0, 256)])
+                                 * rng.integers(1, 400))
+                else:
+                    parts.append(rng.integers(0, 256,
+                                              rng.integers(1, 200))
+                                 .astype("u1").tobytes())
+            data = b"".join(parts)
+            for rb in (None, 16):
+                assert packbits_decode(packbits_encode(data, rb)) == data
+
+    def test_packbits_geotiff_roundtrip(self, spark, tmp_path):
+        rng = np.random.default_rng(42)
+        # quantized values → byte runs worth packing
+        a = np.round(rng.uniform(0, 3, (30, 20)))
+        p = str(tmp_path / "pb.tif")
+        write_geotiff(p, a, x0=0.0, y0=0.0, res=0.5, compression="packbits")
+        r = read_geotiff(spark, p).collect()[0]
+        np.testing.assert_array_equal(
+            np.asarray(r.values).reshape(30, 20), a[::-1])
+
+    def test_bigtiff_read(self, spark, tmp_path):
+        """A hand-built BigTIFF (magic 43, 8-byte offsets, LONG8 strip
+        tags) reads identically to its classic twin."""
+        rng = np.random.default_rng(43)
+        ny, nx = 25, 18
+        a = np.round(rng.uniform(-2, 2, (ny, nx)), 3)
+        data = a.astype("<f8").tobytes()
+        entries = [(256, 4, 1, nx), (257, 4, 1, ny), (258, 3, 1, 64),
+                   (259, 3, 1, 1), (273, 16, 1, 16), (278, 4, 1, ny),
+                   (279, 16, 1, len(data)), (339, 3, 1, 3),
+                   (33550, 12, 3, None), (33922, 12, 6, None)]
+        ifd_off = 16 + len(data)
+        tail = ifd_off + 8 + len(entries) * 20 + 8
+        t_off = {33550: tail, 33922: tail + 24}
+        out = bytearray(b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)) + data
+        out += struct.pack("<Q", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHQ", tag, typ, cnt)
+            if tag in t_off:
+                out += struct.pack("<Q", t_off[tag])
+            elif typ == 3:
+                out += struct.pack("<HHHH", val, 0, 0, 0)
+            else:
+                out += struct.pack("<Q", val)
+        out += struct.pack("<Q", 0)  # next IFD
+        out += struct.pack("<3d", 0.1, 0.1, 0.0)
+        out += struct.pack("<6d", 0, 0, 0, -1.0, -2.0 + ny * 0.1, 0.0)
+        p = str(tmp_path / "big.tif")
+        open(p, "wb").write(bytes(out))
+        got = read_geotiff(spark, p).collect()[0]
+        np.testing.assert_array_equal(
+            np.asarray(got.values).reshape(ny, nx), a[::-1])
+        assert got.x0 == -1.0 and got.y0 == -2.0
