@@ -31,10 +31,36 @@ _OUT_SCHEMA = T.StructType([
 
 
 def dedup_first_seen(pages_stream: DataFrame, *,
-                     state_ttl_minutes: float | None = None):
+                     state_ttl_minutes: float | None = None,
+                     strategy: str = "earliest"):
     """Streaming first-seen dedup by url. Returns the deduped stream (the
     earliest-in-batch row per url passes on first encounter; later batches
-    emit nothing for that url)."""
+    emit nothing for that url).
+
+    ``strategy`` picks the cost/semantics point (both state-store backed,
+    both exactly-one-row-per-url):
+
+    * ``'earliest'`` — the applyInPandasWithState path below: within the
+      url's FIRST micro-batch the earliest ``warc_ts`` row wins
+      (deterministic). Costs one Python dispatch per url per batch —
+      measured ~6-8k pages/s/32 cores (BENCH/BASELINE.md) — the price of
+      custom per-key semantics.
+    * ``'any'`` — Spark's built-in streaming ``dropDuplicates`` on url:
+      pure JVM, vectorized, ~2 orders of magnitude faster; keeps an
+      ARBITRARY first-encountered row (exactly the PostGIS
+      DISTINCT ON-without-ORDER BY trade). Use it when any
+      representative row per url is acceptable — at 100 TB it should be
+      the default, with 'earliest' reserved for semantics that truly
+      need it. TTL is not supported on this path (state is bounded by
+      adding a watermark upstream + dropDuplicatesWithinWatermark in
+      production Spark)."""
+    if strategy == "any":
+        if state_ttl_minutes is not None:
+            raise ValueError("state_ttl_minutes requires strategy='earliest'")
+        return (pages_stream.select("url", "warc_ts", "text", "lang")
+                .dropDuplicates(["url"]))
+    if strategy != "earliest":
+        raise ValueError(f"unknown strategy {strategy!r} (earliest | any)")
 
     def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:

@@ -90,3 +90,34 @@ def test_ttl_evicts_state_and_url_passes_again(spark, tmp_path):
         assert texts == ["first sighting", "second sighting"]
     finally:
         q.stop()
+
+
+def test_any_strategy_jvm_dedup(spark, tmp_path):
+    """strategy='any': built-in streaming dropDuplicates — one row per
+    url, JVM-side. TTL is rejected (earliest-only option)."""
+    import pytest
+
+    src = tmp_path / "in_any"
+    src.mkdir()
+    _write_batch(str(src), "a.parquet", [
+        ("u1", "2026-01-01T00:00:10", "a"),
+        ("u1", "2026-01-01T00:00:05", "b"),
+        ("u2", "2026-01-01T00:01:00", "c"),
+    ])
+    _write_batch(str(src), "b.parquet", [
+        ("u1", "2026-01-02T00:00:00", "d"),
+        ("u3", "2026-01-03T00:00:00", "e"),
+    ])
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src)))
+    out = dedup_first_seen(stream, strategy="any")
+    q = (out.writeStream.format("memory").queryName("dedup_any")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_any").collect()
+    assert sorted(r.url for r in rows) == ["u1", "u2", "u3"]
+    with pytest.raises(ValueError):
+        dedup_first_seen(stream, strategy="any", state_ttl_minutes=1.0)
+    with pytest.raises(ValueError):
+        dedup_first_seen(stream, strategy="nope")
