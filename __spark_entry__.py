@@ -190,6 +190,24 @@ def _q_pip_tag_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "dz_id")
 
 
+def _q_pip_tag_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT interop on the board (sources/wkt.py — the ST_AsText /
+    ST_GeomFromText analog, sharing ring machinery with the WKB codec):
+    the donut zone layer round-trips EWKT text and must tag IDENTICALLY
+    to the generated layer — same oracle as pip_tag_holes."""
+    from spandex_spark.operators import tag_points
+    from spandex_spark.sources.grids import donut_zones_df
+    from spandex_spark.sources.wkt import from_wkt, to_wkt
+    wkt_layer = to_wkt(donut_zones_df(spark), geom_col="geom",
+                       out_col="wkt", srid=4326).select("dz_id", "wkt")
+    zones = from_wkt(wkt_layer, wkt_col="wkt", out_col="geom")
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = tag_points(pts, zones, poly_id_col="dz_id",
+                     point_id_col="c_custkey", level=7)
+    return out.select("c_custkey", "dz_id")
+
+
 def _q_pip_tag_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/E1 on MULTIPOLYGONs: two disjoint parts share one zone id; a hit
     in either part tags the id."""
@@ -1399,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted": _q_zonal_weighted,
         # new in r5 — must be inside the check window
         "pip_tag_wkb": _q_pip_tag_wkb,
+        "pip_tag_wkt": _q_pip_tag_wkt,
         "reproject_roundtrip": _q_reproject_roundtrip,
         "buffer_lshape": _q_buffer_lshape,
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
@@ -2348,6 +2367,7 @@ def oracle_sql() -> dict[str, str]:
     d["tag_shuffle"] = d["pip_tag"]
     d["pip_tag_shapefile"] = d["pip_tag_holes"]
     d["pip_tag_wkb"] = d["pip_tag_holes"]
+    d["pip_tag_wkt"] = d["pip_tag_holes"]
     d["buffer_lshape"] = """
         WITH l AS (
           SELECT g AS gid,
