@@ -85,10 +85,10 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
     Closed forms the driver oracles check (axis-aligned, segments % 4
     == 0): rounded rect area = w·h + 2(w+h)·r + ½·s·r²·sin(2π/s) with
     s + 4 vertices; the L-shape (5 convex + 1 reflex right angle) buffers
-    to area = A + P·r + 5·r²·(s/8)·sin(2π/s)·... — see the buffer_lshape
-    query: A + P·r + 5·(s/4)·(r²·sin(2π/s)/2) − r², with 5·(s/4 + 1) + 1
-    vertices (the −r² is the double-counted strip overlap square at the
-    reflex corner; the +1 its single envelope vertex)."""
+    to area = A + P·r + 5·(s/4)·(r²·sin(2π/s)/2) − r² with
+    5·(s/4 + 1) + 1 vertices (the −r² is the double-counted strip
+    overlap square at the reflex corner; the +1 its single envelope
+    vertex) — the buffer_lshape query."""
     from spandex_spark import geom as _geom
     from spandex_spark.operators.trim import _GEOM_TYPE
     if radius <= 0:
