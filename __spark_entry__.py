@@ -136,6 +136,27 @@ def _q_buffer_lshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(geom_area_udf(g), 6) + 0.0).alias("area"))
 
 
+def _q_erase_join_donuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-LAYER ST_Difference join (operators/trim.py::erase_join —
+    'parcels minus water bodies'): each of the 1600 parcels minus the
+    UNION of overlapping holed donut zones, on the intersection_join
+    two-phase chassis + ONE groupBy(target). The donuts are mutually
+    disjoint, so the closed form is exact rectangle arithmetic:
+    remaining = parcel_area − Σ_donuts (outer∩parcel − hole∩parcel);
+    parcels fully inside a ring erase away (NULL, dropped), parcels
+    inside a HOLE survive untouched — the even-odd difference kernel is
+    on the hook for both."""
+    from spandex_spark.operators.trim import erase_join
+    from spandex_spark.sources.grids import donut_zones_df
+    from spandex_spark.functions.spatial import geom_area_udf
+    out = erase_join(parcels_df(spark), donut_zones_df(spark),
+                     target_id_col="parcel_id", level=7, drop_empty=True)
+    g = F.col("geom_erased")
+    return out.select(
+        "parcel_id",
+        (F.round(geom_area_udf(g), 9) + 0.0).alias("area_left"))
+
+
 def _q_reproject_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 BOTH WAYS: forward → inverse must reproduce the source lattice
     (operators/reproject.py::reproject_inverse — the ingest direction;
@@ -201,6 +222,27 @@ def _q_pip_tag_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     wkt_layer = to_wkt(donut_zones_df(spark), geom_col="geom",
                        out_col="wkt", srid=4326).select("dz_id", "wkt")
     zones = from_wkt(wkt_layer, wkt_col="wkt", out_col="geom")
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = tag_points(pts, zones, poly_id_col="dz_id",
+                     point_id_col="c_custkey", level=7)
+    return out.select("c_custkey", "dz_id")
+
+
+def _q_pip_tag_geoparquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoParquet interop on the board (sources/geoparquet.py — WKB
+    columns + the OGC `geo` footer, written task-side via pyarrow, read
+    back through the footer sniff + Arrow WKB decode): the donut zone
+    layer round-trips a GeoParquet dataset and must tag IDENTICALLY —
+    same oracle as pip_tag_holes."""
+    import tempfile
+    from spandex_spark.operators import tag_points
+    from spandex_spark.sources.grids import donut_zones_df
+    from spandex_spark.sources.geoparquet import (read_geoparquet,
+                                                  write_geoparquet)
+    path = os.path.join(tempfile.mkdtemp(), "donut_gp")
+    write_geoparquet(donut_zones_df(spark), path, geom_col="geom")
+    zones = read_geoparquet(spark, path)
     pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
                          "c_custkey")
     out = tag_points(pts, zones, poly_id_col="dz_id",
@@ -1418,6 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 — must be inside the check window
         "pip_tag_wkb": _q_pip_tag_wkb,
         "pip_tag_wkt": _q_pip_tag_wkt,
+        "pip_tag_geoparquet": _q_pip_tag_geoparquet,
+        "erase_join_donuts": _q_erase_join_donuts,
         "reproject_roundtrip": _q_reproject_roundtrip,
         "buffer_lshape": _q_buffer_lshape,
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
@@ -2368,6 +2412,7 @@ def oracle_sql() -> dict[str, str]:
     d["pip_tag_shapefile"] = d["pip_tag_holes"]
     d["pip_tag_wkb"] = d["pip_tag_holes"]
     d["pip_tag_wkt"] = d["pip_tag_holes"]
+    d["pip_tag_geoparquet"] = d["pip_tag_holes"]
     d["buffer_lshape"] = """
         WITH l AS (
           SELECT g AS gid,
@@ -2383,6 +2428,27 @@ def oracle_sql() -> dict[str, str]:
                      + 5.0 * 2.0 * (0.0625 * sin(2 * pi() / 8) / 2)
                      - 0.0625, 6) + 0.0 AS area
         FROM l
+    """
+    d["erase_join_donuts"] = f"""
+        WITH z AS (
+          SELECT z AS dz_id,
+                 CAST(z % 4 AS DOUBLE) * 4 - 8 AS zx0,
+                 CAST((z - z % 4) / 4 AS DOUBLE) * 4 - 8 AS zy0
+          FROM range(16) t(z)
+        ), pr AS (
+          SELECT p.parcel_id, p.x0, p.y0, p.x1, p.y1,
+                 SUM(GREATEST(0.0, LEAST(p.x1, z.zx0 + 4.0) - GREATEST(p.x0, z.zx0))
+                     * GREATEST(0.0, LEAST(p.y1, z.zy0 + 4.0) - GREATEST(p.y0, z.zy0))
+                   - GREATEST(0.0, LEAST(p.x1, z.zx0 + 3.0) - GREATEST(p.x0, z.zx0 + 1.0))
+                     * GREATEST(0.0, LEAST(p.y1, z.zy0 + 3.0) - GREATEST(p.y0, z.zy0 + 1.0))
+                 ) AS cut
+          FROM ({_PARCELS}) p CROSS JOIN z
+          GROUP BY p.parcel_id, p.x0, p.y0, p.x1, p.y1
+        )
+        SELECT parcel_id,
+               round((x1 - x0) * (y1 - y0) - cut, 9) + 0.0 AS area_left
+        FROM pr
+        WHERE round((x1 - x0) * (y1 - y0) - cut, 9) > 0.0
     """
     d["reproject_roundtrip"] = """
         WITH lattice AS (

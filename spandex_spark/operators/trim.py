@@ -164,3 +164,103 @@ def erase(targets: DataFrame, boundary_xs: np.ndarray,
                         F.col(geom_col)["ring_offsets"]))
     return out.withColumn(
         out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))
+
+
+def erase_join(targets: DataFrame, masks: DataFrame, *,
+               target_id_col: str, level: int = 8,
+               broadcast_masks: bool = True, out_col: str = "geom_erased",
+               drop_empty: bool = False) -> DataFrame:
+    """Two-LAYER ST_Difference: each target minus the UNION of every mask
+    feature overlapping it (the "parcels minus water bodies" join —
+    ``erase`` covers only one driver-side mask polygon). Returns
+    (target_id_col, out_col); targets no mask touches pass through
+    unchanged, fully-erased targets come back NULL (dropped when
+    ``drop_empty``).
+
+    Plan shape (the intersection_join chassis): bbox-cover cells both
+    sides, Patel–DeWitt reference-point dedup (no dedup shuffle), then
+    ONE groupBy(target) that ships each target its overlapping masks
+    (bounded by real overlap, never the whole mask layer) and runs
+    geom.boolean_rings(target, masks, 'difference') — holes, multiparts,
+    masks overlapping EACH OTHER all exact (the region predicate unions
+    the masks implicitly). Same executor-sized-group contract as
+    union_by.
+    """
+    from spandex_spark.functions.cells_sql import cell_of_expr
+    from spandex_spark.operators.overlay import _bbox_cells_udf
+
+    tgt = targets.select(F.col(target_id_col).alias("_tid"),
+                         F.col("geom").alias("_tgeom"))
+    msk = masks.select(F.col("geom").alias("_ogeom"))
+    cover_t = _bbox_cells_udf(F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
+                              F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"),
+                              F.lit(level))
+    cover_o = _bbox_cells_udf(F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
+                              F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"),
+                              F.lit(level))
+    tgt_cells = tgt.withColumn("cell", F.explode(cover_t))
+    msk_cells = msk.withColumn("cell", F.explode(cover_o))
+    if broadcast_masks:
+        msk_cells = F.broadcast(msk_cells)
+    pairs = tgt_cells.join(msk_cells, "cell", "inner")
+    # bbox-disjoint pairs never reach the kernel; refpoint dedup keeps
+    # each surviving (target, mask) pair exactly once
+    ref_x = F.greatest(F.col("_tgeom.bbox.minx"), F.col("_ogeom.bbox.minx"))
+    ref_y = F.greatest(F.col("_tgeom.bbox.miny"), F.col("_ogeom.bbox.miny"))
+    overlap = ((F.col("_tgeom.bbox.minx") <= F.col("_ogeom.bbox.maxx"))
+               & (F.col("_tgeom.bbox.maxx") >= F.col("_ogeom.bbox.minx"))
+               & (F.col("_tgeom.bbox.miny") <= F.col("_ogeom.bbox.maxy"))
+               & (F.col("_tgeom.bbox.maxy") >= F.col("_ogeom.bbox.miny")))
+    pairs = pairs.filter(overlap) \
+        .filter(cell_of_expr(ref_x, ref_y, level) == F.col("cell"))
+
+    agg = pairs.groupBy("_tid").agg(
+        F.first("_tgeom").alias("_tgeom"),
+        F.collect_list("_ogeom").alias("_masks"))
+
+    @pandas_udf(_GEOM_TYPE)
+    def _erase_many(txs: pd.Series, tys: pd.Series, toffs: pd.Series,
+                    masks_col: pd.Series) -> pd.DataFrame:
+        kinds, gxs, gys, goffs, bbs = [], [], [], [], []
+        for tx, ty, to, ms in zip(txs, tys, toffs, masks_col):
+            pa = [(np.asarray(tx, np.float64), np.asarray(ty, np.float64),
+                   (np.asarray(to, np.int64)
+                    if to is not None and len(to) > 2 else None))]
+            pb = []
+            for m in ms:
+                mo = m["ring_offsets"]
+                pb.append((np.asarray(m["xs"], np.float64),
+                           np.asarray(m["ys"], np.float64),
+                           (np.asarray(mo, np.int64)
+                            if mo is not None and len(mo) > 2 else None)))
+            rings = _geom.boolean_rings(pa, pb, "difference")
+            if not rings:
+                kinds.append(None); gxs.append(None); gys.append(None)
+                goffs.append(None); bbs.append(None)
+                continue
+            ax_ = np.concatenate([r[0] for r in rings])
+            ay_ = np.concatenate([r[1] for r in rings])
+            ro = np.cumsum([0] + [r[0].shape[0] for r in rings])
+            kinds.append(3 if len(rings) == 1 else 6)
+            gxs.append(ax_.tolist()); gys.append(ay_.tolist())
+            goffs.append([int(v) for v in ro])
+            bbs.append({"minx": float(ax_.min()), "miny": float(ay_.min()),
+                        "maxx": float(ax_.max()), "maxy": float(ay_.max())})
+        return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
+                             "xs": gxs, "ys": gys,
+                             "ring_offsets": goffs, "bbox": bbs})
+
+    g = F.col("_tgeom")
+    eroded = agg.withColumn(
+        out_col, _erase_many(g["xs"], g["ys"], g["ring_offsets"],
+                             F.col("_masks")))
+    eroded = eroded.withColumn(
+        out_col, F.when(F.col(f"{out_col}.kind").isNotNull(),
+                        F.col(out_col)))
+    untouched = (tgt.join(agg.select("_tid"), "_tid", "left_anti")
+                 .withColumn(out_col, F.col("_tgeom")))
+    out = (eroded.select("_tid", out_col)
+           .unionByName(untouched.select("_tid", out_col)))
+    if drop_empty:
+        out = out.filter(F.col(out_col).isNotNull())
+    return out.withColumnRenamed("_tid", target_id_col)

@@ -97,17 +97,15 @@ class IcebergishTable:
         snap_id = uuid.uuid4().hex[:12]
         out = os.path.join(self.data_dir, snap_id)
         df.write.mode("overwrite").parquet(out)
-        import pyarrow.parquet as pq
-        files = []
-        total = 0
-        for fn in sorted(os.listdir(out)):
-            if fn.endswith(".parquet"):
-                p = os.path.join(out, fn)
-                md = pq.read_metadata(p)
-                files.append({"path": os.path.relpath(p, self.root),
-                              "rows": md.num_rows,
-                              "stats": _file_column_stats(md)})
-                total += md.num_rows
+        files, total = self._scan_written(out)
+        return self._publish(snap_id, kind, df.schema.jsonValue(),
+                             partition_values, files, total)
+
+    def _publish(self, snap_id: str, kind: str, schema_json,
+                 partition_values: dict | None, files: list[dict],
+                 total: int) -> str:
+        """Write an immutable snapshot manifest and atomically flip the
+        ``current`` pointer (rename)."""
         parent = self.current_snapshot()
         seq = (parent["sequence"] + 1) if parent else 0
         manifest = {
@@ -116,7 +114,7 @@ class IcebergishTable:
             "sequence": seq,
             "parent": parent["snapshot_id"] if parent else None,
             "timestamp_ms": int(time.time() * 1000),
-            "schema": df.schema.jsonValue(),
+            "schema": schema_json,
             "partition_values": partition_values or {},
             "files": files,
             "total_rows": total,
@@ -131,6 +129,61 @@ class IcebergishTable:
             fh.write(os.path.basename(final))
         os.rename(ptr_tmp, os.path.join(self.meta_dir, "current"))
         return snap_id
+
+    def _scan_written(self, out: str) -> tuple[list[dict], int]:
+        """Collect manifest entries (path/rows/stats) for a freshly
+        written parquet directory."""
+        import pyarrow.parquet as pq
+        files = []
+        total = 0
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(".parquet"):
+                p = os.path.join(out, fn)
+                md = pq.read_metadata(p)
+                files.append({"path": os.path.relpath(p, self.root),
+                              "rows": md.num_rows,
+                              "stats": _file_column_stats(md)})
+                total += md.num_rows
+        return files, total
+
+    def delete_where(self, spark: SparkSession, col: str, lo, hi) -> dict:
+        """Copy-on-write row-level DELETE of rows with ``lo <= col <= hi``
+        (the Iceberg COW ``DELETE WHERE`` analog): only data files whose
+        manifest [min, max] bounds for ``col`` overlap the range are
+        rewritten (their surviving rows land in new files); every other
+        live file carries into the new snapshot BY REFERENCE — at 100 TB
+        a narrow delete rewrites a handful of files, never the table.
+        Prior snapshots stay readable (time travel) until GC.
+
+        Returns {"rewritten": n_files, "carried": n_files,
+        "deleted_rows": n}; a no-op range publishes nothing."""
+        from pyspark.sql import functions as F
+        live = [f for s in self._live_snapshots() if s for f in s["files"]]
+        touched = self._prune_files(live, col, lo, hi)
+        # files with no stats for col are conservatively in `touched`
+        # (must be scanned — their rows may match)
+        touched_paths = {f["path"] for f in touched}
+        carried = [f for f in live if f["path"] not in touched_paths]
+        if not touched:
+            return {"rewritten": 0, "carried": len(carried),
+                    "deleted_rows": 0}
+        snap_id = uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, snap_id)
+        paths = [os.path.join(self.root, f["path"]) for f in touched]
+        src = spark.read.parquet(*paths)
+        survivors = src.filter(
+            ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+            | F.col(col).isNull())
+        survivors.write.mode("overwrite").parquet(out)
+        new_files, new_total = self._scan_written(out)
+        schema_json = self.current_snapshot()["schema"]
+        carried_total = sum(f["rows"] for f in carried)
+        deleted = (sum(f["rows"] for f in touched)) - new_total
+        self._publish(snap_id, "rewrite", schema_json,
+                      {"delete_where": [col, str(lo), str(hi)]},
+                      new_files + carried, new_total + carried_total)
+        return {"rewritten": len(touched), "carried": len(carried),
+                "deleted_rows": int(deleted)}
 
     # ------------------------------------------------------------ read
 

@@ -326,6 +326,84 @@ class TestErase:
         assert checked_interior > 0
 
 
+class TestEraseJoin:
+    def test_multi_mask_difference_closed_form(self, spark):
+        """erase_join: target minus the UNION of overlapping masks. Two
+        overlapping mask squares cut a known region from each target;
+        untouched targets pass through; a fully-covered target drops
+        (drop_empty) or comes back NULL."""
+        from spandex_spark import geom as G
+        from spandex_spark.operators.trim import erase_join
+
+        def rect(i, x0, y0, x1, y1):
+            return (i, {"kind": 3, "xs": [x0, x1, x1, x0],
+                        "ys": [y0, y0, y1, y1],
+                        "ring_offsets": [0, 4],
+                        "bbox": {"minx": x0, "miny": y0,
+                                 "maxx": x1, "maxy": y1}})
+
+        schema = ("tid long, geom struct<kind:tinyint, xs:array<double>,"
+                  " ys:array<double>, ring_offsets:array<int>,"
+                  " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        targets = spark.createDataFrame(
+            [rect(1, 0.0, 0.0, 4.0, 4.0),      # cut by both masks
+             rect(2, 10.0, 10.0, 12.0, 12.0),  # untouched
+             rect(3, 20.25, 20.25, 20.75, 20.75)],  # fully inside mask C
+            schema)
+        masks = spark.createDataFrame(
+            [rect(100, 1.0, 1.0, 3.0, 2.0),    # A
+             rect(101, 2.0, 1.5, 3.5, 3.0),    # B (overlaps A)
+             rect(102, 20.0, 20.0, 21.0, 21.0)],  # C
+            schema)
+        out = {r.tid: r.geom_erased
+               for r in erase_join(targets, masks,
+                                   target_id_col="tid").collect()}
+        # union(A,B) = 2 + 2.25 - 0.5 = 3.75 cut from target 1
+        a1 = G.rings_area(np.asarray(out[1].xs), np.asarray(out[1].ys),
+                          np.asarray(out[1].ring_offsets))
+        assert a1 == pytest.approx(16.0 - 3.75, abs=1e-9)
+        a2 = G.rings_area(np.asarray(out[2].xs), np.asarray(out[2].ys),
+                          np.asarray(out[2].ring_offsets))
+        assert a2 == pytest.approx(4.0, abs=1e-12)
+        assert out[3] is None
+        dropped = erase_join(targets, masks, target_id_col="tid",
+                             drop_empty=True).collect()
+        assert sorted(r.tid for r in dropped) == [1, 2]
+
+    def test_matches_single_mask_erase(self, spark, fixture_dir):
+        """With ONE mask, erase_join must agree with the driver-side
+        erase() row-by-row (area equality)."""
+        from spandex_spark import geom as G
+        from spandex_spark.operators.trim import erase, erase_join
+        parcels = spark.read.parquet(
+            os.path.join(fixture_dir, "parcels.parquet"))
+        lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+        ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+        mask = spark.createDataFrame(
+            [(0, {"kind": 3, "xs": lx.tolist(), "ys": ly.tolist(),
+                  "ring_offsets": [0, 6],
+                  "bbox": {"minx": 0.0, "miny": 0.0,
+                           "maxx": 2.0, "maxy": 2.0}})],
+            "mid long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        a = {r.parcel_id: r.geom_erased
+             for r in erase(parcels, lx, ly).collect()}
+        b = {r.parcel_id: r.geom_erased
+             for r in erase_join(parcels, mask,
+                                 target_id_col="parcel_id").collect()}
+        assert set(a) == set(b)
+        for pid in a:
+            if a[pid] is None:
+                assert b[pid] is None
+                continue
+            aa = G.rings_area(np.asarray(a[pid].xs), np.asarray(a[pid].ys),
+                              np.asarray(a[pid].ring_offsets))
+            ba = G.rings_area(np.asarray(b[pid].xs), np.asarray(b[pid].ys),
+                              np.asarray(b[pid].ring_offsets))
+            assert ba == pytest.approx(aa, abs=1e-9), pid
+
+
 class TestUnionByTree:
     def test_two_level_matches_single_stage(self, spark):
         """prepartition_level (the huge-group tree path) must produce the
@@ -419,6 +497,33 @@ class TestManifestPruning:
                 .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
                 .count())
         assert rows == 11
+
+    def test_delete_where_copy_on_write(self, spark, tmp_path):
+        """Row-level COW delete: only stat-overlapping files rewrite,
+        the rest carry by reference; pre-delete snapshots stay readable."""
+        t = IcebergishTable(str(tmp_path / "del"))
+        for i in range(4):
+            t.append(spark.range(i * 250, (i + 1) * 250)
+                     .select(F.col("id").alias("cell"),
+                             (F.col("id") * 3).alias("v")))
+        pre_seq = t.current_snapshot()["sequence"]
+        assert t.row_count() == 1000
+        res = t.delete_where(spark, "cell", 100, 140)
+        assert res["deleted_rows"] == 41
+        assert res["rewritten"] >= 1 and res["carried"] >= 1
+        assert t.row_count() == 959
+        live = t.read(spark)
+        assert live.count() == 959
+        assert live.filter((F.col("cell") >= 100)
+                           & (F.col("cell") <= 140)).count() == 0
+        # time travel: the pre-delete state is intact
+        old = t.read(spark, as_of_seq=pre_seq)
+        assert old.count() == 1000
+        # a no-op range publishes nothing
+        seq = t.current_snapshot()["sequence"]
+        res2 = t.delete_where(spark, "cell", 5000, 6000)
+        assert res2["deleted_rows"] == 0
+        assert t.current_snapshot()["sequence"] == seq
 
     def test_pruning_is_safe_without_stats_overlap_semantics(self, spark,
                                                              tmp_path):
