@@ -97,6 +97,26 @@ CHECKS = {
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
          "ZERO Python operators — tile index + element_at in codegen"),
     ],
+    "erase_join (two-layer ST_Difference)": [
+        ("BroadcastHashJoin", "mask side broadcast (refpoint pairs)"),
+        ("ArrowEvalPython", "group-local multi-mask difference kernel"),
+        (r"Exchange hashpartitioning\([^)]*_tid",
+         "the target-group exchange — masks ship to their target's "
+         "executor once, bounded by real overlap"),
+    ],
+    "buffer_polygons (concave arrangement path)": [
+        ("ArrowEvalPython", "per-row offset-strip/fan arrangement union"),
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — embarrassingly parallel map"),
+    ],
+    "wkb round-trip (to_wkb → from_wkb)": [
+        ("ArrowEvalPython", "Arrow-batched codec, runs where the data lives"),
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — geometry bytes never "
+                                  "route through the driver"),
+    ],
+    "reproject_inverse (LCC → 4326)": [
+        ("ArrowEvalPython", "vectorized Snyder inverse series"),
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — pure per-row math"),
+    ],
 }
 
 
@@ -184,6 +204,29 @@ def main():
     plans["resample_tiles (bilinear)"] = resample_tiles(
         raster_tiles_df(spark), x0_out=-9.0, y0_out=-9.0, res_out=0.07,
         nx_out=100, ny_out=100, origin_x=-10.0, origin_y=-10.0)
+    from spandex_spark.operators.trim import erase_join
+    plans["erase_join (two-layer ST_Difference)"] = erase_join(
+        parcels_df(spark), donut_zones_df(spark),
+        target_id_col="parcel_id", level=7)
+    from spandex_spark.operators.buffer import buffer_polygons
+    lshape = spark.createDataFrame(
+        [(1, {"kind": 3, "xs": [0.0, 2.0, 2.0, 1.0, 1.0, 0.0],
+              "ys": [0.0, 0.0, 1.0, 1.0, 2.0, 2.0],
+              "ring_offsets": [0, 6],
+              "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 2.0, "maxy": 2.0}})],
+        "pid long, geom struct<kind:tinyint, xs:array<double>,"
+        " ys:array<double>, ring_offsets:array<int>,"
+        " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+    plans["buffer_polygons (concave arrangement path)"] = buffer_polygons(
+        lshape, radius=0.2, segments=8)
+    from spandex_spark.sources.wkb import from_wkb, to_wkb
+    plans["wkb round-trip (to_wkb → from_wkb)"] = from_wkb(
+        to_wkb(donut_zones_df(spark), geom_col="geom", out_col="wkb",
+               srid=4326), wkb_col="wkb", out_col="geom2")
+    from spandex_spark.operators.reproject import reproject, reproject_inverse
+    plans["reproject_inverse (LCC → 4326)"] = reproject_inverse(
+        reproject(pts, to_srid=26943), from_srid=26943,
+        lon_col="lon2", lat_col="lat2")
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
