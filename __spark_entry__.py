@@ -136,6 +136,27 @@ def _q_buffer_lshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(geom_area_udf(g), 6) + 0.0).alias("area"))
 
 
+def _q_pip_tag_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON interop on the board (sources/geojson.py — RFC 7946, the
+    ST_AsGeoJSON/ST_GeomFromGeoJSON analog): the donut zone layer
+    round-trips a FeatureCollection FILE (closed rings, hole
+    orientation, feature properties) and must tag IDENTICALLY — same
+    oracle as pip_tag_holes."""
+    import tempfile
+    from spandex_spark.operators import tag_points
+    from spandex_spark.sources.grids import donut_zones_df
+    from spandex_spark.sources.geojson import read_geojson, write_geojson
+    path = os.path.join(tempfile.mkdtemp(), "donut.geojson")
+    write_geojson(donut_zones_df(spark), path, geom_col="geom",
+                  id_col="dz_id")
+    zones = read_geojson(spark, path)
+    pts = derived_points(_t(spark, sf_dir, "customer").select("c_custkey"),
+                         "c_custkey")
+    out = tag_points(pts, zones, poly_id_col="dz_id",
+                     point_id_col="c_custkey", level=7)
+    return out.select("c_custkey", "dz_id")
+
+
 def _q_erase_join_donuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-LAYER ST_Difference join (operators/trim.py::erase_join —
     'parcels minus water bodies'): each of the 1600 parcels minus the
@@ -1461,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_tag_wkb": _q_pip_tag_wkb,
         "pip_tag_wkt": _q_pip_tag_wkt,
         "pip_tag_geoparquet": _q_pip_tag_geoparquet,
+        "pip_tag_geojson": _q_pip_tag_geojson,
         "erase_join_donuts": _q_erase_join_donuts,
         "reproject_roundtrip": _q_reproject_roundtrip,
         "buffer_lshape": _q_buffer_lshape,
@@ -2413,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
     d["pip_tag_wkb"] = d["pip_tag_holes"]
     d["pip_tag_wkt"] = d["pip_tag_holes"]
     d["pip_tag_geoparquet"] = d["pip_tag_holes"]
+    d["pip_tag_geojson"] = d["pip_tag_holes"]
     d["buffer_lshape"] = """
         WITH l AS (
           SELECT g AS gid,
