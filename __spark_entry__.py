@@ -136,6 +136,53 @@ def _q_buffer_lshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(geom_area_udf(g), 6) + 0.0).alias("area"))
 
 
+def _q_reproject_geom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform on GEOMETRY (operators/reproject.py::reproject_geom —
+    vertex-wise closed-form series over the struct, one numpy call per
+    Arrow batch): every parcel polygon goes 4326 → NAD83 California
+    zone 3 (EPSG:26943) → back; the round-tripped bbox must reproduce
+    the parcel corners exactly at round(·,9) (the LCC inverse is
+    closed-form). Oracle: the untouched parcel corner columns."""
+    from spandex_spark.operators.reproject import reproject_geom
+    fwd = reproject_geom(parcels_df(spark), srid=26943)
+    back = reproject_geom(fwd, srid=26943, inverse=True)
+    g = F.col("geom")
+    return back.select(
+        "parcel_id",
+        (F.round(g["bbox"]["minx"], 9) + 0.0).alias("x0"),
+        (F.round(g["bbox"]["miny"], 9) + 0.0).alias("y0"),
+        (F.round(g["bbox"]["maxx"], 9) + 0.0).alias("x1"),
+        (F.round(g["bbox"]["maxy"], 9) + 0.0).alias("y1"))
+
+
+def _q_geom_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry accessor/measurement surface in one oracled sweep —
+    ST_NPoints / ST_NumInteriorRings-ish ring count (pure JVM: size of
+    the SoA arrays), ST_Perimeter (geom.rings_perimeter — hole
+    boundaries count, PostGIS convention), ST_Area, ST_Centroid — over
+    BOTH fixture layers (1600 rect parcels + 16 holed donuts), every
+    value closed-form."""
+    from spandex_spark.sources.grids import donut_zones_df
+    from spandex_spark.functions.spatial import (geom_area_udf,
+                                                 geom_centroid_udf,
+                                                 geom_perimeter_udf)
+    p = parcels_df(spark).select(F.lit("parcel").alias("layer"),
+                                 F.col("parcel_id").alias("fid"), "geom")
+    d = donut_zones_df(spark).select(F.lit("donut").alias("layer"),
+                                     F.col("dz_id").alias("fid"), "geom")
+    src = p.unionByName(d)
+    g = F.col("geom")
+    c = geom_centroid_udf(g)
+    return src.select(
+        "layer", "fid",
+        F.size(g["xs"]).cast("long").alias("n_points"),
+        (F.size(g["ring_offsets"]) - 1).cast("long").alias("n_rings"),
+        (F.round(geom_perimeter_udf(g), 9) + 0.0).alias("perimeter"),
+        (F.round(geom_area_udf(g), 9) + 0.0).alias("area"),
+        (F.round(c["cx"], 9) + 0.0).alias("cx"),
+        (F.round(c["cy"], 9) + 0.0).alias("cy"))
+
+
 def _q_pip_tag_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON interop on the board (sources/geojson.py — RFC 7946, the
     ST_AsGeoJSON/ST_GeomFromGeoJSON analog): the donut zone layer
@@ -1484,6 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_tag_geoparquet": _q_pip_tag_geoparquet,
         "pip_tag_geojson": _q_pip_tag_geojson,
         "erase_join_donuts": _q_erase_join_donuts,
+        "geom_accessors": _q_geom_accessors,
+        "reproject_geom_roundtrip": _q_reproject_geom_roundtrip,
         "reproject_roundtrip": _q_reproject_roundtrip,
         "buffer_lshape": _q_buffer_lshape,
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
@@ -2451,6 +2500,28 @@ def oracle_sql() -> dict[str, str]:
                      + 5.0 * 2.0 * (0.0625 * sin(2 * pi() / 8) / 2)
                      - 0.0625, 6) + 0.0 AS area
         FROM l
+    """
+    d["reproject_geom_roundtrip"] = f"""
+        SELECT parcel_id,
+               round(x0, 9) + 0.0 AS x0, round(y0, 9) + 0.0 AS y0,
+               round(x1, 9) + 0.0 AS x1, round(y1, 9) + 0.0 AS y1
+        FROM ({_PARCELS})
+    """
+    d["geom_accessors"] = f"""
+        SELECT 'parcel' AS layer, parcel_id AS fid,
+               CAST(4 AS BIGINT) AS n_points, CAST(1 AS BIGINT) AS n_rings,
+               round(2.0 * ((x1 - x0) + (y1 - y0)), 9) + 0.0 AS perimeter,
+               round((x1 - x0) * (y1 - y0), 9) + 0.0 AS area,
+               round((x0 + x1) / 2.0, 9) + 0.0 AS cx,
+               round((y0 + y1) / 2.0, 9) + 0.0 AS cy
+        FROM ({_PARCELS})
+        UNION ALL
+        SELECT 'donut', z,
+               CAST(8 AS BIGINT), CAST(2 AS BIGINT),
+               24.0, 12.0,
+               CAST(z % 4 AS DOUBLE) * 4 - 8 + 2.0,
+               CAST((z - z % 4) / 4 AS DOUBLE) * 4 - 8 + 2.0
+        FROM range(16) t(z)
     """
     d["erase_join_donuts"] = f"""
         WITH z AS (

@@ -328,3 +328,24 @@ def geom_centroid_udf(geom_col):
     this exposes the same kernel as a column function. NULL -> NaN pair."""
     return _rings_centroid(geom_col["xs"], geom_col["ys"],
                            geom_col["ring_offsets"])
+
+
+@pandas_udf(T.DoubleType())
+def _rings_perimeter(xs: pd.Series, ys: pd.Series,
+                     offs: pd.Series) -> pd.Series:
+    out = np.empty(len(xs))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        if x is None:
+            out[i] = np.nan
+            continue
+        out[i] = _geom.rings_perimeter(np.asarray(x, np.float64),
+                                       np.asarray(y, np.float64),
+                                       _off(offs.iloc[i]))
+    return pd.Series(out)
+
+
+def geom_perimeter_udf(geom_col):
+    """ST_Perimeter analog (closed ring lengths summed over all rings —
+    hole boundaries count, the PostGIS convention). NULL -> NaN."""
+    return _rings_perimeter(geom_col["xs"], geom_col["ys"],
+                            geom_col["ring_offsets"])

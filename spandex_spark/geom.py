@@ -83,6 +83,18 @@ def rings_area(xs: np.ndarray, ys: np.ndarray, offsets=None) -> float:
     return float(sum(shoelace_area(rx, ry) for rx, ry in rings))
 
 
+def rings_perimeter(xs: np.ndarray, ys: np.ndarray, offsets=None) -> float:
+    """ST_Perimeter analog: Σ over rings of the CLOSED ring length (hole
+    boundaries count, per the PostGIS convention — the perimeter of a
+    donut includes its inner edge)."""
+    total = 0.0
+    for rx, ry in rings_of(xs, ys, offsets):
+        dx = np.roll(rx, -1) - rx
+        dy = np.roll(ry, -1) - ry
+        total += float(np.sqrt(dx * dx + dy * dy).sum())
+    return total
+
+
 def spherical_ring_area(xs: np.ndarray, ys: np.ndarray) -> float:
     """Signed spherical area (m²) of an OPEN lon/lat ring on the mean-Earth
     sphere — Chamberlain & Duquette (JPL 2007) line integral:

@@ -6,7 +6,8 @@ from spandex_spark.operators.zonal import (  # noqa: F401
 from spandex_spark.operators.scaling import scale_to_targets  # noqa: F401
 from spandex_spark.operators.validate import (  # noqa: F401
     invalid_geometry_check, duplicate_stacked_geometry_check, make_valid)
-from spandex_spark.operators.reproject import reproject, reproject_inverse  # noqa: F401
+from spandex_spark.operators.reproject import (  # noqa: F401
+    reproject, reproject_inverse, reproject_geom)
 from spandex_spark.operators.trim import trim, erase, erase_join  # noqa: F401
 from spandex_spark.operators.simplify import simplify, convex_hull  # noqa: F401
 from spandex_spark.operators.dissolve import dissolve_by, union_by  # noqa: F401

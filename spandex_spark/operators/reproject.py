@@ -20,6 +20,8 @@ round-trips are sub-mm in zone (property-tested)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +52,87 @@ def reproject(df: DataFrame, *, lon_col: str = "lon", lat_col: str = "lat",
             "geom.LCC_ZONES, and the Albers zones in geom.ALBERS_ZONES; "
             "no pyproj in env")
     return df.withColumn(x_col, out["x"]).withColumn(y_col, out["y"])
+
+
+def _vertex_transform(srid: int, inverse: bool):
+    """Numpy (xs, ys) -> (X, Y) for the family owning ``srid``."""
+    if srid == 3857:
+        return (_geom.webmercator_to_lonlat if inverse
+                else _geom.lonlat_to_webmercator)
+    if 32601 <= srid <= 32660 or 32701 <= srid <= 32760:
+        north = srid <= 32660
+        zone = srid - (32600 if north else 32700)
+        fwd = _geom.lonlat_to_utm
+        inv = _geom.utm_to_lonlat
+        if inverse:
+            return lambda x, y: inv(x, y, zone, north)
+        return lambda x, y: fwd(x, y, zone, north)
+    for table, fwd, inv in ((_geom.LCC_ZONES, _geom.lonlat_to_lcc,
+                             _geom.lcc_to_lonlat),
+                            (_geom.ALBERS_ZONES, _geom.lonlat_to_albers,
+                             _geom.albers_to_lonlat)):
+        if srid in table:
+            p1, p2, p0, l0, fe, fn = table[srid]
+            f = inv if inverse else fwd
+            return lambda x, y: f(x, y, phi1=p1, phi2=p2, phi0=p0,
+                                  lam0=l0, fe=fe, fn=fn)
+    raise NotImplementedError(
+        "analytic reprojection supports EPSG:3857, UTM, geom.LCC_ZONES, "
+        "geom.ALBERS_ZONES; no pyproj in env")
+
+
+def reproject_geom(df: DataFrame, *, srid: int, inverse: bool = False,
+                   geom_col: str = "geom",
+                   out_col: str | None = None) -> DataFrame:
+    """ST_Transform on GEOMETRY: every vertex of the struct-of-arrays
+    geometry runs through the family's closed-form series (forward
+    4326 → ``srid``, or ``inverse=True`` for projected → 4326 — the
+    direction that LOADS state-plane parcel layers). The whole Arrow
+    batch's vertices concatenate into ONE numpy kernel call (no per-ring
+    Python), ring structure is untouched, bbox recomputed."""
+    from pyspark.sql.functions import pandas_udf
+    from spandex_spark.operators.trim import _GEOM_TYPE
+
+    fn = _vertex_transform(srid, inverse)
+    out_col = out_col or geom_col
+
+    @pandas_udf(_GEOM_TYPE)
+    def _tx(kind: pd.Series, xs: pd.Series, ys: pd.Series,
+            offs: pd.Series) -> pd.DataFrame:
+        lens = [0 if x is None else len(x) for x in xs]
+        flat_x = np.concatenate(
+            [np.asarray(x, np.float64) for x in xs if x is not None]
+            or [np.empty(0)])
+        flat_y = np.concatenate(
+            [np.asarray(y, np.float64) for y in ys if y is not None]
+            or [np.empty(0)])
+        X, Y = fn(flat_x, flat_y)
+        kinds, oxs, oys, ooffs, bbs = [], [], [], [], []
+        pos = 0
+        for i, n in enumerate(lens):
+            if n == 0:
+                kinds.append(None); oxs.append(None); oys.append(None)
+                ooffs.append(None); bbs.append(None)
+                continue
+            gx = X[pos:pos + n]
+            gy = Y[pos:pos + n]
+            pos += n
+            kinds.append(int(kind.iloc[i]))
+            oxs.append(gx.tolist()); oys.append(gy.tolist())
+            o = offs.iloc[i]
+            ooffs.append([int(v) for v in o] if o is not None else [0, n])
+            bbs.append({"minx": float(gx.min()), "miny": float(gy.min()),
+                        "maxx": float(gx.max()), "maxy": float(gy.max())})
+        return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
+                             "xs": oxs, "ys": oys,
+                             "ring_offsets": ooffs, "bbox": bbs})
+
+    g = F.col(geom_col)
+    out = df.withColumn(out_col, _tx(g["kind"], g["xs"], g["ys"],
+                                     g["ring_offsets"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.kind").isNotNull(),
+                        F.col(out_col)))
 
 
 def reproject_inverse(df: DataFrame, *, from_srid: int,

@@ -369,6 +369,44 @@ class TestReproject:
         with pytest.raises(NotImplementedError):
             reproject_inverse(df, from_srid=27700)
 
+    def test_reproject_geom_matches_kernel(self, spark, fixture_dir):
+        """Vertex-wise ST_Transform on geometry structs: output vertices
+        equal the numpy kernel applied to the raw arrays; ring structure
+        and kind untouched; NULL geometry passes through NULL."""
+        from spandex_spark import geom as G
+        from spandex_spark.operators import reproject_geom
+        parcels = spark.read.parquet(
+            os.path.join(fixture_dir, "parcels.parquet")).limit(40)
+        out = reproject_geom(parcels, srid=3310).collect()
+        src = {r.parcel_id: r.geom for r in parcels.collect()}
+        p = G.ALBERS_ZONES[3310]
+        for r in out:
+            s = src[r.parcel_id]
+            X, Y = G.lonlat_to_albers(
+                np.asarray(s.xs), np.asarray(s.ys), phi1=p[0], phi2=p[1],
+                phi0=p[2], lam0=p[3], fe=p[4], fn=p[5])
+            np.testing.assert_allclose(list(r.geom.xs), X, rtol=0, atol=1e-9)
+            np.testing.assert_allclose(list(r.geom.ys), Y, rtol=0, atol=1e-9)
+            assert list(r.geom.ring_offsets) == list(s.ring_offsets)
+            assert r.geom.kind == s.kind
+            assert r.geom.bbox.minx == pytest.approx(min(X), abs=1e-9)
+        row_null = spark.createDataFrame(
+            [(1, None)],
+            "pid long, geom struct<kind:tinyint, xs:array<double>,"
+            " ys:array<double>, ring_offsets:array<int>,"
+            " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        assert reproject_geom(row_null, srid=3310).collect()[0].geom is None
+
+    def test_perimeter_accessor(self, spark, fixture_dir):
+        """ST_Perimeter: hole boundaries count (PostGIS convention)."""
+        from spandex_spark.functions.spatial import geom_perimeter_udf
+        from spandex_spark.sources.grids import donut_zones_df
+        from pyspark.sql import functions as F
+        vals = (donut_zones_df(spark)
+                .select(geom_perimeter_udf(F.col("geom")).alias("p"))
+                .collect())
+        assert all(r.p == pytest.approx(24.0, abs=1e-12) for r in vals)
+
 
 class TestAsofJoin:
     def test_backward_asof_with_ties_and_missing(self, spark):
