@@ -155,6 +155,33 @@ def _q_reproject_geom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(g["bbox"]["maxy"], 9) + 0.0).alias("y1"))
 
 
+def _q_predicate_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects-family predicate JOIN (operators/predicates.py —
+    interior semantics, holes exact): (parcel, donut) pairs whose
+    INTERIORS overlap; oracle = the rect-minus-hole arithmetic pair list
+    (1152 pairs, same geometry as intersect_donut)."""
+    from spandex_spark.operators.predicates import spatial_predicate_join
+    from spandex_spark.sources.grids import donut_zones_df
+    out = spatial_predicate_join(
+        parcels_df(spark), donut_zones_df(spark),
+        predicate="interior_intersects", target_id_col="parcel_id",
+        other_id_col="dz_id", level=7)
+    return out.select("parcel_id", "dz_id")
+
+
+def _q_predicate_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Within predicate JOIN: parcels lying entirely inside a donut's
+    ring REGION (inside the outer square, disjoint from the hole — the
+    even-odd containment the area-equality kernel must get exactly
+    right). Closed-form rectangle containment oracle."""
+    from spandex_spark.operators.predicates import spatial_predicate_join
+    from spandex_spark.sources.grids import donut_zones_df
+    out = spatial_predicate_join(
+        parcels_df(spark), donut_zones_df(spark), predicate="within",
+        target_id_col="parcel_id", other_id_col="dz_id", level=7)
+    return out.select("parcel_id", "dz_id")
+
+
 def _q_geom_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry accessor/measurement surface in one oracled sweep —
     ST_NPoints / ST_NumInteriorRings-ish ring count (pure JVM: size of
@@ -1533,6 +1560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erase_join_donuts": _q_erase_join_donuts,
         "geom_accessors": _q_geom_accessors,
         "reproject_geom_roundtrip": _q_reproject_geom_roundtrip,
+        "predicate_intersects": _q_predicate_intersects,
+        "predicate_within": _q_predicate_within,
         "reproject_roundtrip": _q_reproject_roundtrip,
         "buffer_lshape": _q_buffer_lshape,
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
@@ -2500,6 +2529,35 @@ def oracle_sql() -> dict[str, str]:
                      + 5.0 * 2.0 * (0.0625 * sin(2 * pi() / 8) / 2)
                      - 0.0625, 6) + 0.0 AS area
         FROM l
+    """
+    d["predicate_intersects"] = f"""
+        WITH z AS (
+          SELECT z AS dz_id,
+                 CAST(z % 4 AS DOUBLE) * 4 - 8 AS zx0,
+                 CAST((z - z % 4) / 4 AS DOUBLE) * 4 - 8 AS zy0
+          FROM range(16) t(z)
+        )
+        SELECT p.parcel_id, z.dz_id
+        FROM ({_PARCELS}) p CROSS JOIN z
+        WHERE GREATEST(0.0, LEAST(p.x1, z.zx0 + 4.0) - GREATEST(p.x0, z.zx0))
+              * GREATEST(0.0, LEAST(p.y1, z.zy0 + 4.0) - GREATEST(p.y0, z.zy0))
+            - GREATEST(0.0, LEAST(p.x1, z.zx0 + 3.0) - GREATEST(p.x0, z.zx0 + 1.0))
+              * GREATEST(0.0, LEAST(p.y1, z.zy0 + 3.0) - GREATEST(p.y0, z.zy0 + 1.0))
+              > 0.0
+    """
+    d["predicate_within"] = f"""
+        WITH z AS (
+          SELECT z AS dz_id,
+                 CAST(z % 4 AS DOUBLE) * 4 - 8 AS zx0,
+                 CAST((z - z % 4) / 4 AS DOUBLE) * 4 - 8 AS zy0
+          FROM range(16) t(z)
+        )
+        SELECT p.parcel_id, z.dz_id
+        FROM ({_PARCELS}) p CROSS JOIN z
+        WHERE p.x0 >= z.zx0 AND p.x1 <= z.zx0 + 4.0
+          AND p.y0 >= z.zy0 AND p.y1 <= z.zy0 + 4.0
+          AND (p.x1 <= z.zx0 + 1.0 OR p.x0 >= z.zx0 + 3.0
+               OR p.y1 <= z.zy0 + 1.0 OR p.y0 >= z.zy0 + 3.0)
     """
     d["reproject_geom_roundtrip"] = f"""
         SELECT parcel_id,

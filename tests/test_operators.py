@@ -787,3 +787,49 @@ class TestBufferPolygons:
         df = spark.createDataFrame([row], self.GEOM_SCHEMA)
         out = buffer_polygons(df, radius=0.2, segments=8).collect()[0]
         assert out.geom_buffered is None
+
+
+class TestSpatialPredicateJoin:
+    def test_contains_within_duality_and_hole_exactness(self, spark):
+        """contains(donuts, parcels) must be exactly the flipped pair set
+        of within(parcels, donuts); a parcel overlapping only the HOLE
+        must appear in neither (even-odd region, not the outer bbox)."""
+        from pyspark.sql import functions as F
+        from spandex_spark.operators import spatial_predicate_join
+        from spandex_spark.sources.grids import donut_zones_df, parcels_df
+        parcels = parcels_df(spark)
+        donuts = donut_zones_df(spark)
+        w = {(r.parcel_id, r.dz_id) for r in spatial_predicate_join(
+            parcels, donuts, predicate="within",
+            target_id_col="parcel_id", other_id_col="dz_id",
+            level=7).collect()}
+        c = {(r.parcel_id, r.dz_id) for r in spatial_predicate_join(
+            donuts, parcels, predicate="contains",
+            target_id_col="dz_id", other_id_col="parcel_id",
+            level=7).collect()}
+        assert w == c
+        assert len(w) > 0
+        # a parcel strictly inside some donut's hole: hole of donut z is
+        # [zx0+1, zx0+3]^2; parcel [x0,x0+.5] with zx0+1 < x0 < x0+.5 < zx0+3
+        hole_parcels = {r.parcel_id for r in parcels.filter(
+            (F.col("geom.bbox.minx") > -7.0) & (F.col("geom.bbox.maxx") < -5.0)
+            & (F.col("geom.bbox.miny") > -7.0)
+            & (F.col("geom.bbox.maxy") < -5.0)).collect()}
+        assert hole_parcels
+        ii = {(r.parcel_id, r.dz_id) for r in spatial_predicate_join(
+            parcels, donuts, predicate="interior_intersects",
+            target_id_col="parcel_id", other_id_col="dz_id",
+            level=7).collect()}
+        for pid in hole_parcels:
+            assert all(p != pid for p, _ in ii)
+            assert all(p != pid for p, _ in w)
+
+    def test_unknown_predicate_raises(self, spark):
+        from spandex_spark.operators import spatial_predicate_join
+        from spandex_spark.sources.grids import donut_zones_df, parcels_df
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            spatial_predicate_join(parcels_df(spark), donut_zones_df(spark),
+                                   predicate="touches",
+                                   target_id_col="parcel_id",
+                                   other_id_col="dz_id")
