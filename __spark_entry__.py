@@ -169,6 +169,21 @@ def _q_predicate_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("parcel_id", "dz_id")
 
 
+def _q_predicate_intersects_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predicate join's BIG-both-sides route (broadcast_others=False —
+    pairs meet in a shuffled cell join instead of a broadcast): must
+    produce the identical pair set — same oracle as predicate_intersects.
+    The scale path the tag_shuffle/knn_cells queries prove for their
+    operators, proven here for the predicate chassis."""
+    from spandex_spark.operators.predicates import spatial_predicate_join
+    from spandex_spark.sources.grids import donut_zones_df
+    out = spatial_predicate_join(
+        parcels_df(spark), donut_zones_df(spark),
+        predicate="interior_intersects", target_id_col="parcel_id",
+        other_id_col="dz_id", level=7, broadcast_others=False)
+    return out.select("parcel_id", "dz_id")
+
+
 def _q_predicate_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Within predicate JOIN: parcels lying entirely inside a donut's
     ring REGION (inside the outer square, disjoint from the hole — the
@@ -1515,10 +1530,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, rotated back next round).  No query may go more than 2
     # rounds unverified.
     # r5 head: the 31 queries that were outside the r4 window (all were
-    # r3-green; after this round they are freshly verified again), then
-    # this round's new queries.  The 50 r4-verified queries rotate to the
-    # tail; the first ~15 of them still land inside the window.  The
-    # ordering below guarantees no query is ever >2 rounds unverified.
+    # r3-green; after r5 they are freshly verified again), then the 15
+    # r5-new queries.  The 50 r4-verified queries rotate to the tail;
+    # the first 4 of them (bpe_piece_count..embedding_neardup) still
+    # land inside the 50-entry window.
+    # r6 OBLIGATION: the 46 r4-verified entries BELOW the r5 window
+    # (dup_clusters .. geotag) must lead the r6 dict — they will then be
+    # exactly 2 rounds since last check, the policy's hard ceiling.
+    # That leaves only 4 in-window slots for r6-new queries; if r6 adds
+    # more, prefer equality-variants that SHARE an existing oracle and
+    # rotate the excess into r7's guaranteed head.
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
@@ -1562,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_geom_roundtrip": _q_reproject_geom_roundtrip,
         "predicate_intersects": _q_predicate_intersects,
         "predicate_within": _q_predicate_within,
+        "predicate_intersects_shuffle": _q_predicate_intersects_shuffle,
         "reproject_roundtrip": _q_reproject_roundtrip,
         "buffer_lshape": _q_buffer_lshape,
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
@@ -2545,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
               * GREATEST(0.0, LEAST(p.y1, z.zy0 + 3.0) - GREATEST(p.y0, z.zy0 + 1.0))
               > 0.0
     """
+    d["predicate_intersects_shuffle"] = d["predicate_intersects"]
     d["predicate_within"] = f"""
         WITH z AS (
           SELECT z AS dz_id,
