@@ -155,6 +155,58 @@ def _q_reproject_geom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(g["bbox"]["maxy"], 9) + 0.0).alias("y1"))
 
 
+def _q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel raster algebra (operators/zonal.py::map_algebra — the
+    rastertoolz matrix-arithmetic analog, kept ENTIRELY in JVM codegen
+    via zip_with; no Python, no payload shuffle beyond the grid-key
+    join): a normalized-difference index (a−b)/(a+b) of two analytic
+    linear rasters, every pixel closed-form."""
+    from spandex_spark.operators.zonal import map_algebra
+
+    def tiles(c0, cx, cy):
+        t = spark.range(16).select(F.col("id").alias("tile_id"))
+        x0 = -4.0 + (F.col("tile_id") % 4).cast("double") * 2.0
+        y0 = -4.0 + F.floor(F.col("tile_id") / 4).cast("double") * 2.0
+        vals = F.transform(
+            F.sequence(F.lit(0), F.lit(399)),
+            lambda p: c0 + cx * (x0 + ((p % 20).cast("double") + 0.5) * 0.1)
+            + cy * (y0 + (F.floor(p / 20).cast("double") + 0.5) * 0.1))
+        return t.select("tile_id", x0.alias("x0"), y0.alias("y0"),
+                        F.lit(0.1).alias("res"), F.lit(20).alias("nx"),
+                        F.lit(20).alias("ny"), vals.alias("values"))
+
+    a = tiles(F.lit(100.0), F.lit(3.0), F.lit(-1.5))
+    b = tiles(F.lit(50.0), F.lit(1.0), F.lit(1.0))
+    nd = map_algebra(a, b, lambda x, y: (x - y) / (x + y))
+    px = nd.select("x0", "y0", "res", "nx",
+                   F.posexplode("values").alias("p", "v"))
+    lon_c = F.col("x0") + ((F.col("p") % F.col("nx")).cast("double") + 0.5) * F.col("res")
+    lat_c = F.col("y0") + (F.floor(F.col("p") / F.col("nx")).cast("double") + 0.5) * F.col("res")
+    return px.select((F.round(lon_c, 9) + 0.0).alias("lon_c"),
+                     (F.round(lat_c, 9) + 0.0).alias("lat_c"),
+                     (F.round(F.col("v"), 9) + 0.0).alias("v"))
+
+
+def _q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_LineInterpolatePoint (operators/lines.py::line_interpolate):
+    points at per-query fractions along the meridional roads — closed
+    form lat = −10 + 20·f on a straight line (the mid vertex exercises
+    the cumulative-length segment walk)."""
+    from spandex_spark.operators.lines import line_interpolate
+    from spandex_spark.sources.grids import roads_df
+    outs = []
+    for i, f in enumerate((0.0, 0.125, 0.35, 0.5, 0.75, 1.0)):
+        o = line_interpolate(roads_df(spark), fraction=f)
+        outs.append(o.select(
+            "road_id", F.lit(i).cast("long").alias("fi"),
+            (F.round(F.col("point.x"), 9) + 0.0).alias("px"),
+            (F.round(F.col("point.y"), 9) + 0.0).alias("py")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _q_predicate_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Intersects-family predicate JOIN (operators/predicates.py —
     interior semantics, holes exact): (parcel, donut) pairs whose
@@ -1584,6 +1636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_intersects": _q_predicate_intersects,
         "predicate_within": _q_predicate_within,
         "predicate_intersects_shuffle": _q_predicate_intersects_shuffle,
+        "raster_algebra": _q_raster_algebra,
+        "line_interpolate": _q_line_interpolate,
         "reproject_roundtrip": _q_reproject_roundtrip,
         "buffer_lshape": _q_buffer_lshape,
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
@@ -2568,6 +2622,33 @@ def oracle_sql() -> dict[str, str]:
               > 0.0
     """
     d["predicate_intersects_shuffle"] = d["predicate_intersects"]
+    d["raster_algebra"] = """
+        WITH px AS (
+          SELECT -4.0 + CAST(t % 4 AS DOUBLE) * 2.0
+                   + (CAST(p % 20 AS DOUBLE) + 0.5) * 0.1 AS lon,
+                 -4.0 + CAST((t - t % 4) / 4 AS DOUBLE) * 2.0
+                   + (CAST((p - p % 20) / 20 AS DOUBLE) + 0.5) * 0.1 AS lat
+          FROM range(16) a(t), range(400) b(p)
+        ), v AS (
+          SELECT lon, lat,
+                 100.0 + 3.0 * lon - 1.5 * lat AS va,
+                 50.0 + lon + lat AS vb
+          FROM px
+        )
+        SELECT round(lon, 9) + 0.0 AS lon_c, round(lat, 9) + 0.0 AS lat_c,
+               round((va - vb) / (va + vb), 9) + 0.0 AS v
+        FROM v
+    """
+    d["line_interpolate"] = """
+        WITH f AS (
+          SELECT * FROM (VALUES (0, 0.0), (1, 0.125), (2, 0.35),
+                                (3, 0.5), (4, 0.75), (5, 1.0)) t(fi, frac)
+        )
+        SELECT r AS road_id, CAST(fi AS BIGINT) AS fi,
+               round(CAST(r - 8 AS DOUBLE), 9) + 0.0 AS px,
+               round(-10.0 + 20.0 * CAST(frac AS DOUBLE), 9) + 0.0 AS py
+        FROM range(17) t(r) CROSS JOIN f
+    """
     d["predicate_within"] = f"""
         WITH z AS (
           SELECT z AS dz_id,

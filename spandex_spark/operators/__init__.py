@@ -2,7 +2,8 @@ from spandex_spark.operators.tag import tag_points, tag  # noqa: F401
 from spandex_spark.operators.overlay import proportion_overlap, intersection_join  # noqa: F401
 from spandex_spark.operators.knn import knn_join  # noqa: F401
 from spandex_spark.operators.zonal import (  # noqa: F401
-    zonal_stats, clip_raster, downsample, raster_sample, resample_tiles)
+    zonal_stats, clip_raster, downsample, raster_sample, resample_tiles,
+    map_algebra)
 from spandex_spark.operators.scaling import scale_to_targets  # noqa: F401
 from spandex_spark.operators.validate import (  # noqa: F401
     invalid_geometry_check, duplicate_stacked_geometry_check, make_valid)
@@ -15,6 +16,6 @@ from spandex_spark.operators.distance import within_distance_join  # noqa: F401
 from spandex_spark.operators.predicates import spatial_predicate_join  # noqa: F401
 from spandex_spark.operators.buffer import buffer_points, buffer_polygons  # noqa: F401
 from spandex_spark.operators.lines import (  # noqa: F401
-    nearest_line_join, line_length, clip_lines)
+    nearest_line_join, line_length, clip_lines, line_interpolate)
 from spandex_spark.operators.cluster import grid_cluster  # noqa: F401
 from spandex_spark.operators.timeseries import time_rollup, asof_join  # noqa: F401

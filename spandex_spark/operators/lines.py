@@ -383,3 +383,58 @@ def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
             pass  # SparkSession already stopped — nothing left to free
     weakref.finalize(result, _drop)
     return result
+
+
+_POINT_TYPE = T.StructType([T.StructField("x", T.DoubleType()),
+                            T.StructField("y", T.DoubleType())])
+
+
+def line_interpolate(df: DataFrame, *, fraction: float,
+                     geom_col: str = "geom",
+                     out_col: str = "point") -> DataFrame:
+    """ST_LineInterpolatePoint (planar): the point at ``fraction`` (0..1)
+    of the line's length from its start vertex. Single-part linestrings
+    only — PostGIS raises on multilinestrings and so does the contract
+    here (multi-part rows return NULL; run ST_LineMerge-style
+    concatenation upstream if parts chain). Vectorized per Arrow batch;
+    zero shuffles."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+
+    @pandas_udf(_POINT_TYPE)
+    def _interp(kind: pd.Series, xs: pd.Series, ys: pd.Series,
+                offs: pd.Series) -> pd.DataFrame:
+        ox = np.full(len(xs), np.nan)
+        oy = np.full(len(xs), np.nan)
+        for i in range(len(xs)):
+            k = kind.iloc[i]
+            if k is None or pd.isna(k) or int(k) != 2:
+                continue
+            o = offs.iloc[i]
+            if o is not None and len(o) > 2:
+                continue  # multi-part: NULL (documented)
+            rx = np.asarray(xs.iloc[i], np.float64)
+            ry = np.asarray(ys.iloc[i], np.float64)
+            if rx.shape[0] < 2:
+                continue
+            seg = np.hypot(np.diff(rx), np.diff(ry))
+            total = seg.sum()
+            if total == 0:
+                ox[i], oy[i] = rx[0], ry[0]
+                continue
+            target = fraction * total
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            j = int(np.searchsorted(cum, target, side="right") - 1)
+            j = min(j, seg.shape[0] - 1)
+            t = (target - cum[j]) / seg[j] if seg[j] > 0 else 0.0
+            ox[i] = rx[j] + t * (rx[j + 1] - rx[j])
+            oy[i] = ry[j] + t * (ry[j + 1] - ry[j])
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    g = F.col(geom_col)
+    out = df.withColumn(out_col, _interp(g["kind"], g["xs"], g["ys"],
+                                         g["ring_offsets"]))
+    # the kernel's NaN crosses Arrow as null in the struct fields — mask
+    # the whole struct to a real NULL for unsupported rows
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.x").isNotNull(), F.col(out_col)))

@@ -453,3 +453,23 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
 
     return joined.groupBy("otile_id").applyInPandas(
         lambda pdf: _interp(pdf), out_schema)
+
+
+def map_algebra(a: DataFrame, b: DataFrame, fn, *,
+                out_col: str = "values") -> DataFrame:
+    """Per-pixel raster algebra between two ALIGNED tile tables (same
+    tiling: rows join on the full grid key tile_id/x0/y0/res/nx/ny, so a
+    grid mismatch surfaces as missing output tiles, never silently
+    misaligned pixels). ``fn`` is a Column->Column binary (e.g.
+    ``lambda x, y: (x - y) / (x + y)``) applied via ``zip_with`` — the
+    whole computation stays in JVM codegen, no Python, no shuffle beyond
+    the tile-key join (broadcast when one side is small, AQE otherwise).
+    The rastertoolz analog is numpy matrix arithmetic after to_matrix;
+    here the matrices never leave the executors."""
+    keys = ["tile_id", "x0", "y0", "res", "nx", "ny"]
+    if "res_y" in a.columns and "res_y" in b.columns:
+        keys.append("res_y")
+    left = a.select(*keys, F.col("values").alias("_va"))
+    right = b.select(*keys, F.col("values").alias("_vb"))
+    joined = left.join(right, keys, "inner")
+    return joined.select(*keys, F.zip_with("_va", "_vb", fn).alias(out_col))

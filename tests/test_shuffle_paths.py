@@ -494,3 +494,57 @@ class TestResampleTiles:
         assert len(out) == 1
         got = np.array(out[0].values).reshape(20, 20)
         np.testing.assert_allclose(got, src[(-2.0, -2.0)], rtol=0, atol=1e-12)
+
+
+class TestMapAlgebraAndInterpolate:
+    def test_map_algebra_jvm_and_mismatch(self, spark):
+        """zip_with per-pixel algebra: exact values, ZERO Python operators
+        in the plan; a grid-key mismatch drops the tile instead of
+        silently misaligning pixels."""
+        from pyspark.sql import functions as F
+        from spandex_spark.operators.zonal import map_algebra
+        from spandex_spark.sources.grids import raster_tiles_df
+        a = raster_tiles_df(spark)
+        b = a.withColumn("values", F.transform("values", lambda v: v * 0 + 2.0))
+        out = map_algebra(a, b, lambda x, y: x * y + 1.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+        src = {r.tile_id: r.values for r in a.collect()}
+        for r in out.collect():
+            want = [v * 2.0 + 1.0 for v in src[r.tile_id]]
+            assert list(r.values) == pytest.approx(want)
+        shifted = b.withColumn("x0", F.col("x0") + 0.5)
+        assert map_algebra(a, shifted, lambda x, y: x + y).count() == 0
+
+    def test_line_interpolate_contract(self, spark):
+        """Fraction 0/1 land on the endpoints; a multi-part line and a
+        non-line geometry return NULL; out-of-range fraction raises."""
+        from spandex_spark.operators.lines import line_interpolate
+        schema = ("lid long, geom struct<kind:tinyint, xs:array<double>,"
+                  " ys:array<double>, ring_offsets:array<int>,"
+                  " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+        rows = [
+            (1, {"kind": 2, "xs": [0.0, 1.0, 1.0], "ys": [0.0, 0.0, 2.0],
+                 "ring_offsets": [0, 3],
+                 "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 1.0, "maxy": 2.0}}),
+            (2, {"kind": 2, "xs": [0.0, 1.0, 5.0, 6.0], "ys": [0.0, 0.0, 0.0, 0.0],
+                 "ring_offsets": [0, 2, 4],
+                 "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 6.0, "maxy": 0.0}}),
+            (3, {"kind": 3, "xs": [0.0, 1.0, 0.0], "ys": [0.0, 0.0, 1.0],
+                 "ring_offsets": [0, 3],
+                 "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 1.0, "maxy": 1.0}}),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        at0 = {r.lid: r.point for r in
+               line_interpolate(df, fraction=0.0).collect()}
+        at1 = {r.lid: r.point for r in
+               line_interpolate(df, fraction=1.0).collect()}
+        mid = {r.lid: r.point for r in
+               line_interpolate(df, fraction=2.0 / 3.0).collect()}
+        assert (at0[1].x, at0[1].y) == (0.0, 0.0)
+        assert (at1[1].x, at1[1].y) == (1.0, 2.0)
+        # length 3: 2/3 of the way = 2.0 along → 1.0 into second segment
+        assert mid[1].x == pytest.approx(1.0) and mid[1].y == pytest.approx(1.0)
+        assert at0[2] is None and at0[3] is None
+        with pytest.raises(ValueError):
+            line_interpolate(df, fraction=1.5)
