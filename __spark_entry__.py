@@ -1582,16 +1582,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, rotated back next round).  No query may go more than 2
     # rounds unverified.
     # r5 head: the 31 queries that were outside the r4 window (all were
-    # r3-green; after r5 they are freshly verified again), then the 15
+    # r3-green; after r5 they are freshly verified again), then the 17
     # r5-new queries.  The 50 r4-verified queries rotate to the tail;
-    # the first 4 of them (bpe_piece_count..embedding_neardup) still
-    # land inside the 50-entry window.
-    # r6 OBLIGATION: the 46 r4-verified entries BELOW the r5 window
-    # (dup_clusters .. geotag) must lead the r6 dict — they will then be
+    # the first 2 (bpe_piece_count, fingerprint) still land inside the
+    # 50-entry window.
+    # r6 OBLIGATION: the 48 r4-verified entries BELOW the r5 window
+    # (ann_topk .. geotag) must lead the r6 dict — they will then be
     # exactly 2 rounds since last check, the policy's hard ceiling.
-    # That leaves only 4 in-window slots for r6-new queries; if r6 adds
-    # more, prefer equality-variants that SHARE an existing oracle and
-    # rotate the excess into r7's guaranteed head.
+    # That leaves only 2 in-window slots for r6-new queries; r5 therefore
+    # FROZE its own additions at 17 — r6 should add at most 2 oracled
+    # queries (new operators can land pytest-first and join the window
+    # in r7, whose head has 31+ free slots again).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
