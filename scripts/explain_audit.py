@@ -117,6 +117,15 @@ CHECKS = {
         ("ArrowEvalPython", "vectorized Snyder inverse series"),
         (r"^(?![\s\S]*Exchange)", "ZERO shuffles — pure per-row math"),
     ],
+    "map_algebra (per-pixel zip_with)": [
+        (r"zip_with", "pixel math inside JVM codegen"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators"),
+    ],
+    "spatial_predicate_join (interior_intersects)": [
+        ("BroadcastHashJoin", "other side broadcast (refpoint pairs)"),
+        ("ArrowEvalPython", "exact inclusion-exclusion area predicate"),
+    ],
 }
 
 
@@ -227,6 +236,16 @@ def main():
     plans["reproject_inverse (LCC → 4326)"] = reproject_inverse(
         reproject(pts, to_srid=26943), from_srid=26943,
         lon_col="lon2", lat_col="lat2")
+    from spandex_spark.operators.zonal import map_algebra
+    ra = raster_tiles_df(spark)
+    plans["map_algebra (per-pixel zip_with)"] = map_algebra(
+        ra, ra, lambda x, y: (x - y) / (x + y + F.lit(1.0)))
+    from spandex_spark.operators.predicates import spatial_predicate_join
+    plans["spatial_predicate_join (interior_intersects)"] = \
+        spatial_predicate_join(parcels_df(spark), donut_zones_df(spark),
+                               predicate="interior_intersects",
+                               target_id_col="parcel_id",
+                               other_id_col="dz_id", level=7)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

@@ -174,3 +174,32 @@ def stream_append_table(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_read_table(spark: SparkSession, table_root: str, *,
+                      max_files_per_trigger: int = 8):
+    """IcebergishTable as a STREAMING SOURCE (the Iceberg incremental-read
+    analog): new snapshots' data files are discovered by Spark's file
+    stream source as they land under ``<root>/data/*/`` — each append
+    (batch or stream_append_table snapshot) becomes future micro-batches,
+    so a downstream pipeline tails the table.
+
+    Semantics and limits, stated honestly: the file source tracks FILES,
+    not snapshots — rows stream in file granularity (a multi-file
+    snapshot may split across micro-batches), compaction REWRITES would
+    re-deliver old rows (run GC/compaction on tables being tailed only
+    between stream restarts with fresh checkpoints — same operational
+    rule Iceberg's own CDC-less incremental read has for rewrites), and
+    the schema comes from the current snapshot manifest."""
+    import os
+    from pyspark.sql import types as T
+    from spandex_spark.tables import IcebergishTable
+
+    table = IcebergishTable(table_root)
+    snap = table.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"empty Icebergish table at {table_root}")
+    schema = T.StructType.fromJson(snap["schema"])
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(os.path.join(table_root, "data", "*")))

@@ -3,6 +3,8 @@
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spandex_spark.geotag import geotag
@@ -125,3 +127,47 @@ def test_stream_append_icebergish_table(spark, fixture_dir, tmp_path):
     q2 = stream_append_table(spark, src, troot, str(tmp_path / "ckpt"))
     q2.awaitTermination()
     assert IcebergishTable(troot).read(spark).count() == batch.count()
+
+
+def test_stream_read_table_tails_appends(spark, tmp_path):
+    """IcebergishTable as a streaming SOURCE: existing snapshots arrive,
+    then a NEW append is picked up by the running stream."""
+    import time
+    from pyspark.sql import functions as F
+    from spandex_spark.streaming.ingest import stream_read_table
+    from spandex_spark.tables import IcebergishTable
+    troot = str(tmp_path / "src_tbl")
+    t = IcebergishTable(troot)
+    t.append(spark.range(0, 100).select(F.col("id").alias("k"),
+                                        (F.col("id") * 2).alias("v")))
+    stream = stream_read_table(spark, troot)
+    q = (stream.writeStream.format("memory").queryName("tbl_tail")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) n from tbl_tail").collect()[0].n == 100:
+                break
+            time.sleep(0.5)
+        assert spark.sql("select count(*) n from tbl_tail").collect()[0].n == 100
+        t.append(spark.range(100, 150).select(F.col("id").alias("k"),
+                                              (F.col("id") * 2).alias("v")))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) n from tbl_tail").collect()[0].n == 150:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select * from tbl_tail").collect()
+        assert len(rows) == 150
+        assert {r.k for r in rows} == set(range(150))
+        assert all(r.v == r.k * 2 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stream_read_table_empty_raises(spark, tmp_path):
+    from spandex_spark.streaming.ingest import stream_read_table
+    with pytest.raises(FileNotFoundError):
+        stream_read_table(spark, str(tmp_path / "nope"))
