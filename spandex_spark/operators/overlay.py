@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from spandex_spark import geom as _geom
+from spandex_spark.functions.cells_sql import explode_bbox_cells
 from spandex_spark.functions.spatial import cover_cells_udf
 
 
@@ -58,20 +59,6 @@ def _poly_area(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
         out[i] = _geom.rings_area(
             np.asarray(xs.iloc[i], np.float64), np.asarray(ys.iloc[i], np.float64),
             np.asarray(o, np.int64) if o is not None and len(o) > 2 else None)
-    return pd.Series(out)
-
-
-@pandas_udf(T.ArrayType(T.LongType()))
-def _bbox_cells_udf(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
-                    maxy: pd.Series, level: pd.Series) -> pd.Series:
-    """Covering cells of each bbox (refpoint-dedup join key: the
-    bbox-intersection min corner is guaranteed inside one of these)."""
-    from spandex_spark import cells as _cells
-    lvl = int(level.iloc[0])
-    out = []
-    for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy):
-        out.append(_cells.cover_bbox(float(x0), float(y0),
-                                     float(x1), float(y1), lvl).tolist())
     return pd.Series(out)
 
 
@@ -173,19 +160,19 @@ def proportion_overlap(targets: DataFrame, overlays: DataFrame, *,
                           F.col("geom").alias("_ogeom"))
 
     if pair_dedup == "refpoint":
-        cover_t = _bbox_cells_udf(F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-                                  F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"),
-                                  F.lit(level))
-        cover_o = _bbox_cells_udf(F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
-                                  F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"),
-                                  F.lit(level))
+        tgt_cells = explode_bbox_cells(
+            tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
+            F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+        ovl_cells = explode_bbox_cells(
+            ovl, F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
+            F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"), level)
     elif pair_dedup == "shuffle":
-        cover_t = cover_cells_udf(F.col("_tgeom"), level)
-        cover_o = cover_cells_udf(F.col("_ogeom"), level)
+        tgt_cells = tgt.withColumn(
+            "cell", F.explode(cover_cells_udf(F.col("_tgeom"), level)))
+        ovl_cells = ovl.withColumn(
+            "cell", F.explode(cover_cells_udf(F.col("_ogeom"), level)))
     else:
         raise ValueError(f"unknown pair_dedup {pair_dedup!r}")
-    tgt_cells = tgt.withColumn("cell", F.explode(cover_t))
-    ovl_cells = ovl.withColumn("cell", F.explode(cover_o))
     if broadcast_overlays:
         ovl_cells = F.broadcast(ovl_cells)
 
@@ -272,14 +259,12 @@ def intersection_join(targets: DataFrame, overlays: DataFrame, *,
                          F.col("geom").alias("_tgeom"))
     ovl = overlays.select(F.col(overlay_id_col).alias("_oid"),
                           F.col("geom").alias("_ogeom"))
-    cover_t = _bbox_cells_udf(F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-                              F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"),
-                              F.lit(level))
-    cover_o = _bbox_cells_udf(F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
-                              F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"),
-                              F.lit(level))
-    tgt_cells = tgt.withColumn("cell", F.explode(cover_t))
-    ovl_cells = ovl.withColumn("cell", F.explode(cover_o))
+    tgt_cells = explode_bbox_cells(
+        tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
+        F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+    ovl_cells = explode_bbox_cells(
+        ovl, F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
+        F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"), level)
     if broadcast_overlays:
         ovl_cells = F.broadcast(ovl_cells)
     pairs = tgt_cells.join(ovl_cells, "cell", "inner")

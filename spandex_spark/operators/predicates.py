@@ -45,21 +45,19 @@ def spatial_predicate_join(targets: DataFrame, others: DataFrame, *,
     if predicate not in _PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r} "
                          f"(one of {_PREDICATES})")
-    from spandex_spark.functions.cells_sql import cell_of_expr
-    from spandex_spark.operators.overlay import _bbox_cells_udf
+    from spandex_spark.functions.cells_sql import (cell_of_expr,
+                                                   explode_bbox_cells)
 
     tgt = targets.select(F.col(target_id_col).alias("_tid"),
                          F.col("geom").alias("_tgeom"))
     oth = others.select(F.col(other_id_col).alias("_oid"),
                         F.col("geom").alias("_ogeom"))
-    cover_t = _bbox_cells_udf(F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-                              F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"),
-                              F.lit(level))
-    cover_o = _bbox_cells_udf(F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
-                              F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"),
-                              F.lit(level))
-    tgt_cells = tgt.withColumn("cell", F.explode(cover_t))
-    oth_cells = oth.withColumn("cell", F.explode(cover_o))
+    tgt_cells = explode_bbox_cells(
+        tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
+        F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+    oth_cells = explode_bbox_cells(
+        oth, F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
+        F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"), level)
     if broadcast_others:
         oth_cells = F.broadcast(oth_cells)
     pairs = tgt_cells.join(oth_cells, "cell", "inner")
@@ -85,6 +83,24 @@ def spatial_predicate_join(targets: DataFrame, others: DataFrame, *,
             & (F.col("_tgeom.bbox.maxx") <= F.col("_ogeom.bbox.maxx"))
             & (F.col("_tgeom.bbox.miny") >= F.col("_ogeom.bbox.miny"))
             & (F.col("_tgeom.bbox.maxy") <= F.col("_ogeom.bbox.maxy")))
+
+    # rect×rect fast path (the overlay chassis rule): canonical rects
+    # resolve every predicate from bbox arithmetic in pure JVM codegen —
+    # only general polygons cross into Python
+    from spandex_spark.operators.overlay import is_canonical_rect
+    ta, ob = F.col("_tgeom"), F.col("_ogeom")
+    both_rect = is_canonical_rect(ta) & is_canonical_rect(ob)
+    if predicate == "interior_intersects":
+        rect_cond = ((ta["bbox"]["minx"] < ob["bbox"]["maxx"])
+                     & (ta["bbox"]["maxx"] > ob["bbox"]["minx"])
+                     & (ta["bbox"]["miny"] < ob["bbox"]["maxy"])
+                     & (ta["bbox"]["maxy"] > ob["bbox"]["miny"]))
+    else:
+        # the contains/within bbox prune above already IS rect
+        # containment; positive area is guaranteed by canonical rects
+        rect_cond = F.lit(True)
+    rect_pairs = pairs.filter(both_rect).filter(rect_cond)
+    gen = pairs.filter(~both_rect)
 
     @pandas_udf(T.BooleanType())
     def _holds(txs: pd.Series, tys: pd.Series, toffs: pd.Series,
@@ -112,8 +128,8 @@ def spatial_predicate_join(targets: DataFrame, others: DataFrame, *,
                 out[i] = a > 0 and abs(ix - a) <= 1e-12 * max(a, 1.0)
         return pd.Series(out)
 
-    a, b = F.col("_tgeom"), F.col("_ogeom")
-    kept = pairs.filter(_holds(a["xs"], a["ys"], a["ring_offsets"],
-                               b["xs"], b["ys"], b["ring_offsets"]))
+    gen_kept = gen.filter(_holds(ta["xs"], ta["ys"], ta["ring_offsets"],
+                                 ob["xs"], ob["ys"], ob["ring_offsets"]))
+    kept = rect_pairs.unionByName(gen_kept)
     return kept.select(F.col("_tid").alias(target_id_col),
                        F.col("_oid").alias(other_id_col))

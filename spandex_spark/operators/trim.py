@@ -186,20 +186,18 @@ def erase_join(targets: DataFrame, masks: DataFrame, *,
     the masks implicitly). Same executor-sized-group contract as
     union_by.
     """
-    from spandex_spark.functions.cells_sql import cell_of_expr
-    from spandex_spark.operators.overlay import _bbox_cells_udf
+    from spandex_spark.functions.cells_sql import (cell_of_expr,
+                                                   explode_bbox_cells)
 
     tgt = targets.select(F.col(target_id_col).alias("_tid"),
                          F.col("geom").alias("_tgeom"))
     msk = masks.select(F.col("geom").alias("_ogeom"))
-    cover_t = _bbox_cells_udf(F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-                              F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"),
-                              F.lit(level))
-    cover_o = _bbox_cells_udf(F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
-                              F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"),
-                              F.lit(level))
-    tgt_cells = tgt.withColumn("cell", F.explode(cover_t))
-    msk_cells = msk.withColumn("cell", F.explode(cover_o))
+    tgt_cells = explode_bbox_cells(
+        tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
+        F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+    msk_cells = explode_bbox_cells(
+        msk, F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
+        F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"), level)
     if broadcast_masks:
         msk_cells = F.broadcast(msk_cells)
     pairs = tgt_cells.join(msk_cells, "cell", "inner")

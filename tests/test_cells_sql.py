@@ -34,3 +34,29 @@ def test_parent_expr_matches_numpy(spark):
         cell_parent_expr(F.col("c"), 12, 7).alias("p")).collect()])
     want = cells.parent(cells.cell_of(lon, lat, 12), 7)
     np.testing.assert_array_equal(got, want)
+
+
+def test_bbox_cells_expr_bit_identical(spark):
+    """The JVM bbox cover must equal cells.cover_bbox cell-for-cell on
+    random boxes (incl. out-of-window clamping) at several levels."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from spandex_spark import cells as C
+    from spandex_spark.functions.cells_sql import bbox_cells_expr
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(300):
+        x0 = float(rng.uniform(-200, 190))
+        y0 = float(rng.uniform(-100, 85))
+        x1 = x0 + float(rng.uniform(0, 15))
+        y1 = y0 + float(rng.uniform(0, 15))
+        rows.append((i, x0, y0, x1, y1))
+    df = spark.createDataFrame(
+        rows, "i long, x0 double, y0 double, x1 double, y1 double")
+    for level in (5, 9, 13):
+        got = {r.i: list(r.c) for r in df.select(
+            "i", bbox_cells_expr(F.col("x0"), F.col("y0"), F.col("x1"),
+                                 F.col("y1"), level).alias("c")).collect()}
+        for i, x0, y0, x1, y1 in rows:
+            want = C.cover_bbox(x0, y0, x1, y1, level).tolist()
+            assert sorted(got[i]) == sorted(want), (i, level)
