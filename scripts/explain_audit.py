@@ -100,9 +100,14 @@ CHECKS = {
     "erase_join (two-layer ST_Difference)": [
         ("BroadcastHashJoin", "mask side broadcast (refpoint pairs)"),
         ("ArrowEvalPython", "group-local multi-mask difference kernel"),
-        (r"Exchange hashpartitioning\([^)]*_tid",
-         "the target-group exchange — masks ship to their target's "
-         "executor once, bounded by real overlap"),
+        (r"^(?![\s\S]*Exchange hashpartitioning)",
+         "ZERO shuffle exchanges — the JVM bbox-cover (Generate) and the "
+         "broadcast join both preserve the Range source's partitioning on "
+         "the target id, so Catalyst proves the groupBy(_tid) co-location "
+         "and elides the exchange (partitioning reuse across stages; the "
+         "old pandas-UDF cover hid the partitioning and forced a shuffle). "
+         "Parquet-sourced targets get the bounded "
+         "Exchange hashpartitioning(_tid) back — verified both ways"),
     ],
     "buffer_polygons (concave arrangement path)": [
         ("ArrowEvalPython", "per-row offset-strip/fan arrangement union"),
