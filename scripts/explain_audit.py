@@ -109,6 +109,18 @@ CHECKS = {
          "Parquet-sourced targets get the bounded "
          "Exchange hashpartitioning(_tid) back — verified both ways"),
     ],
+    "tag_points_bucketed (persisted-shuffle co-located join)": [
+        ("SortMergeJoin", "aligned-bucket merge join (auto-broadcast "
+         "disabled for the audit — the claim must not rest on the small "
+         "fixture broadcasting)"),
+        (r"^(?![\s\S]*Exchange)",
+         "ZERO exchanges of ANY kind — both tables bucketed on cell at "
+         "write time, so the per-query cell shuffle is paid once at "
+         "layout time and never again; disjoint tag is zero-shuffle "
+         "end-to-end"),
+        ("ArrowEvalPython", "NULL-geometry full-cell kernel — interior "
+         "candidate rows ship null rings and skip the PIP flops"),
+    ],
     "buffer_polygons (concave arrangement path)": [
         ("ArrowEvalPython", "per-row offset-strip/fan arrangement union"),
         (r"^(?![\s\S]*Exchange)", "ZERO shuffles — embarrassingly parallel map"),
@@ -252,13 +264,40 @@ def main():
                                target_id_col="parcel_id",
                                other_id_col="dz_id", level=7)
 
+    import tempfile
+    from spandex_spark.bucketing import (tag_points_bucketed,
+                                         write_points_bucketed,
+                                         write_polygons_bucketed)
+    _bdir = tempfile.mkdtemp()
+    write_points_bucketed(derived_points(
+        spark.range(4000).select(F.col("id").alias("pt_id")), "pt_id"),
+        "audit_pts_b", level=9, n_buckets=8, path=os.path.join(_bdir, "p"))
+    write_polygons_bucketed(zones_df(spark), "audit_zones_b",
+                            poly_id_col="zone_id", level=9, n_buckets=8,
+                            path=os.path.join(_bdir, "z"))
+    # run + capture the bucketed plan EAGERLY under the narrowed conf, then
+    # restore it: the main loop collects every other dataset afterwards and
+    # AQE reads the live session conf at that point
+    _old_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _bdf = tag_points_bucketed(spark, "audit_pts_b", "audit_zones_b",
+                               poly_id_col="zone_id", point_id_col="pt_id",
+                               assume_disjoint=True)
+    _bdf.collect()
+    rendered = {"tag_points_bucketed (persisted-shuffle co-located join)":
+                _bdf._jdf.queryExecution().executedPlan().toString()}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _old_abt)
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
               "scripts/explain_audit.py)\n\n")
     import re
-    for name, df in plans.items():
-        df.collect()  # run THIS dataset so AQE finalizes its own plan
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, df in list(plans.items()) + [(k, None) for k in rendered]:
+        if df is None:
+            plan = rendered[name]
+        else:
+            df.collect()  # run THIS dataset so AQE finalizes its own plan
+            plan = df._jdf.queryExecution().executedPlan().toString()
         out.write(f"## {name}\n\n")
         for pattern, why in CHECKS.get(name, []):
             ok = bool(re.search(pattern, plan))
