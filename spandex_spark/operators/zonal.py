@@ -308,7 +308,8 @@ def _tile_cells_udf(x0: pd.Series, y0: pd.Series, res: pd.Series,
 def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
                    res_out: float, nx_out: int, ny_out: int,
                    origin_x: float, origin_y: float,
-                   tile_px: int = 50) -> DataFrame:
+                   tile_px: int = 50,
+                   res_y_out: float | None = None) -> DataFrame:
     """rastertoolz to_matrix/resample completed: BILINEAR resampling of a
     regular tile table onto an ARBITRARY output grid (any origin/res —
     downsample() covers only integer-factor pooling on the same grid).
@@ -326,6 +327,13 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
     would otherwise carry NaN through as a double), and output tiles whose
     support box overlaps NO input tile are still emitted, all-NULL (the
     spec side of the patch join is preserved with a left join).
+
+    Anisotropic pixels are supported on both sides: input tiles may carry
+    ``res_y`` (the GeoTIFF aniso path), and ``res_y_out`` sets an output
+    y resolution; the axes separate cleanly through the support box and
+    the fractional mosaic index. When either side is anisotropic the
+    output schema gains a ``res_y`` column (kept off the isotropic path
+    for driver-oracle schema stability).
     """
     spark = tiles.sparkSession
     probe_cols = ["res", "nx", "ny"] + (
@@ -335,14 +343,17 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
         raise ValueError("resample_tiles: empty tile table")
     if len(shapes) > 1:
         raise ValueError("resample_tiles requires a regular input tiling")
-    if ("res_y" in probe_cols and shapes[0]["res_y"] is not None
-            and shapes[0]["res_y"] != shapes[0]["res"]):
-        raise NotImplementedError(
-            "resample_tiles requires square pixels (anisotropic res_y "
-            "rasters: go through zonal/clip/sample, which honor res_y)")
     res_in = float(shapes[0]["res"])
+    # anisotropic pixels: the x/y axes separate cleanly through the whole
+    # pipeline (tile extent, support box, fractional mosaic index), so the
+    # y resolution just rides alongside on both the input and output side
+    res_in_y = res_in
+    if "res_y" in probe_cols and shapes[0]["res_y"] is not None:
+        res_in_y = float(shapes[0]["res_y"])
+    ry_out = float(res_y_out) if res_y_out is not None else float(res_out)
     nx_in, ny_in = int(shapes[0]["nx"]), int(shapes[0]["ny"])
-    tw, th = res_in * nx_in, res_in * ny_in
+    tw, th = res_in * nx_in, res_in_y * ny_in
+    aniso_out = (res_y_out is not None) or (res_in_y != res_in)
 
     n_tx = (nx_out + tile_px - 1) // tile_px
     n_ty = (ny_out + tile_px - 1) // tile_px
@@ -353,7 +364,7 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
     spec = spec.select(
         "otile_id",
         (F.lit(x0_out) + F.col("_tc") * (tile_px * res_out)).alias("ox0"),
-        (F.lit(y0_out) + F.col("_tr") * (tile_px * res_out)).alias("oy0"),
+        (F.lit(y0_out) + F.col("_tr") * (tile_px * ry_out)).alias("oy0"),
         F.least(F.lit(tile_px),
                 F.lit(nx_out) - F.col("_tc") * tile_px).alias("onx"),
         F.least(F.lit(tile_px),
@@ -361,8 +372,8 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
     # support box: first/last output pixel centers +/- one input pixel
     sx0 = F.col("ox0") + 0.5 * res_out - res_in
     sx1 = F.col("ox0") + (F.col("onx") - 0.5) * res_out + res_in
-    sy0 = F.col("oy0") + 0.5 * res_out - res_in
-    sy1 = F.col("oy0") + (F.col("ony") - 0.5) * res_out + res_in
+    sy0 = F.col("oy0") + 0.5 * ry_out - res_in_y
+    sy1 = F.col("oy0") + (F.col("ony") - 0.5) * ry_out + res_in_y
     ix0 = F.floor((sx0 - F.lit(origin_x)) / F.lit(tw)).cast("int")
     ix1 = F.floor((sx1 - F.lit(origin_x)) / F.lit(tw)).cast("int")
     iy0 = F.floor((sy0 - F.lit(origin_y)) / F.lit(th)).cast("int")
@@ -384,15 +395,15 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
                     .alias("_patch")))
     joined = spec.join(patches, "otile_id", "left")
 
-    out_schema = T.StructType([
-        T.StructField("tile_id", T.LongType()),
-        T.StructField("x0", T.DoubleType()),
-        T.StructField("y0", T.DoubleType()),
-        T.StructField("res", T.DoubleType()),
-        T.StructField("nx", T.IntegerType()),
-        T.StructField("ny", T.IntegerType()),
-        T.StructField("values", T.ArrayType(T.DoubleType())),
-    ])
+    out_schema = T.StructType(
+        [T.StructField("tile_id", T.LongType()),
+         T.StructField("x0", T.DoubleType()),
+         T.StructField("y0", T.DoubleType()),
+         T.StructField("res", T.DoubleType())]
+        + ([T.StructField("res_y", T.DoubleType())] if aniso_out else [])
+        + [T.StructField("nx", T.IntegerType()),
+           T.StructField("ny", T.IntegerType()),
+           T.StructField("values", T.ArrayType(T.DoubleType()))])
 
     def _interp(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -401,10 +412,13 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
             ox0, oy0 = float(row["ox0"]), float(row["oy0"])
             patch = row["_patch"]
             if patch is None or len(patch) == 0:
-                rows.append({"tile_id": int(row["otile_id"]), "x0": ox0,
-                             "y0": oy0, "res": float(res_out),
-                             "nx": onx, "ny": ony,
-                             "values": [None] * (onx * ony)})
+                empty = {"tile_id": int(row["otile_id"]), "x0": ox0,
+                         "y0": oy0, "res": float(res_out),
+                         "nx": onx, "ny": ony,
+                         "values": [None] * (onx * ony)}
+                if aniso_out:
+                    empty["res_y"] = ry_out
+                rows.append(empty)
                 continue
             # mosaic the patch into one array indexed by input pixel
             xs0 = [float(p["_px0"]) for p in patch]
@@ -420,10 +434,10 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
                     np.asarray(p["_pv"], np.float64).reshape(ny_in, nx_in)
             # output pixel centers
             X = ox0 + (np.arange(onx) + 0.5) * res_out
-            Y = oy0 + (np.arange(ony) + 0.5) * res_out
+            Y = oy0 + (np.arange(ony) + 0.5) * ry_out
             # fractional index into the mosaic's pixel-center lattice
             fx = (X - (gx0 + 0.5 * res_in)) / res_in
-            fy = (Y - (gy0 + 0.5 * res_in)) / res_in
+            fy = (Y - (gy0 + 0.5 * res_in_y)) / res_in_y
             i0 = np.floor(fx).astype(np.int64)
             j0 = np.floor(fy).astype(np.int64)
             wx = fx - i0
@@ -444,11 +458,14 @@ def resample_tiles(tiles: DataFrame, *, x0_out: float, y0_out: float,
             vals[~valid_y, :] = np.nan
             vals[:, ~valid_x] = np.nan
             flat = vals.ravel()
-            rows.append({"tile_id": int(row["otile_id"]), "x0": ox0,
-                         "y0": oy0, "res": float(res_out),
-                         "nx": onx, "ny": ony,
-                         "values": [None if np.isnan(v) else float(v)
-                                    for v in flat]})
+            rec = {"tile_id": int(row["otile_id"]), "x0": ox0,
+                   "y0": oy0, "res": float(res_out),
+                   "nx": onx, "ny": ony,
+                   "values": [None if np.isnan(v) else float(v)
+                              for v in flat]}
+            if aniso_out:
+                rec["res_y"] = ry_out
+            rows.append(rec)
         return pd.DataFrame(rows)
 
     return joined.groupBy("otile_id").applyInPandas(

@@ -480,6 +480,45 @@ class TestResampleTiles:
         assert len(far) == 1 and len(far[0].values) == 24
         assert all(v is None for v in far[0].values)
 
+    def test_anisotropic_linear_field_exact(self, spark):
+        """res_y on the input tiles and res_y_out on the output grid: the
+        axes separate, so bilinear still reproduces a linear field exactly,
+        and the output schema gains a res_y column."""
+        from pyspark.sql import functions as F
+        from spandex_spark.operators.zonal import resample_tiles
+        # 4x4 tiles of 20x20 px at 0.1 x 0.025 deg: input covers
+        # x in [-4, 4], y in [-1, 1]
+        t = spark.range(16).select(F.col("id").alias("tile_id"))
+        tx = t["tile_id"] % 4
+        ty = F.floor(t["tile_id"] / 4)
+        x0 = -4.0 + tx.cast("double") * 2.0
+        y0 = -1.0 + ty.cast("double") * 0.5
+        vals = F.transform(
+            F.sequence(F.lit(0), F.lit(399)),
+            lambda p: (F.lit(1.0)
+                       + 2.0 * (x0 + ((p % 20).cast("double") + 0.5) * 0.1)
+                       + 0.5 * (y0 + (F.floor(p / 20).cast("double") + 0.5)
+                                * 0.025)))
+        tiles = t.select("tile_id", x0.alias("x0"), y0.alias("y0"),
+                         F.lit(0.1).alias("res"), F.lit(0.025).alias("res_y"),
+                         F.lit(20).alias("nx"), F.lit(20).alias("ny"),
+                         vals.alias("values"))
+        out = resample_tiles(tiles, x0_out=-3.5, y0_out=-0.8, res_out=0.23,
+                             nx_out=20, ny_out=18, origin_x=-4.0,
+                             origin_y=-1.0, tile_px=12,
+                             res_y_out=0.07).collect()
+        n = 0
+        for r in out:
+            assert abs(r.res_y - 0.07) < 1e-15
+            v = np.array(r.values).reshape(r.ny, r.nx)
+            X = r.x0 + (np.arange(r.nx) + 0.5) * r.res
+            Y = r.y0 + (np.arange(r.ny) + 0.5) * r.res_y
+            want = 1.0 + 2.0 * X[None, :] + 0.5 * Y[:, None]
+            assert not np.isnan(v).any()
+            np.testing.assert_allclose(v, want, rtol=0, atol=1e-9)
+            n += v.size
+        assert n == 20 * 18
+
     def test_identity_grid_roundtrip(self, spark):
         """Resampling onto the input's own pixel-center grid returns the
         input values exactly (weights collapse to 1/0)."""
