@@ -103,6 +103,46 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float,
     return xy_to_cell(gx.ravel(), gy.ravel(), level)
 
 
+def bbox_cell_ranges(minx: float, miny: float, maxx: float, maxy: float,
+                     level: int, *, max_ranges: int = 64) -> list:
+    """Contiguous inclusive ``[lo, hi]`` cell-id intervals at ``level``
+    that together contain every level-``level`` cell intersecting the
+    bbox — the scan-planning form of :func:`cover_bbox` (Iceberg
+    lower/upper-bounds pruning wants intervals, not cell sets).
+
+    Picks the FINEST coarse level whose bbox cover has at most
+    ``max_ranges`` cells, then widens each coarse cell to its full
+    descendant interval at ``level``: with the level in the top 6 bits,
+    the descendants of one coarse cell are one contiguous morton run of
+    fixed-level ids, so the interval is exact, not a bounding guess.
+    Adjacent intervals coalesce. The result may COVER more cells than
+    the bbox touches (coarse squares overhang) — callers must still
+    apply the exact filter; pruning only requires no false negatives.
+    """
+    if level < 0 or level > MAX_LEVEL:
+        raise ValueError(f"level {level} outside [0, {MAX_LEVEL}]")
+    coarse = 0
+    for lc in range(level, -1, -1):
+        gx0, gy0 = grid_coords(np.array([minx]), np.array([miny]), lc)
+        gx1, gy1 = grid_coords(np.array([maxx]), np.array([maxy]), lc)
+        if int(gx1[0] - gx0[0] + 1) * int(gy1[0] - gy0[0] + 1) <= max_ranges:
+            coarse = lc
+            break
+    cover = cover_bbox(minx, miny, maxx, maxy, coarse)
+    dl = np.int64(2 * (level - coarse))
+    m = np.sort((cover & MORTON_MASK).astype(np.int64))
+    base = np.int64(level) << np.int64(LEVEL_SHIFT)
+    lo = base | (m << dl)
+    hi = base | (((m + np.int64(1)) << dl) - np.int64(1))
+    ranges: list = []
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        if ranges and a == ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], b)
+        else:
+            ranges.append((a, b))
+    return ranges
+
+
 def cover_polygon(xs: np.ndarray, ys: np.ndarray, level: int,
                   ring_offsets=None) -> np.ndarray:
     """Covering cells of a polygon (holes/multipart via ``ring_offsets``):

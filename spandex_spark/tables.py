@@ -20,6 +20,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _stat_value(v):
@@ -277,6 +278,93 @@ class IcebergishTable:
         for f in files:
             st = (f.get("stats") or {}).get(col)
             if st is None or (st[0] <= hi and st[1] >= lo):
+                kept.append(f)
+        return kept
+
+    def files_for_bbox(self, bbox: tuple, *, cell_col: str = "cell",
+                       max_ranges: int = 64) -> list[str]:
+        """Paths a :meth:`read_bbox` would touch (diagnostics / tests)."""
+        files = [f for s in self._live_snapshots() for f in s["files"]]
+        ranges = self._bbox_ranges(files, bbox, cell_col, max_ranges)
+        kept = self._prune_files_ranges(files, cell_col, ranges)
+        return [os.path.join(self.root, f["path"]) for f in kept]
+
+    def read_bbox(self, spark: SparkSession, bbox: tuple, *,
+                  cell_col: str = "cell", lon_col: str | None = None,
+                  lat_col: str | None = None,
+                  max_ranges: int = 64) -> DataFrame:
+        """Spatial scan planning — the GiST-index range-scan analog
+        (spandex queries its PostGIS geometry index for a window; here
+        the ``cell`` column IS the index, SURVEY.md O11).
+
+        ``bbox = (minx, miny, maxx, maxy)`` in degrees. The stored cell
+        level is read off the manifests' ``cell_col`` min stats (zero
+        data-file IO), the bbox becomes at most ``max_ranges`` contiguous
+        cell-id intervals (`cells.bbox_cell_ranges`), and pruning happens
+        twice with the SAME intervals: data files whose recorded
+        [min, max] misses every interval are never handed to the Parquet
+        reader (manifest level), and the interval disjunction is applied
+        as a JVM filter so Parquet row-group stats prune WITHIN kept
+        files — on a `compact(sort_col=cell_col)` layout a city-block
+        query touches one file and a few row groups out of a 100 TB
+        table. With ``lon_col``/``lat_col`` the exact bbox filter is
+        applied too (cell intervals overhang at coarse levels);
+        otherwise the result is the cell-coarse superset and exact
+        refinement stays the caller's job (PIP tag, kNN, ...).
+
+        Files lacking ``cell_col`` stats are read (safe), and a table
+        with mixed stored levels raises — reindex via ``compact``.
+        """
+        files = [f for s in self._live_snapshots() if s for f in s["files"]]
+        ranges = self._bbox_ranges(files, bbox, cell_col, max_ranges)
+        kept = self._prune_files_ranges(files, cell_col, ranges)
+        paths = [os.path.join(self.root, f["path"]) for f in kept]
+        if not paths:
+            raise FileNotFoundError(
+                f"empty Icebergish table at {self.root} "
+                f"(every file pruned by bbox {bbox})")
+        df = spark.read.parquet(*paths)
+        cond = None
+        for lo, hi in ranges:
+            c = F.col(cell_col).between(F.lit(lo), F.lit(hi))
+            cond = c if cond is None else cond | c
+        df = df.filter(cond)
+        if lon_col is not None and lat_col is not None:
+            minx, miny, maxx, maxy = bbox
+            df = df.filter(F.col(lon_col).between(minx, maxx)
+                           & F.col(lat_col).between(miny, maxy))
+        return df
+
+    @staticmethod
+    def _bbox_ranges(files: list[dict], bbox: tuple, cell_col: str,
+                     max_ranges: int) -> list:
+        import numpy as np
+
+        from . import cells as _cells
+        levels = {int(_cells.cell_level(np.int64(st[0])))
+                  for f in files
+                  for st in [(f.get("stats") or {}).get(cell_col)]
+                  if st is not None}
+        if not levels:
+            raise ValueError(
+                f"no manifest stats for {cell_col!r} — append/compact with "
+                f"the cell column present to enable bbox scan planning")
+        if len(levels) > 1:
+            raise ValueError(
+                f"mixed cell levels {sorted(levels)} in {cell_col!r} — "
+                f"compact() to a single level before read_bbox")
+        minx, miny, maxx, maxy = bbox
+        return _cells.bbox_cell_ranges(minx, miny, maxx, maxy,
+                                       levels.pop(), max_ranges=max_ranges)
+
+    @staticmethod
+    def _prune_files_ranges(files: list[dict], col: str,
+                            ranges: list) -> list[dict]:
+        kept = []
+        for f in files:
+            st = (f.get("stats") or {}).get(col)
+            if st is None or any(st[0] <= hi and st[1] >= lo
+                                 for lo, hi in ranges):
                 kept.append(f)
         return kept
 

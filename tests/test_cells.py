@@ -97,3 +97,43 @@ class TestCover:
         lvl = cells.level_for_extent(1.0)
         size = 360.0 / (1 << lvl)
         assert 0.2 < size < 2.0
+
+
+class TestBboxCellRanges:
+    def test_superset_of_cover_and_coalesced(self):
+        bbox = (-3.2, 1.1, 4.7, 8.9)
+        for level in (6, 10, 14):
+            ranges = cells.bbox_cell_ranges(*bbox, level, max_ranges=64)
+            assert len(ranges) <= 64
+            # exact cover cells all fall inside some interval
+            cov = cells.cover_bbox(*bbox, level)
+            for c in cov.tolist():
+                assert any(lo <= c <= hi for lo, hi in ranges)
+            # intervals are sorted, disjoint, and maximally coalesced
+            for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+                assert a1 < b0 and a1 + 1 < b0
+            # every interval bound is a valid level-`level` cell id
+            for lo, hi in ranges:
+                assert int(cells.cell_level(np.int64(lo))) == level
+                assert int(cells.cell_level(np.int64(hi))) == level
+
+    def test_tiny_bbox_single_range(self):
+        r = cells.bbox_cell_ranges(10.0, 10.0, 10.001, 10.001, 20)
+        assert len(r) >= 1
+        c = int(cells.cell_of(np.array([10.0005]), np.array([10.0005]), 20)[0])
+        assert any(lo <= c <= hi for lo, hi in r)
+
+    def test_no_false_negatives_random(self):
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            x0, y0 = rng.uniform(-170, 160), rng.uniform(-80, 70)
+            w, h = rng.uniform(0.01, 20), rng.uniform(0.01, 20)
+            level = int(rng.integers(4, 18))
+            ranges = cells.bbox_cell_ranges(x0, y0, x0 + w, y0 + h, level,
+                                            max_ranges=32)
+            assert len(ranges) <= 32
+            px = rng.uniform(x0, x0 + w, 200)
+            py = rng.uniform(y0, y0 + h, 200)
+            pc = cells.cell_of(px, py, level)
+            for c in pc.tolist():
+                assert any(lo <= c <= hi for lo, hi in ranges)

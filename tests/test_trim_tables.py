@@ -535,3 +535,66 @@ class TestManifestPruning:
         import pytest as _pt
         with _pt.raises(FileNotFoundError):
             t.read(spark, between=("cell", 5000, 6000))
+
+
+class TestBboxScanPlanning:
+    def test_read_bbox_prunes_files_and_matches_full_scan(self, spark,
+                                                          tmp_path):
+        """GiST-window-scan analog: after compact(sort_col='cell'), a
+        city-block bbox must plan a strict subset of data files, and
+        read_bbox with the exact lon/lat refine must equal the full scan
+        filtered row-level."""
+        import numpy as np
+        import pandas as pd
+        from spandex_spark import cells
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-10, 10, 20000)
+        lat = rng.uniform(-10, 10, 20000)
+        pdf = pd.DataFrame({
+            "pid": np.arange(20000, dtype=np.int64),
+            "lon": lon, "lat": lat,
+            "cell": cells.cell_of(lon, lat, 12)})
+        t = IcebergishTable(str(tmp_path / "bbt"))
+        t.append(spark.createDataFrame(pdf))
+        t.compact(spark, "cell", n_files=16)
+        bbox = (1.0, 2.0, 1.5, 2.4)
+        planned = t.files_for_bbox(bbox)
+        assert 0 < len(planned) < len(t.files_for())
+        got = t.read_bbox(spark, bbox, lon_col="lon", lat_col="lat")
+        want = t.read(spark).filter(
+            F.col("lon").between(1.0, 1.5) & F.col("lat").between(2.0, 2.4))
+        assert sorted(r.pid for r in got.collect()) == \
+            sorted(r.pid for r in want.collect())
+        assert got.count() > 0
+        # without the refine columns, the result is a cell-coarse SUPERSET
+        coarse = t.read_bbox(spark, bbox).count()
+        assert coarse >= got.count()
+        # the interval disjunction reaches the Parquet scan, so row-group
+        # stats prune WITHIN the kept (cell-sorted) files too
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "cell" in plan.split(
+            "PushedFilters")[1][:400]
+
+    def test_read_bbox_guards(self, spark, tmp_path):
+        """No cell stats -> actionable error; mixed levels -> error; a
+        bbox missing every file -> FileNotFoundError."""
+        import numpy as np
+        import pandas as pd
+        from spandex_spark import cells
+        t = IcebergishTable(str(tmp_path / "bbg"))
+        t.append(spark.range(10).select(F.col("id").alias("k")))
+        with pytest.raises(ValueError, match="no manifest stats"):
+            t.read_bbox(spark, (0, 0, 1, 1))
+        lon = np.array([5.0, 6.0]); lat = np.array([5.0, 6.0])
+        t2 = IcebergishTable(str(tmp_path / "bbm"))
+        t2.append(spark.createDataFrame(pd.DataFrame(
+            {"lon": lon, "lat": lat, "cell": cells.cell_of(lon, lat, 10)})))
+        t2.append(spark.createDataFrame(pd.DataFrame(
+            {"lon": lon, "lat": lat, "cell": cells.cell_of(lon, lat, 12)})))
+        with pytest.raises(ValueError, match="mixed cell levels"):
+            t2.read_bbox(spark, (0, 0, 1, 1))
+        t3 = IcebergishTable(str(tmp_path / "bbf"))
+        t3.append(spark.createDataFrame(pd.DataFrame(
+            {"lon": lon, "lat": lat, "cell": cells.cell_of(lon, lat, 12)})))
+        with pytest.raises(FileNotFoundError):
+            t3.read_bbox(spark, (-170.0, -80.0, -169.0, -79.0))
