@@ -158,7 +158,6 @@ class IcebergishTable:
 
         Returns {"rewritten": n_files, "carried": n_files,
         "deleted_rows": n}; a no-op range publishes nothing."""
-        from pyspark.sql import functions as F
         live = [f for s in self._live_snapshots() if s for f in s["files"]]
         touched = self._prune_files(live, col, lo, hi)
         # files with no stats for col are conservatively in `touched`
@@ -412,6 +411,55 @@ class IcebergishTable:
             if upto[i].get("kind") == "rewrite":
                 return upto[i:]
         return upto
+
+    def expire_snapshots(self, *, keep_last: int = 1,
+                         older_than_ms: int | None = None) -> dict:
+        """Iceberg `expire_snapshots` analog — the GC step every other
+        docstring defers to. Removes HISTORICAL snapshot manifests (those
+        before the latest compaction/rewrite, i.e. not contributing to
+        the current table state) and then deletes data files that no
+        RETAINED snapshot references — a file carried into a rewrite BY
+        REFERENCE (``delete_where``'s untouched files) survives even when
+        the snapshot that wrote it expires.
+
+        ``keep_last`` historical snapshots are retained for time travel
+        (default 1); with ``older_than_ms`` only snapshots whose
+        ``timestamp_ms`` is strictly below the cutoff expire. Live
+        snapshots can never expire. Time travel to an expired snapshot
+        then raises (its manifest is gone) — exactly the Iceberg
+        contract. Returns ``{"expired_snapshots", "deleted_files",
+        "retained_snapshots"}``."""
+        snaps = self.snapshots()
+        live_ids = {s["snapshot_id"] for s in self._live_snapshots()}
+        historical = [s for s in snaps if s["snapshot_id"] not in live_ids]
+        expire = historical[:max(0, len(historical) - keep_last)]
+        if older_than_ms is not None:
+            expire = [s for s in expire
+                      if s["timestamp_ms"] < older_than_ms]
+        expire_ids = {s["snapshot_id"] for s in expire}
+        referenced = {f["path"] for s in snaps
+                      if s["snapshot_id"] not in expire_ids
+                      for f in s["files"]}
+        deleted_files = 0
+        for s in expire:
+            for f in s["files"]:
+                if f["path"] in referenced:
+                    continue
+                p = os.path.join(self.root, f["path"])
+                if os.path.exists(p):
+                    os.remove(p)
+                    deleted_files += 1
+                d = os.path.dirname(p)
+                if os.path.isdir(d) and not os.listdir(d):
+                    os.rmdir(d)
+            mf = os.path.join(
+                self.meta_dir,
+                f"snap-{s['sequence']:06d}-{s['snapshot_id']}.json")
+            if os.path.exists(mf):
+                os.remove(mf)
+        return {"expired_snapshots": len(expire),
+                "deleted_files": deleted_files,
+                "retained_snapshots": len(snaps) - len(expire)}
 
     def total_rows(self) -> int:
         return sum(s["total_rows"] for s in self._live_snapshots())

@@ -598,3 +598,60 @@ class TestBboxScanPlanning:
             {"lon": lon, "lat": lat, "cell": cells.cell_of(lon, lat, 12)})))
         with pytest.raises(FileNotFoundError):
             t3.read_bbox(spark, (-170.0, -80.0, -169.0, -79.0))
+
+
+class TestExpireSnapshots:
+    def test_expire_deletes_unreferenced_files_only(self, spark, tmp_path):
+        """GC: pre-compaction snapshots expire (manifests + their data
+        files go), the compacted state is untouched, and time travel to
+        an expired snapshot raises."""
+        t = IcebergishTable(str(tmp_path / "gc"))
+        for i in range(3):
+            t.append(spark.range(i * 100, (i + 1) * 100)
+                     .select(F.col("id").alias("k")))
+        t.compact(spark, "k", n_files=4)
+        pre_files = [p for p in t.files_for()]
+        old_seq0 = t.snapshots()[0]["sequence"]
+        res = t.expire_snapshots(keep_last=0)
+        assert res["expired_snapshots"] == 3
+        assert res["deleted_files"] >= 3
+        # live read unchanged
+        assert t.read(spark).count() == 300
+        assert sorted(t.files_for()) == sorted(pre_files)
+        # expired manifests are gone -> time travel raises
+        with pytest.raises(KeyError):
+            t.read(spark, as_of_seq=old_seq0)
+        # expired data files are really off disk
+        import glob
+        live = set(t.files_for())
+        on_disk = set(glob.glob(os.path.join(t.root, "data", "*", "*.parquet")))
+        assert on_disk == live
+
+    def test_keep_last_retains_history(self, spark, tmp_path):
+        t = IcebergishTable(str(tmp_path / "gck"))
+        for i in range(3):
+            t.append(spark.range(i * 10, (i + 1) * 10)
+                     .select(F.col("id").alias("k")))
+        t.compact(spark, "k", n_files=2)
+        res = t.expire_snapshots(keep_last=2)
+        assert res["expired_snapshots"] == 1
+        # the two retained historical snapshots still time-travel
+        seqs = [s["sequence"] for s in t.snapshots()]
+        assert t.read(spark, as_of_seq=seqs[1]).count() == 20
+
+    def test_carried_by_reference_files_survive(self, spark, tmp_path):
+        """A delete_where rewrite carries untouched files BY REFERENCE;
+        expiring the snapshot that originally wrote them must NOT delete
+        them."""
+        t = IcebergishTable(str(tmp_path / "gcc"))
+        t.append(spark.range(0, 100).coalesce(1)
+                 .select(F.col("id").alias("k")))
+        t.append(spark.range(100, 200).coalesce(1)
+                 .select(F.col("id").alias("k")))
+        out = t.delete_where(spark, "k", 150, 160)
+        assert out["carried"] == 1 and out["rewritten"] == 1
+        res = t.expire_snapshots(keep_last=0)
+        assert res["expired_snapshots"] == 2
+        # first append's file was carried: still on disk, read intact
+        assert t.read(spark).count() == 189
+        assert sorted(r.k for r in t.read(spark).collect())[:3] == [0, 1, 2]
