@@ -16,6 +16,7 @@ from spandex_spark.operators.distance import within_distance_join  # noqa: F401
 from spandex_spark.operators.predicates import spatial_predicate_join  # noqa: F401
 from spandex_spark.operators.buffer import buffer_points, buffer_polygons  # noqa: F401
 from spandex_spark.operators.lines import (  # noqa: F401
-    nearest_line_join, line_length, clip_lines, line_interpolate)
+    nearest_line_join, line_length, clip_lines, line_interpolate,
+    line_locate)
 from spandex_spark.operators.cluster import grid_cluster  # noqa: F401
 from spandex_spark.operators.timeseries import time_rollup, asof_join  # noqa: F401

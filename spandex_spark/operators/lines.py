@@ -438,3 +438,55 @@ def line_interpolate(df: DataFrame, *, fraction: float,
     # the whole struct to a real NULL for unsupported rows
     return out.withColumn(
         out_col, F.when(F.col(f"{out_col}.x").isNotNull(), F.col(out_col)))
+
+
+def line_locate(df: DataFrame, *, lon_col: str = "lon",
+                lat_col: str = "lat", geom_col: str = "geom",
+                out_col: str = "fraction") -> DataFrame:
+    """ST_LineLocatePoint (planar) — the inverse of
+    :func:`line_interpolate`: the fraction in [0, 1] of the line's length
+    at the point on the line CLOSEST to (lon, lat). Same contract as the
+    forward op: single-part linestrings only (multi-part rows NULL),
+    zero-length lines locate at 0.0. Vectorized per Arrow batch; zero
+    shuffles — at 100 TB this is a map-only stage over however the rows
+    arrived partitioned."""
+
+    @pandas_udf(T.DoubleType())
+    def _locate(px: pd.Series, py: pd.Series, kind: pd.Series,
+                xs: pd.Series, ys: pd.Series,
+                offs: pd.Series) -> pd.Series:
+        out = np.full(len(xs), np.nan)
+        for i in range(len(xs)):
+            k = kind.iloc[i]
+            if k is None or pd.isna(k) or int(k) != 2:
+                continue
+            o = offs.iloc[i]
+            if o is not None and len(o) > 2:
+                continue  # multi-part: NULL (documented)
+            rx = np.asarray(xs.iloc[i], np.float64)
+            ry = np.asarray(ys.iloc[i], np.float64)
+            if rx.shape[0] < 2:
+                continue
+            dx, dy = np.diff(rx), np.diff(ry)
+            seg2 = dx * dx + dy * dy
+            seg = np.sqrt(seg2)
+            total = seg.sum()
+            if total == 0:
+                out[i] = 0.0
+                continue
+            qx = float(px.iloc[i]) - rx[:-1]
+            qy = float(py.iloc[i]) - ry[:-1]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = np.clip(np.where(seg2 > 0,
+                                     (qx * dx + qy * dy) / seg2, 0.0),
+                            0.0, 1.0)
+            d2 = (qx - t * dx) ** 2 + (qy - t * dy) ** 2
+            j = int(np.argmin(d2))
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            out[i] = (cum[j] + t[j] * seg[j]) / total
+        return pd.Series(out)
+
+    g = F.col(geom_col)
+    return df.withColumn(out_col, _locate(
+        F.col(lon_col).cast("double"), F.col(lat_col).cast("double"),
+        g["kind"], g["xs"], g["ys"], g["ring_offsets"]))

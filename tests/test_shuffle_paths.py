@@ -587,3 +587,74 @@ class TestMapAlgebraAndInterpolate:
         assert at0[2] is None and at0[3] is None
         with pytest.raises(ValueError):
             line_interpolate(df, fraction=1.5)
+
+
+class TestLineLocate:
+    SCHEMA = ("lid long, lon double, lat double,"
+              " geom struct<kind:tinyint, xs:array<double>,"
+              " ys:array<double>, ring_offsets:array<int>,"
+              " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+
+    def test_projection_closed_form_and_contract(self, spark):
+        """Off-line points project onto the known segment (closed form);
+        clamping at the ends gives 0/1; multi-part and non-line NULL;
+        degenerate (all-coincident-vertex) line locates at 0."""
+        from spandex_spark.operators.lines import line_locate
+        L = {"kind": 2, "xs": [0.0, 1.0, 1.0], "ys": [0.0, 0.0, 2.0],
+             "ring_offsets": [0, 3],
+             "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 1.0, "maxy": 2.0}}
+        rows = [
+            (1, 0.5, -1.0, L),          # above segment 1 -> 0.5/3
+            (2, 3.0, 1.0, L),           # right of segment 2 -> (1+1)/3
+            (3, -5.0, -5.0, L),         # clamps to start -> 0
+            (4, 1.0, 9.0, L),           # clamps to end -> 1
+            (5, 0.0, 0.0, {"kind": 2, "xs": [0.0, 1.0, 5.0, 6.0],
+                           "ys": [0.0] * 4, "ring_offsets": [0, 2, 4],
+                           "bbox": {"minx": 0.0, "miny": 0.0,
+                                    "maxx": 6.0, "maxy": 0.0}}),
+            (6, 0.0, 0.0, {"kind": 3, "xs": [0.0, 1.0, 0.0],
+                           "ys": [0.0, 0.0, 1.0], "ring_offsets": [0, 3],
+                           "bbox": {"minx": 0.0, "miny": 0.0,
+                                    "maxx": 1.0, "maxy": 1.0}}),
+            (7, 2.0, 2.0, {"kind": 2, "xs": [4.0, 4.0], "ys": [1.0, 1.0],
+                           "ring_offsets": [0, 2],
+                           "bbox": {"minx": 4.0, "miny": 1.0,
+                                    "maxx": 4.0, "maxy": 1.0}}),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = {r.lid: r.fraction for r in line_locate(df).collect()}
+        assert got[1] == pytest.approx(0.5 / 3.0)
+        assert got[2] == pytest.approx(2.0 / 3.0)
+        assert got[3] == 0.0 and got[4] == 1.0
+        assert got[5] is None and got[6] is None
+        assert got[7] == 0.0
+
+    def test_roundtrip_inverse_of_interpolate(self, spark):
+        """For staircase polylines (no point of the line is closer to any
+        other arc position), locate(interpolate(f)) == f exactly."""
+        import numpy as np
+        from spandex_spark.operators.lines import (line_interpolate,
+                                                   line_locate)
+        rng = np.random.default_rng(5)
+        rows = []
+        for lid in range(40):
+            n = int(rng.integers(2, 8))
+            steps = rng.uniform(0.5, 2.0, 2 * n)
+            xs, ys = [0.0], [0.0]
+            for j in range(n):
+                xs.append(float(xs[-1] + steps[2 * j])); ys.append(ys[-1])
+                xs.append(xs[-1]); ys.append(float(ys[-1] + steps[2 * j + 1]))
+            rows.append((lid, 0.0, 0.0,
+                         {"kind": 2, "xs": xs, "ys": ys,
+                          "ring_offsets": [0, len(xs)],
+                          "bbox": {"minx": min(xs), "miny": min(ys),
+                                   "maxx": max(xs), "maxy": max(ys)}}))
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        for f in (0.17, 0.5, 0.83):
+            pts = line_interpolate(df, fraction=f)
+            back = line_locate(
+                pts.drop("lon", "lat")
+                   .withColumn("lon", F.col("point.x"))
+                   .withColumn("lat", F.col("point.y")))
+            for r in back.collect():
+                assert r.fraction == pytest.approx(f, abs=1e-12)
