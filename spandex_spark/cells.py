@@ -129,6 +129,38 @@ def bbox_cell_ranges(minx: float, miny: float, maxx: float, maxy: float,
             coarse = lc
             break
     cover = cover_bbox(minx, miny, maxx, maxy, coarse)
+    return _ranges_from_cover(cover, coarse, level)
+
+
+def polygon_cell_ranges(xs: np.ndarray, ys: np.ndarray, level: int, *,
+                        ring_offsets=None, max_ranges: int = 64) -> list:
+    """:func:`bbox_cell_ranges` for an arbitrary polygon (holes /
+    multipart via ``ring_offsets``): the coarse cover is
+    :func:`cover_polygon` (exact cell-square-vs-region overlap, so a
+    lake-shaped query skips files inside the lake's bbox but outside the
+    lake), widened to descendant intervals at ``level`` and coalesced.
+    The coarse level is the finest one whose BBOX cover fits
+    ``max_ranges`` — the polygon cover is a subset of that, so the bound
+    holds. Coarse squares overhang the boundary: callers still refine
+    exactly (PIP), pruning only promises no false negatives."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    minx, maxx = float(xs.min()), float(xs.max())
+    miny, maxy = float(ys.min()), float(ys.max())
+    coarse = 0
+    for lc in range(level, -1, -1):
+        gx0, gy0 = grid_coords(np.array([minx]), np.array([miny]), lc)
+        gx1, gy1 = grid_coords(np.array([maxx]), np.array([maxy]), lc)
+        if int(gx1[0] - gx0[0] + 1) * int(gy1[0] - gy0[0] + 1) <= max_ranges:
+            coarse = lc
+            break
+    cover = cover_polygon(xs, ys, coarse, ring_offsets=ring_offsets)
+    return _ranges_from_cover(cover, coarse, level)
+
+
+def _ranges_from_cover(cover: np.ndarray, coarse: int, level: int) -> list:
+    """Widen coarse cover cells to their (contiguous) descendant id
+    intervals at ``level``; sort and coalesce adjacent intervals."""
     dl = np.int64(2 * (level - coarse))
     m = np.sort((cover & MORTON_MASK).astype(np.int64))
     base = np.int64(level) << np.int64(LEVEL_SHIFT)

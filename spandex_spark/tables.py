@@ -334,9 +334,49 @@ class IcebergishTable:
                            & F.col(lat_col).between(miny, maxy))
         return df
 
+    def files_for_region(self, xs, ys, *, ring_offsets=None,
+                         cell_col: str = "cell",
+                         max_ranges: int = 64) -> list[str]:
+        """Paths a :meth:`read_region` would touch (diagnostics / tests)."""
+        from . import cells as _cells
+        files = [f for s in self._live_snapshots() for f in s["files"]]
+        level = self._stored_level(files, cell_col)
+        ranges = _cells.polygon_cell_ranges(xs, ys, level,
+                                            ring_offsets=ring_offsets,
+                                            max_ranges=max_ranges)
+        kept = self._prune_files_ranges(files, cell_col, ranges)
+        return [os.path.join(self.root, f["path"]) for f in kept]
+
+    def read_region(self, spark: SparkSession, xs, ys, *,
+                    ring_offsets=None, cell_col: str = "cell",
+                    max_ranges: int = 64) -> DataFrame:
+        """:meth:`read_bbox` for an arbitrary polygon window: the coarse
+        cover is exact vs the REGION (`cells.polygon_cell_ranges`), so a
+        lake-shaped query skips files inside the lake's bbox but outside
+        the lake. The result is the cell-coarse SUPERSET of the region's
+        rows — exact refinement (PIP tag) is deliberately the caller's
+        job, matching the engine's two-phase join shape. Same
+        manifest-then-row-group double pruning and guards as read_bbox."""
+        from . import cells as _cells
+        files = [f for s in self._live_snapshots() if s for f in s["files"]]
+        level = self._stored_level(files, cell_col)
+        ranges = _cells.polygon_cell_ranges(xs, ys, level,
+                                            ring_offsets=ring_offsets,
+                                            max_ranges=max_ranges)
+        kept = self._prune_files_ranges(files, cell_col, ranges)
+        paths = [os.path.join(self.root, f["path"]) for f in kept]
+        if not paths:
+            raise FileNotFoundError(
+                f"empty Icebergish table at {self.root} "
+                f"(every file pruned by the region window)")
+        cond = None
+        for lo, hi in ranges:
+            c = F.col(cell_col).between(F.lit(lo), F.lit(hi))
+            cond = c if cond is None else cond | c
+        return spark.read.parquet(*paths).filter(cond)
+
     @staticmethod
-    def _bbox_ranges(files: list[dict], bbox: tuple, cell_col: str,
-                     max_ranges: int) -> list:
+    def _stored_level(files: list[dict], cell_col: str) -> int:
         import numpy as np
 
         from . import cells as _cells
@@ -352,9 +392,16 @@ class IcebergishTable:
             raise ValueError(
                 f"mixed cell levels {sorted(levels)} in {cell_col!r} — "
                 f"compact() to a single level before read_bbox")
+        return levels.pop()
+
+    @staticmethod
+    def _bbox_ranges(files: list[dict], bbox: tuple, cell_col: str,
+                     max_ranges: int) -> list:
+        from . import cells as _cells
+        level = IcebergishTable._stored_level(files, cell_col)
         minx, miny, maxx, maxy = bbox
         return _cells.bbox_cell_ranges(minx, miny, maxx, maxy,
-                                       levels.pop(), max_ranges=max_ranges)
+                                       level, max_ranges=max_ranges)
 
     @staticmethod
     def _prune_files_ranges(files: list[dict], col: str,

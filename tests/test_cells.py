@@ -137,3 +137,28 @@ class TestBboxCellRanges:
             pc = cells.cell_of(px, py, level)
             for c in pc.tolist():
                 assert any(lo <= c <= hi for lo, hi in ranges)
+
+
+class TestPolygonCellRanges:
+    def test_lshape_skips_notch_and_no_false_negatives(self):
+        # L-shape: [0,8]x[0,4] + [0,4]x[4,8]; the notch [4,8]x[4,8] is
+        # inside the bbox but outside the region
+        xs = np.array([0.0, 8.0, 8.0, 4.0, 4.0, 0.0])
+        ys = np.array([0.0, 0.0, 4.0, 4.0, 8.0, 8.0])
+        level = 12
+        ranges = cells.polygon_cell_ranges(xs, ys, level, max_ranges=64)
+        bbox_ranges = cells.bbox_cell_ranges(0.0, 0.0, 8.0, 8.0, level,
+                                             max_ranges=64)
+        covered = lambda rs: sum(hi - lo + 1 for lo, hi in rs)
+        assert covered(ranges) < covered(bbox_ranges)
+        # deep-notch cells are excluded...
+        notch = int(cells.cell_of(np.array([7.0]), np.array([7.0]), level)[0])
+        assert not any(lo <= notch <= hi for lo, hi in ranges)
+        # ...and every point of the region is still planned
+        rng = np.random.default_rng(2)
+        px = rng.uniform(0, 8, 3000); py = rng.uniform(0, 8, 3000)
+        from spandex_spark import geom
+        inside = geom.points_in_polygon(px, py, xs, ys)
+        pc = cells.cell_of(px[inside], py[inside], level)
+        for c in pc.tolist():
+            assert any(lo <= c <= hi for lo, hi in ranges)

@@ -655,3 +655,29 @@ class TestExpireSnapshots:
         # first append's file was carried: still on disk, read intact
         assert t.read(spark).count() == 189
         assert sorted(r.k for r in t.read(spark).collect())[:3] == [0, 1, 2]
+
+
+class TestRegionScanPlanning:
+    def test_read_region_skips_notch_files(self, spark, tmp_path):
+        """An L-shaped window over a compacted table plans fewer files
+        than its own bbox would, and the coarse superset contains every
+        region row."""
+        import numpy as np
+        import pandas as pd
+        from spandex_spark import cells, geom
+        rng = np.random.default_rng(13)
+        lon = rng.uniform(0, 8, 30000); lat = rng.uniform(0, 8, 30000)
+        t = IcebergishTable(str(tmp_path / "rgt"))
+        t.append(spark.createDataFrame(pd.DataFrame(
+            {"pid": np.arange(30000, dtype=np.int64), "lon": lon,
+             "lat": lat, "cell": cells.cell_of(lon, lat, 14)})))
+        t.compact(spark, "cell", n_files=32)
+        xs = np.array([0.0, 8.0, 8.0, 4.0, 4.0, 0.0])
+        ys = np.array([0.0, 0.0, 4.0, 4.0, 8.0, 8.0])
+        region_files = t.files_for_region(xs, ys)
+        bbox_files = t.files_for_bbox((0.0, 0.0, 8.0, 8.0))
+        assert 0 < len(region_files) < len(bbox_files)
+        got = {r.pid for r in t.read_region(spark, xs, ys).collect()}
+        inside = set(np.nonzero(
+            geom.points_in_polygon(lon, lat, xs, ys))[0].tolist())
+        assert inside <= got  # coarse superset, no false negatives
