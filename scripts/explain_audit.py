@@ -143,6 +143,16 @@ CHECKS = {
         ("BroadcastHashJoin", "other side broadcast (refpoint pairs)"),
         ("ArrowEvalPython", "exact inclusion-exclusion area predicate"),
     ],
+    "read_bbox (spatial scan planning)": [
+        (r"PushedFilters: \[[^\]]*cell",
+         "the SAME cell intervals that pruned files at the manifest level "
+         "go down as pushed parquet filters — row-group stats prune within "
+         "kept files"),
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — scan planning is file "
+                                  "skip + pushed filters, nothing moves"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators"),
+    ],
 }
 
 
@@ -265,6 +275,21 @@ def main():
                                other_id_col="dz_id", level=7)
 
     import tempfile
+
+    import pandas as pd
+
+    from spandex_spark import cells
+    from spandex_spark.tables import IcebergishTable
+    _rng = np.random.default_rng(9)
+    _lon = _rng.uniform(-10, 10, 20000)
+    _lat = _rng.uniform(-10, 10, 20000)
+    _bbt = IcebergishTable(tempfile.mkdtemp() + "/bb")
+    _bbt.append(spark.createDataFrame(pd.DataFrame(
+        {"lon": _lon, "lat": _lat, "cell": cells.cell_of(_lon, _lat, 12)})))
+    _bbt.compact(spark, "cell", n_files=16)
+    plans["read_bbox (spatial scan planning)"] = _bbt.read_bbox(
+        spark, (1.0, 2.0, 1.5, 2.4), lon_col="lon", lat_col="lat")
+
     from spandex_spark.bucketing import (tag_points_bucketed,
                                          write_points_bucketed,
                                          write_polygons_bucketed)
