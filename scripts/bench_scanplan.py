@@ -35,10 +35,14 @@ def main():
     spark = get_spark("bench_scanplan", master="local[32]",
                       shuffle_partitions=32)
     # synthesize distributed (no driver-side numpy materialization)
+    # carry a ~640-byte text payload per row (the Common-Crawl-page shape:
+    # scan cost is dominated by the text column, not the coordinates)
     pts = (spark.range(N_POINTS)
            .select(F.col("id").alias("pid"),
                    (F.rand(7) * 20.0 - 10.0).alias("lon"),
-                   (F.rand(13) * 20.0 - 10.0).alias("lat")))
+                   (F.rand(13) * 20.0 - 10.0).alias("lat"),
+                   F.repeat(F.sha2(F.col("id").cast("string"), 256), 10)
+                    .alias("text")))
     pts = pts.withColumn("cell",
                          cell_of_expr(F.col("lon"), F.col("lat"), 12))
     t = IcebergishTable(tempfile.mkdtemp() + "/scanplan")
@@ -50,11 +54,18 @@ def main():
     exact = (F.col("lon").between(minx, maxx)
              & F.col("lat").between(miny, maxy))
 
+    def _digest(df):
+        # force the text column to be read for surviving row groups
+        row = df.agg(F.count("*").alias("n"),
+                     F.sum(F.length("text")).alias("b")).collect()[0]
+        return (row["n"], row["b"])
+
     def run_full():
-        return t.read(spark).filter(exact).count()
+        return _digest(t.read(spark).filter(exact))
 
     def run_planned():
-        return t.read_bbox(spark, BBOX, lon_col="lon", lat_col="lat").count()
+        return _digest(t.read_bbox(spark, BBOX, lon_col="lon",
+                                   lat_col="lat"))
 
     # warm the JVM once on an unrelated action
     spark.range(1000).count()
@@ -69,7 +80,7 @@ def main():
             times.append(time.monotonic() - t0)
         results[name] = {"best_sec": round(min(times), 3),
                          "all_sec": [round(x, 3) for x in times],
-                         "rows": counts[0]}
+                         "rows": counts[0][0], "text_bytes": counts[0][1]}
     assert results["full_scan"]["rows"] == results["read_bbox"]["rows"]
     results["files_planned"] = len(t.files_for_bbox(BBOX))
     results["files_total"] = len(t.files_for())
