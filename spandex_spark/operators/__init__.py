@@ -21,3 +21,5 @@ from spandex_spark.operators.lines import (  # noqa: F401
 from spandex_spark.operators.cluster import grid_cluster  # noqa: F401
 from spandex_spark.operators.timeseries import time_rollup, asof_join  # noqa: F401
 from spandex_spark.operators.html import extract_text, verify_extraction  # noqa: F401
+from spandex_spark.operators.urls import (  # noqa: F401
+    url_parts, normalize_url, registrable_domain, domain_stats)
