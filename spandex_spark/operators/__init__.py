@@ -23,3 +23,6 @@ from spandex_spark.operators.timeseries import time_rollup, asof_join  # noqa: F
 from spandex_spark.operators.html import extract_text, verify_extraction  # noqa: F401
 from spandex_spark.operators.urls import (  # noqa: F401
     url_parts, normalize_url, registrable_domain, domain_stats)
+from spandex_spark.operators.dedup import line_dedup  # noqa: F401
+from spandex_spark.operators.subdivide import subdivide  # noqa: F401
+from spandex_spark.operators.polygonize import polygonize  # noqa: F401
