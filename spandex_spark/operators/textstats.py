@@ -86,3 +86,71 @@ def fingerprint(df: DataFrame, *, text_col: str = "text",
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     fp = F.xxhash64(norm) if algo == "xxhash64" else F.md5(norm)
     return df.withColumn(out_col, fp)
+
+
+def gopher_rules(df: DataFrame, *, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_word_ratio: float = 0.8,
+                 min_stopword_hits: int = 2) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models", App. A1.1 — the standard web-corpus document
+    filter; thresholds are the published defaults, all overridable).
+    Adds one boolean column per rule plus ``gopher_pass`` (AND of all),
+    entirely in whole-stage codegen — this runs per-row over the full
+    crawl before anything expensive touches the text.
+
+    Rules: word count in [min, max]; mean word length in [3, 10]; hash/
+    ellipsis symbol ratio <= 0.1; <= 90% of lines starting with a bullet;
+    <= 30% of lines ending with an ellipsis; >= 80% of words with at
+    least one alphabetic char; >= 2 English stopword hits (the published
+    rule uses a fixed small stopword list; ours is `_LANG_MARKERS['en']`
+    plus 'that/with', documented deviation — swap via quality pipelines
+    per language)."""
+    text = F.col(text_col)
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_chars_in_words = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wlen = n_chars_in_words.cast("double") / F.greatest(n_words, F.lit(1))
+    n_sym = (F.length(F.regexp_replace(text, r"[^#]", ""))
+             + F.size(F.split(text, r"\.\.\.", -1)) - 1
+             + F.size(F.split(text, "…", -1)) - 1)
+    lines = F.split(text, r"\n", -1)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^([-*•‣▪]|\d+[.)])")))
+    n_ellip = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+    n_alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]")))
+    stop_set = list(_LANG_MARKERS["en"]) + ["that", "with"]
+    n_stop = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(*stop_set)))
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wlen >= min_mean_word_len)
+                           & (mean_wlen <= max_mean_word_len),
+        "r_symbol_ratio": (n_sym.cast("double") / safe_words)
+                          <= max_symbol_ratio,
+        "r_bullet_ratio": (n_bullet.cast("double") / safe_lines)
+                          <= max_bullet_ratio,
+        "r_ellipsis_ratio": (n_ellip.cast("double") / safe_lines)
+                            <= max_ellipsis_ratio,
+        "r_alpha_word_ratio": (n_alpha_words.cast("double") / safe_words)
+                              >= min_alpha_word_ratio,
+        "r_stopwords": n_stop >= min_stopword_hits,
+    }
+    out = df
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    gate = None
+    for name in rules:
+        gate = F.col(name) if gate is None else gate & F.col(name)
+    return out.withColumn("gopher_pass", gate)
