@@ -1593,6 +1593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FROZE its own additions at 17 — r6 should add at most 2 oracled
     # queries (new operators can land pytest-first and join the window
     # in r7, whose head has 31+ free slots again).
+    # Pytest-first operators landed late in r5 AWAITING oracled queries
+    # (r6 gets 2 slots; the rest join in r7): line_dedup (SQL-oracle-able
+    # via string_split/row_number/string_agg — strongest r6 candidate),
+    # ingest_pages (shares the geotag/pip oracles over extracted html),
+    # gopher_rules, domain_stats/url_parts, subdivide (area-sum oracle),
+    # polygonize (region-area oracle over a constructed raster).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

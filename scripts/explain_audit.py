@@ -143,6 +143,31 @@ CHECKS = {
         ("BroadcastHashJoin", "other side broadcast (refpoint pairs)"),
         ("ArrowEvalPython", "exact inclusion-exclusion area predicate"),
     ],
+    "ingest_pages (crawl ingest: extract + url dedup)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators — html→text extraction is a "
+         "decode+regexp_replace codegen chain, url canonicalization is "
+         "regexp, earliest-wins url dedup is min_by"),
+        (r"^(?!([\s\S]*Exchange hashpartitioning){3})",
+         "EXACTLY ONE hash exchange — the canonical-url groupBy; "
+         "extraction and normalization are mapped onto the scan "
+         "(the AQE dump prints Final+Initial, so one physical exchange "
+         "appears twice; two would appear four times)"),
+    ],
+    "line_dedup (corpus-wide line dedup)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators — split/posexplode/sha2/window/"
+         "collect_list+array_sort/concat_ws, all codegen"),
+        ("RunningWindowFunction|Window",
+         "the first-occurrence rank partitions by the 32-byte line "
+         "digest — line BODIES never shuffle as keys"),
+    ],
+    "gopher_rules (quality filter)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators"),
+        (r"^(?![\s\S]*Exchange)",
+         "ZERO shuffles — a pure projection over the scan"),
+    ],
     "read_bbox (spatial scan planning)": [
         (r"PushedFilters: \[[^\]]*cell",
          "the SAME cell intervals that pruned files at the manifest level "
@@ -289,6 +314,26 @@ def main():
     _bbt.compact(spark, "cell", n_files=16)
     plans["read_bbox (spatial scan planning)"] = _bbt.read_bbox(
         spark, (1.0, 2.0, 1.5, 2.4), lon_col="lon", lat_col="lat")
+
+    from spandex_spark.operators.dedup import line_dedup
+    from spandex_spark.operators.textstats import gopher_rules
+    from spandex_spark.pipeline import ingest_pages
+    _raw = spark.range(5000).select(
+        F.concat(F.lit("http://s"), (F.col("id") % 97).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>page "),
+                          F.col("id").cast("string"),
+                          F.lit("</body></html>")), "UTF-8").alias("html"))
+    plans["ingest_pages (crawl ingest: extract + url dedup)"] = \
+        ingest_pages(_raw)
+    _docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("BANNER\nbody line "),
+                 F.col("id").cast("string")).alias("text"))
+    plans["line_dedup (corpus-wide line dedup)"] = line_dedup(_docs)
+    plans["gopher_rules (quality filter)"] = gopher_rules(_docs)
 
     from spandex_spark.bucketing import (tag_points_bucketed,
                                          write_points_bucketed,

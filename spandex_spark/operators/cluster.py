@@ -58,3 +58,43 @@ def grid_cluster(points: DataFrame, *, level: int, min_count: int,
     cell_cluster = comp.unionByName(singles)
     out = pts.join(cell_cluster, "_ck", "left")
     return out.select(point_id_col, "cluster_id")
+
+
+def cluster_within(points: DataFrame, *, radius: float,
+                   point_id_col: str, lon_col: str = "lon",
+                   lat_col: str = "lat", metric: str = "haversine",
+                   level: int | None = None) -> DataFrame:
+    """ST_ClusterWithin / single-linkage distance clustering: points
+    belong to the same cluster iff connected by a chain of hops each
+    <= ``radius``. Pure composition of two existing distributed pieces —
+    `within_distance_join` (self-join, cell-box candidate pruning, so
+    pair generation is O(neighbour pairs), never the cross product)
+    feeding `dedup.duplicate_clusters` (pointer-jumping min-label CC,
+    O(log diameter) rounds). Returns (point_id_col, cluster_id) with
+    cluster_id = min point id in the component; isolated points are
+    singleton clusters of themselves.
+
+    ``metric``/``radius`` follow within_distance_join: 'haversine' takes
+    meters, 'planar' degrees. The PostGIS analog materializes a
+    collection per cluster; here the label table IS the deliverable (at
+    10^12 rows a GeometryCollection per cluster is the wrong shape —
+    join labels back or `dissolve_by(cluster_id)` when geometry output
+    is wanted)."""
+    from spandex_spark.operators.distance import within_distance_join
+
+    fpts = points.select(F.col(point_id_col).alias("_cw_fid"),
+                         F.col(lon_col), F.col(lat_col))
+    pairs = within_distance_join(
+        points, fpts, radius=radius, point_id_col=point_id_col,
+        feature_id_col="_cw_fid", p_lon=lon_col, p_lat=lat_col,
+        f_lon=lon_col, f_lat=lat_col, metric=metric, level=level)
+    edges = (pairs.select(F.col(point_id_col).alias("id_a"),
+                          F.col("_cw_fid").alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b")))
+    comp = duplicate_clusters(edges)
+    lab = comp.select(F.col("doc_id").alias(point_id_col),
+                      F.col("cluster_id"))
+    return (points.select(point_id_col)
+            .join(lab, point_id_col, "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", F.col(point_id_col))))
