@@ -154,3 +154,77 @@ def gopher_rules(df: DataFrame, *, text_col: str = "text",
     for name in rules:
         gate = F.col(name) if gate is None else gate & F.col(name)
     return out.withColumn("gopher_pass", gate)
+
+
+def repetition_ratios(df: DataFrame, *, text_col: str = "text",
+                      max_dup_line_frac: float = 0.3,
+                      max_dup_line_char_frac: float = 0.2,
+                      max_top_word_frac: float = 0.2) -> DataFrame:
+    """The Gopher repetitious-text signals (Rae et al. 2021 App. A1.2 —
+    the companion to `gopher_rules`' quality section): per document,
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line in the SAME document;
+    * ``dup_line_char_frac`` — fraction of characters inside the repeat
+      OCCURRENCES (2nd+ copies; the paper's wording is ambiguous between
+      this and all copies — this implementation's choice, stated);
+    * ``top_word_frac`` — fraction of all words taken by the single
+      most frequent (lowercased) word;
+
+    plus per-signal booleans and ``repetition_pass``. Corpus-WIDE line
+    repetition is a different operator (`dedup.line_dedup`); this one is
+    per-document and shuffle-free.
+
+    Everything is codegen. The top-word count uses sort-then-max-run:
+    ``array_sort`` the words, then one ``aggregate`` pass comparing
+    neighbours — O(n log n) per doc, no explode, no shuffle (the naive
+    distinct×filter form is O(n·distinct) and the exploded groupBy
+    costs a shuffle per corpus; stated so nobody "optimizes" it back).
+    """
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n", -1),
+                     lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    dup_lines = n_lines - n_dist_lines
+    total_line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, ln: acc + F.length(ln))
+    dist_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0),
+        lambda acc, ln: acc + F.length(ln))
+    dup_line_chars = total_line_chars - dist_line_chars
+    words = F.transform(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != ""),
+        lambda w: F.lower(w))
+    n_words = F.size(words)
+    ws = F.array_sort(words)
+    # max run length in the sorted array: fold (prev, run, best)
+    run = F.aggregate(
+        ws,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(acc["best"],
+                       F.when(w == acc["prev"], acc["run"] + 1)
+                        .otherwise(F.lit(1))).alias("best")))
+    top_word_n = run["best"]
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    safe_chars = F.greatest(total_line_chars, F.lit(1)).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    dlf = dup_lines.cast("double") / safe_lines
+    dlcf = dup_line_chars.cast("double") / safe_chars
+    twf = top_word_n.cast("double") / safe_words
+    return (df
+            .withColumn("dup_line_frac", dlf)
+            .withColumn("dup_line_char_frac", dlcf)
+            .withColumn("top_word_frac", twf)
+            .withColumn("r_dup_lines", dlf <= max_dup_line_frac)
+            .withColumn("r_dup_line_chars", dlcf <= max_dup_line_char_frac)
+            .withColumn("r_top_word", twf <= max_top_word_frac)
+            .withColumn("repetition_pass",
+                        (dlf <= max_dup_line_frac)
+                        & (dlcf <= max_dup_line_char_frac)
+                        & (twf <= max_top_word_frac)))
