@@ -1598,7 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # via string_split/row_number/string_agg — strongest r6 candidate),
     # ingest_pages (shares the geotag/pip oracles over extracted html),
     # gopher_rules, domain_stats/url_parts, subdivide (area-sum oracle),
-    # polygonize (region-area oracle over a constructed raster).
+    # polygonize (region-area oracle over a constructed raster),
+    # geopackage (shares the pip_tag oracle like pip_tag_shapefile).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
