@@ -28,3 +28,4 @@ from spandex_spark.operators.subdivide import subdivide  # noqa: F401
 from spandex_spark.operators.polygonize import polygonize  # noqa: F401
 from spandex_spark.operators.pii import scrub_pii, pii_stats  # noqa: F401
 from spandex_spark.operators.rasterize import rasterize  # noqa: F401
+from spandex_spark.operators.focal import slope, aspect, hillshade  # noqa: F401

@@ -1,0 +1,210 @@
+"""Focal (neighborhood) raster ops: slope / aspect / hillshade — the
+`gdaldem` analog, Horn's (1981) 3x3 finite-difference kernel.
+
+Reference semantics: spandex's rastertoolz reads DEMs through PostGIS
+raster SQL, where terrain derivatives are ST_Slope/ST_Aspect/
+ST_HillShade (SURVEY.md §2 O7). Those are FOCAL ops — each output
+pixel needs its 8 neighbours — which on a tiled distributed raster
+means pixels on tile edges need data from adjacent tiles.
+
+Distributed shape — the halo exchange, ONE shuffle total:
+
+* tiles key themselves on integer grid indices (tx, ty) derived from a
+  REGULAR tiling (uniform res/nx/ny anchored at an origin — the same
+  probe + contract as `zonal.raster_sample`);
+* every tile emits 9 messages: itself (full pixel array) to its own
+  key, and 1-pixel-wide edge strips / corner pixels to each of its 8
+  neighbours' keys — the strips are perimeter-sized, so the exchange
+  carries ~(1 + 4/nx) times the raster, not 9x;
+* one `groupBy(tx, ty).applyInPandas` assembles the (ny+2)x(nx+2)
+  padded array and runs the Horn kernel vectorized. Strips addressed
+  to tiles that don't exist die in the shuffle (their group has no
+  self-message and emits nothing).
+
+Pixels whose 3x3 window is incomplete — the outer border of the whole
+raster, or next to a NULL/NaN pixel — come out NULL (gdaldem's
+default no -compute_edges behaviour), written as NULL array elements
+per the engine tile-table convention.
+
+Units: gradients are z-units per map unit. For lon/lat rasters with
+z in meters pass ``scale≈111320`` (meters per degree, the gdaldem -s
+flag); ``z_factor`` is the vertical exaggeration. Aspect is the
+compass bearing of the DOWNSLOPE direction, degrees clockwise from
+north (+y), NULL on flat cells. Hillshade is
+``255·max(0, cos(zenith)cos(slope) + sin(zenith)sin(slope)cos(azimuth−aspect))``
+rounded to an integer 0-255, NULL only where the window is incomplete
+(flat cells get the full ``255·cos(zenith)``).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spandex_spark.operators.zonal import _with_res_y
+
+_MSG_SCHEMA = T.StructType([
+    T.StructField("tx", T.LongType()),
+    T.StructField("ty", T.LongType()),
+    T.StructField("sdx", T.IntegerType()),   # sender pos relative to dest
+    T.StructField("sdy", T.IntegerType()),
+    T.StructField("payload", T.ArrayType(T.DoubleType())),
+    T.StructField("tile_id", T.LongType()),  # self-message only
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+])
+
+_OUT_FIELDS = ["tile_id", "x0", "y0", "res", "res_y", "nx", "ny", "values"]
+_OUT_SCHEMA = T.StructType([
+    T.StructField("tile_id", T.LongType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+    T.StructField("res", T.DoubleType()),
+    T.StructField("res_y", T.DoubleType()),
+    T.StructField("nx", T.IntegerType()),
+    T.StructField("ny", T.IntegerType()),
+    T.StructField("values", T.ArrayType(T.DoubleType())),
+])
+
+
+def _tile_shape(tiles: DataFrame):
+    shapes = (tiles.select("res", "res_y", "nx", "ny")
+              .distinct().limit(2).collect())  # collect-ok: <=2-row tile-shape probe (regular-tiling check)
+    if not shapes:
+        raise ValueError("focal: empty tile table")
+    if len(shapes) > 1:
+        raise ValueError(
+            "focal ops require a regular tiling (uniform res/nx/ny); "
+            f"found at least {shapes[0]} and {shapes[1]}")
+    s = shapes[0]
+    return float(s["res"]), float(s["res_y"]), int(s["nx"]), int(s["ny"])
+
+
+def _focal(tiles: DataFrame, *, origin_x: float, origin_y: float,
+           kernel) -> DataFrame:
+    """Shared halo machinery: ``kernel(padded, res, res_y) -> 2D float
+    array (NaN = NULL out)`` runs once per tile on the assembled
+    (ny+2)x(nx+2) padded array (NaN where no neighbour exists)."""
+    tiles = _with_res_y(tiles)
+    res, res_y, nx, ny = _tile_shape(tiles)
+    tw, th = res * nx, res_y * ny
+
+    src = tiles.select(
+        "tile_id", "x0", "y0", "values",
+        F.round((F.col("x0") - F.lit(origin_x)) / F.lit(tw))
+        .cast("long").alias("tx"),
+        F.round((F.col("y0") - F.lit(origin_y)) / F.lit(th))
+        .cast("long").alias("ty"))
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                v = np.asarray(r.values, np.float64).reshape(ny, nx)
+                tx, ty = int(r.tx), int(r.ty)
+                rows.append((tx, ty, 0, 0, v.ravel().tolist(),
+                             int(r.tile_id), float(r.x0), float(r.y0)))
+                # edge strips: sdx/sdy = MY position relative to the dest
+                for sdx, sdy in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                                 (-1, -1), (1, -1), (-1, 1), (1, 1)):
+                    # dest = me - (sdx, sdy); the strip is my side facing it
+                    cols = {-1: slice(0, 1), 0: slice(None),
+                            1: slice(nx - 1, nx)}[-sdx]
+                    rws = {-1: slice(0, 1), 0: slice(None),
+                           1: slice(ny - 1, ny)}[-sdy]
+                    rows.append((tx - sdx, ty - sdy, sdx, sdy,
+                                 v[rws, cols].ravel().tolist(),
+                                 None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in _MSG_SCHEMA])
+
+    msgs = src.mapInPandas(emit, schema=_MSG_SCHEMA)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        self_rows = pdf[pdf["tile_id"].notna()]
+        if not len(self_rows):
+            return pd.DataFrame(columns=_OUT_FIELDS)
+        me = self_rows.iloc[0]
+        pad = np.full((ny + 2, nx + 2), np.nan)
+        for r in pdf.itertuples(index=False):
+            sdx, sdy = int(r.sdx), int(r.sdy)
+            if sdx == 0 and sdy == 0:
+                pad[1:ny + 1, 1:nx + 1] = np.asarray(
+                    r.payload, np.float64).reshape(ny, nx)
+                continue
+            # sender at (sdx, sdy) fills the matching padded border
+            cols = {-1: slice(0, 1), 0: slice(1, nx + 1),
+                    1: slice(nx + 1, nx + 2)}[sdx]
+            rws = {-1: slice(0, 1), 0: slice(1, ny + 1),
+                   1: slice(ny + 1, ny + 2)}[sdy]
+            w = (1 if sdx else nx)
+            h = (1 if sdy else ny)
+            pad[rws, cols] = np.asarray(
+                r.payload, np.float64).reshape(h, w)
+        out = np.asarray(kernel(pad, res, res_y), np.float64)
+        # Horn's kernel omits the center pixel, but nodata-in means
+        # nodata-out (gdaldem convention)
+        out[np.isnan(pad[1:-1, 1:-1])] = np.nan
+        vals = [None if math.isnan(x) else float(x) for x in out.ravel()]
+        return pd.DataFrame([[int(me["tile_id"]), float(me["x0"]),
+                              float(me["y0"]), res, res_y, nx, ny, vals]],
+                            columns=_OUT_FIELDS)
+
+    return msgs.groupBy("tx", "ty").applyInPandas(assemble, _OUT_SCHEMA)
+
+
+def _horn_gradients(pad: np.ndarray, resx: float, resy: float):
+    """Horn 3x3 gradients (z per map unit) for the interior; NaN where
+    the window is incomplete. pad is (ny+2, nx+2)."""
+    e = pad[1:-1, 2:]
+    w = pad[1:-1, :-2]
+    n = pad[2:, 1:-1]
+    s = pad[:-2, 1:-1]
+    ne, nw = pad[2:, 2:], pad[2:, :-2]
+    se, sw = pad[:-2, 2:], pad[:-2, :-2]
+    gx = ((ne + 2 * e + se) - (nw + 2 * w + sw)) / (8.0 * resx)
+    gy = ((ne + 2 * n + nw) - (se + 2 * s + sw)) / (8.0 * resy)
+    return gx, gy  # NaN propagates from any missing neighbour
+
+
+def slope(tiles: DataFrame, *, origin_x: float, origin_y: float,
+          scale: float = 1.0, z_factor: float = 1.0) -> DataFrame:
+    """Slope in degrees (gdaldem slope / ST_Slope analog)."""
+    def k(pad, rx, ry):
+        gx, gy = _horn_gradients(pad, rx * scale, ry * scale)
+        return np.degrees(np.arctan(z_factor * np.hypot(gx, gy)))
+    return _focal(tiles, origin_x=origin_x, origin_y=origin_y, kernel=k)
+
+
+def aspect(tiles: DataFrame, *, origin_x: float,
+           origin_y: float) -> DataFrame:
+    """Downslope compass bearing, degrees clockwise from north (+y);
+    NULL on flat cells (gdaldem aspect / ST_Aspect analog)."""
+    def k(pad, rx, ry):
+        gx, gy = _horn_gradients(pad, rx, ry)
+        out = np.mod(np.degrees(np.arctan2(-gx, -gy)), 360.0)
+        out[(gx == 0) & (gy == 0)] = np.nan  # flat
+        return out
+    return _focal(tiles, origin_x=origin_x, origin_y=origin_y, kernel=k)
+
+
+def hillshade(tiles: DataFrame, *, origin_x: float, origin_y: float,
+              azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
+              scale: float = 1.0, z_factor: float = 1.0) -> DataFrame:
+    """Shaded relief 0-255 (gdaldem hillshade / ST_HillShade analog)."""
+    zen = math.radians(90.0 - altitude_deg)
+    az = math.radians(azimuth_deg)
+
+    def k(pad, rx, ry):
+        gx, gy = _horn_gradients(pad, rx * scale, ry * scale)
+        sl = np.arctan(z_factor * np.hypot(gx, gy))
+        asp = np.arctan2(-gx, -gy)  # bearing from north, radians
+        v = (np.cos(zen) * np.cos(sl)
+             + np.sin(zen) * np.sin(sl) * np.cos(az - asp))
+        return np.round(255.0 * np.clip(v, 0.0, 1.0))
+    return _focal(tiles, origin_x=origin_x, origin_y=origin_y, kernel=k)
