@@ -98,3 +98,74 @@ def cluster_within(points: DataFrame, *, radius: float,
             .join(lab, point_id_col, "left")
             .withColumn("cluster_id",
                         F.coalesce("cluster_id", F.col(point_id_col))))
+
+
+def dbscan(points: DataFrame, *, eps: float, min_pts: int,
+           point_id_col: str, lon_col: str = "lon", lat_col: str = "lat",
+           metric: str = "haversine",
+           level: int | None = None) -> DataFrame:
+    """Exact DBSCAN (ST_ClusterDBSCAN analog), composed from the same
+    distributed pieces as `cluster_within`:
+
+    * eps-pairs via `within_distance_join` (cell-box candidate pruning
+      — O(neighbour pairs), never the cross product);
+    * core test: a point is core iff its eps-neighbourhood, INCLUDING
+      itself, holds >= ``min_pts`` points (the sklearn/Ester-et-al
+      convention) — one hash aggregate on the pair table;
+    * clusters: connected components of the core-core eps graph
+      (`dedup.duplicate_clusters`, pointer-jumping, O(log diameter)
+      rounds on core points only);
+    * border points (non-core within eps of a core) take the MIN
+      cluster id among their core neighbours — DETERMINISTIC, where
+      PostGIS/sklearn inherit scan order (documented deviation, same
+      spirit as rasterize's commutative combine);
+    * everything else is noise: cluster_id NULL.
+
+    Returns (point_id_col, cluster_id, is_core). cluster_id is the min
+    core point id of the component. ``metric``/``radius`` units follow
+    `within_distance_join` ('haversine' meters, 'planar' degrees).
+    An isolated point with min_pts=1 is its own singleton core cluster.
+    """
+    from spandex_spark.operators.distance import within_distance_join
+
+    fpts = points.select(F.col(point_id_col).alias("_db_fid"),
+                         F.col(lon_col), F.col(lat_col))
+    pairs = (within_distance_join(
+        points, fpts, radius=eps, point_id_col=point_id_col,
+        feature_id_col="_db_fid", p_lon=lon_col, p_lat=lat_col,
+        f_lon=lon_col, f_lat=lat_col, metric=metric, level=level)
+        .filter(F.col(point_id_col) != F.col("_db_fid"))
+        .select(point_id_col, "_db_fid"))
+
+    # neighbour count + 1 (self) >= min_pts  <=>  count >= min_pts - 1
+    core = (pairs.groupBy(point_id_col).count()
+            .filter(F.col("count") >= int(min_pts) - 1)
+            .select(point_id_col))
+    if min_pts <= 1:
+        core = points.select(point_id_col)  # every point is core
+
+    core_a = core
+    core_b = core.withColumnRenamed(point_id_col, "_db_fid")
+    core_edges = (pairs.join(core_a, point_id_col).join(core_b, "_db_fid")
+                  .select(F.col(point_id_col).alias("id_a"),
+                          F.col("_db_fid").alias("id_b")))
+    comp = duplicate_clusters(core_edges).select(
+        F.col("doc_id").alias(point_id_col), "cluster_id")
+    # cores with no core neighbour are singleton clusters
+    core_lab = (core.join(comp, point_id_col, "left")
+                .withColumn("cluster_id",
+                            F.coalesce("cluster_id", F.col(point_id_col))))
+
+    # border: non-core with >= 1 core neighbour -> min core cluster id
+    border = (pairs.join(core_lab.withColumnRenamed(point_id_col, "_db_fid")
+                         .withColumnRenamed("cluster_id", "_cid"), "_db_fid")
+              .join(core, point_id_col, "left_anti")
+              .groupBy(point_id_col)
+              .agg(F.min("_cid").alias("cluster_id")))
+
+    lab = (core_lab.withColumn("is_core", F.lit(True))
+           .unionByName(border.withColumn("is_core", F.lit(False))))
+    return (points.select(point_id_col)
+            .join(lab, point_id_col, "left")
+            .withColumn("is_core", F.coalesce("is_core", F.lit(False)))
+            .select(point_id_col, "cluster_id", "is_core"))
