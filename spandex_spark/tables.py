@@ -141,6 +141,11 @@ class IcebergishTable:
             if fn.endswith(".parquet"):
                 p = os.path.join(out, fn)
                 md = pq.read_metadata(p)
+                if md.num_rows == 0:
+                    # empty part-files carry no stats, so they would
+                    # conservatively defeat every file-level prune;
+                    # they contribute nothing — skip them
+                    continue
                 files.append({"path": os.path.relpath(p, self.root),
                               "rows": md.num_rows,
                               "stats": _file_column_stats(md)})
@@ -521,3 +526,96 @@ class IcebergishTable:
         df = self.read(spark)
         compacted = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
         return self.append(compacted, kind="rewrite")
+
+    def merge(self, spark: SparkSession, source: DataFrame,
+              key_cols: list[str] | str, *, mode: str = "upsert") -> dict:
+        """Copy-on-write MERGE (the Iceberg ``MERGE INTO`` analog).
+
+        ``mode``:
+
+        * ``'upsert'``  — matched target rows are REPLACED by their
+          source row, unmatched source rows are inserted (WHEN MATCHED
+          UPDATE + WHEN NOT MATCHED INSERT);
+        * ``'update'``  — replace matched only, never insert;
+        * ``'delete'``  — drop matched target rows (WHEN MATCHED DELETE).
+
+        File-level pruning like `delete_where`: only live data files
+        whose manifest [min, max] for the FIRST key column overlaps the
+        source's key range are rewritten; every other file carries into
+        the new snapshot by reference — a narrow merge against a
+        compacted 100 TB table rewrites a handful of files. Prior
+        snapshots stay readable (time travel) until GC.
+
+        Source keys must be unique (the Iceberg cardinality rule — a
+        target row matched twice is non-deterministic); checked with
+        one aggregate, ValueError if violated.
+
+        Returns {"matched", "inserted", "deleted", "rewritten",
+        "carried"} — matched counts replaced rows in update/upsert and
+        equals deleted in delete mode.
+        """
+        if mode not in ("upsert", "update", "delete"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        source = source.cache()
+        dup = (source.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).collect())  # collect-ok: <=1-row cardinality-violation probe
+        if dup:
+            raise ValueError(
+                f"merge source has duplicate keys, e.g. "
+                f"{[dup[0][k] for k in keys]}")
+
+        # key-range prune on the first key column (source range is a
+        # 2-scalar aggregate; files without stats stay conservatively in)
+        k0 = keys[0]
+        rng = source.agg(F.min(k0), F.max(k0)).collect()[0]  # collect-ok: 2-scalar source key range
+        live = [f for s in self._live_snapshots() if s for f in s["files"]]
+        touched = (self._prune_files(live, k0, rng[0], rng[1])
+                   if rng[0] is not None else [])
+        touched_paths = {f["path"] for f in touched}
+        carried = [f for f in live if f["path"] not in touched_paths]
+        touched_rows = sum(f["rows"] for f in touched)
+
+        if touched:
+            tgt = spark.read.parquet(
+                *[os.path.join(self.root, f["path"]) for f in touched])
+            matched = source.join(tgt.select(*keys), keys,
+                                  "left_semi").count()
+            survivors = tgt.join(source.select(*keys), keys, "left_anti")
+        else:
+            matched, survivors = 0, None
+
+        if mode == "delete" or (mode == "update" and matched == 0):
+            if not touched:
+                source.unpersist()
+                return {"matched": 0, "inserted": 0, "deleted": 0,
+                        "rewritten": 0, "carried": len(carried)}
+            new_data, inserted = survivors, 0
+        else:
+            src = source
+            if mode == "update":
+                src = source.join(tgt.select(*keys).distinct(), keys,
+                                  "left_semi")
+                inserted = 0
+            else:
+                inserted = source.count() - matched
+            # align source columns to the table schema/order
+            schema_json = self.current_snapshot()["schema"]
+            cols = [f["name"] for f in schema_json["fields"]]
+            src = src.select(*cols)
+            new_data = (survivors.unionByName(src)
+                        if survivors is not None else src)
+
+        snap_id = uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, snap_id)
+        new_data.write.mode("overwrite").parquet(out)
+        source.unpersist()
+        new_files, new_total = self._scan_written(out)
+        carried_total = sum(f["rows"] for f in carried)
+        self._publish(snap_id, "rewrite",
+                      self.current_snapshot()["schema"],
+                      {"merge": [mode] + keys},
+                      new_files + carried, new_total + carried_total)
+        return {"matched": int(matched), "inserted": int(inserted),
+                "deleted": int(matched) if mode == "delete" else 0,
+                "rewritten": len(touched), "carried": len(carried)}
