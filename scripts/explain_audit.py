@@ -178,6 +178,23 @@ CHECKS = {
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
          "ZERO Python operators"),
     ],
+    "scrub_pii + pii_stats (redaction chain)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators — regexp_replace/regexp_count codegen"),
+        (r"^(?![\s\S]*Exchange)",
+         "ZERO shuffles — a pure projection over the scan"),
+    ],
+    "rasterize (vector->raster burn)": [
+        ("BroadcastHashJoin", "polygon cell side broadcast"),
+        ("MapInPandas", "values are BORN in the final burn map stage — "
+                        "no pixel array ever shuffles"),
+    ],
+    "focal slope (halo exchange)": [
+        ("FlatMapGroupsInPandas", "halo assembly + Horn kernel"),
+        (r"^(?!(?:[\s\S]*Exchange hashpartitioning){2,})[\s\S]*"
+         r"Exchange hashpartitioning",
+         "exactly ONE shuffle — the tile halo exchange on (tx, ty)"),
+    ],
 }
 
 
@@ -335,6 +352,24 @@ def main():
     plans["line_dedup (corpus-wide line dedup)"] = line_dedup(_docs)
     plans["gopher_rules (quality filter)"] = gopher_rules(_docs)
 
+    from spandex_spark.operators.pii import pii_stats, scrub_pii
+    plans["scrub_pii + pii_stats (redaction chain)"] = pii_stats(
+        scrub_pii(_docs))
+    from spandex_spark.operators.rasterize import rasterize
+    _rspec = spark.range(16).select(
+        F.col("id").alias("tile_id"),
+        (-10.0 + (F.col("id") % 4) * 5.0).alias("x0"),
+        (-10.0 + F.floor(F.col("id") / 4) * 5.0).alias("y0"),
+        F.lit(0.1).alias("res"), F.lit(50).cast("int").alias("nx"),
+        F.lit(50).cast("int").alias("ny"))
+    plans["rasterize (vector->raster burn)"] = rasterize(
+        zones_df(spark), _rspec, value_col="zone_id")
+    from spandex_spark.operators.focal import slope as _slope
+    _ftiles = _rspec.withColumn(
+        "values", F.array_repeat(F.lit(1.0), 50 * 50))
+    plans["focal slope (halo exchange)"] = _slope(
+        _ftiles, origin_x=-10.0, origin_y=-10.0)
+
     from spandex_spark.bucketing import (tag_points_bucketed,
                                          write_points_bucketed,
                                          write_polygons_bucketed)
@@ -369,8 +404,11 @@ def main():
             df.collect()  # run THIS dataset so AQE finalizes its own plan
             plan = df._jdf.queryExecution().executedPlan().toString()
         out.write(f"## {name}\n\n")
+        # checks read the FINAL plan; AQE's toString appends an
+        # "== Initial Plan ==" section that double-counts exchanges
+        check_plan = plan.split("== Initial Plan ==")[0]
         for pattern, why in CHECKS.get(name, []):
-            ok = bool(re.search(pattern, plan))
+            ok = bool(re.search(pattern, check_plan))
             out.write(f"- {'✅' if ok else '❌'} `{pattern}` — {why}\n")
         out.write("\n```\n")
         out.write(plan[:4000])
