@@ -102,3 +102,34 @@ def convex_hull(df: DataFrame, *, geom_col: str = "geom",
     out = df.withColumn(out_col, _hull(g["xs"], g["ys"]))
     return out.withColumn(
         out_col, F.when(F.col(f"{out_col}.kind").isNotNull(), F.col(out_col)))
+
+
+def snap_to_grid(df: DataFrame, *, size: float, geom_col: str = "geom",
+                 out_col: str | None = None) -> DataFrame:
+    """ST_SnapToGrid analog: every vertex rounds to the nearest multiple
+    of ``size`` — PURE codegen (two `transform` array expressions plus a
+    bbox rebuild from array_min/max), no Python, no shuffle.
+
+    Deviation from PostGIS, documented: consecutive vertices that
+    collapse onto the same grid node are KEPT (removing them would
+    re-index ring_offsets; run `make_valid` afterwards when a cleaned
+    ring matters). NULL geometries stay NULL.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    g = F.col(geom_col)
+
+    def _snap(arr):
+        return F.transform(arr, lambda v: F.round(v / F.lit(float(size)))
+                           * F.lit(float(size)))
+
+    xs, ys = _snap(g["xs"]), _snap(g["ys"])
+    new = F.struct(
+        g["kind"].alias("kind"), xs.alias("xs"), ys.alias("ys"),
+        g["ring_offsets"].alias("ring_offsets"),
+        F.struct(F.array_min(xs).alias("minx"),
+                 F.array_min(ys).alias("miny"),
+                 F.array_max(xs).alias("maxx"),
+                 F.array_max(ys).alias("maxy")).alias("bbox"))
+    return df.withColumn(out_col or geom_col,
+                         F.when(g.isNotNull(), new))
