@@ -1599,7 +1599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ingest_pages (shares the geotag/pip oracles over extracted html),
     # gopher_rules, domain_stats/url_parts, subdivide (area-sum oracle),
     # polygonize (region-area oracle over a constructed raster),
-    # geopackage (shares the pip_tag oracle like pip_tag_shapefile).
+    # geopackage + warc (share the pip_tag/geotag oracles via round-trip),
+    # scrub_pii (DuckDB runs the IDENTICAL regex chain — pre-validated in
+    # tests/test_pii.py), rasterize (zone-grid closed form), focal slope
+    # (linear-ramp closed form), dbscan (planted blobs), geohash
+    # (published vectors), snap_to_grid, merge (table-level, pytest-only
+    # by nature like O10/O11).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
