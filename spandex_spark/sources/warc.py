@@ -264,3 +264,37 @@ def write_warc(df: DataFrame, path: str, *, url_col: str = "url",
         return n
     finally:
         out.close()
+
+
+def write_wet(df: DataFrame, path: str, *, url_col: str = "url",
+              ts_col: str = "warc_ts", text_col: str = "text",
+              compress: bool = True) -> int:
+    """WET export: ``conversion`` records carrying extracted plain text
+    (the Common Crawl *.warc.wet.gz companion format — what most
+    text-pipeline consumers actually read). Same member-per-record,
+    deterministic-ID contract as `write_warc`; payload is the raw
+    UTF-8 text, no HTTP envelope (per the WET convention).
+    `read_warc` reads these back as record_type='conversion' with the
+    text bytes in ``payload``."""
+    rows = df.select(url_col, ts_col, text_col).collect()  # collect-ok: bounded edge-format export (one archive file)
+    pack = gzip.compress if compress else (lambda b: b)
+    n = 0
+    with open(path, "wb") as out:
+        info = (b"software: spandex_spark.sources.warc\r\n"
+                b"format: WARC File Format 1.0\r\n"
+                b"conversion: text extraction\r\n")
+        out.write(pack(_warc_record(
+            "warcinfo",
+            [("Content-Type", "application/warc-fields"),
+             ("WARC-Filename", os.path.basename(path))], info)))
+        for r in rows:
+            url, ts, text = r[0], r[1], r[2]
+            body = (text or "").encode("utf-8")
+            date = ts.strftime(_DATE_FMT) if ts is not None else \
+                "1970-01-01T00:00:00Z"
+            out.write(pack(_warc_record(
+                "conversion",
+                [("WARC-Target-URI", url), ("WARC-Date", date),
+                 ("Content-Type", "text/plain")], body)))
+            n += 1
+    return n

@@ -155,3 +155,21 @@ def test_ingest_parity_through_warc(spark, fixture_dir, tmp_path):
 def test_missing_file_rejected(spark):
     with pytest.raises(ValueError, match="no such WARC file"):
         read_warc(spark, "/nonexistent/x.warc.gz")
+
+
+def test_wet_round_trip(spark, fixture_dir, tmp_path):
+    """WET conversion records: extracted text round-trips byte-exact
+    and read_warc surfaces them as record_type='conversion'."""
+    from spandex_spark.sources.warc import write_wet
+    p = str(tmp_path / "crawl.warc.wet.gz")
+    src = _pages(spark, fixture_dir, 20)
+    assert write_wet(src, p) == 20
+    recs = read_warc(spark, p)
+    conv = {r["url"]: r for r in
+            recs.filter("record_type = 'conversion'").collect()}
+    want = {r["url"]: r for r in src.collect()}
+    assert set(conv) == set(want)
+    for url, r in want.items():
+        assert bytes(conv[url]["payload"]).decode("utf-8") == r["text"]
+        assert conv[url]["content_type"] == "text/plain"
+        assert conv[url]["http_status"] is None
