@@ -86,11 +86,14 @@ def _tile_shape(tiles: DataFrame):
     return float(s["res"]), float(s["res_y"]), int(s["nx"]), int(s["ny"])
 
 
-def _focal(tiles: DataFrame, *, origin_x: float, origin_y: float,
-           kernel) -> DataFrame:
-    """Shared halo machinery: ``kernel(padded, res, res_y) -> 2D float
-    array (NaN = NULL out)`` runs once per tile on the assembled
-    (ny+2)x(nx+2) padded array (NaN where no neighbour exists)."""
+def halo_exchange(tiles: DataFrame, *, origin_x: float, origin_y: float,
+                  per_tile, out_schema: T.StructType) -> DataFrame:
+    """The generic ONE-shuffle tile halo exchange (module docstring):
+    ``per_tile(padded, meta) -> list[tuple]`` runs once per tile on the
+    assembled (ny+2)x(nx+2) padded array (NaN where no neighbour
+    exists); ``meta`` is a dict with tile_id/x0/y0/res/res_y/nx/ny.
+    Rows it returns become ``out_schema`` rows. `operators/contour.py`
+    builds on this with a non-tile output shape."""
     tiles = _with_res_y(tiles)
     res, res_y, nx, ny = _tile_shape(tiles)
     tw, th = res * nx, res_y * ny
@@ -125,10 +128,12 @@ def _focal(tiles: DataFrame, *, origin_x: float, origin_y: float,
 
     msgs = src.mapInPandas(emit, schema=_MSG_SCHEMA)
 
+    out_fields = [f.name for f in out_schema.fields]
+
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         self_rows = pdf[pdf["tile_id"].notna()]
         if not len(self_rows):
-            return pd.DataFrame(columns=_OUT_FIELDS)
+            return pd.DataFrame(columns=out_fields)
         me = self_rows.iloc[0]
         pad = np.full((ny + 2, nx + 2), np.nan)
         for r in pdf.itertuples(index=False):
@@ -146,16 +151,29 @@ def _focal(tiles: DataFrame, *, origin_x: float, origin_y: float,
             h = (1 if sdy else ny)
             pad[rws, cols] = np.asarray(
                 r.payload, np.float64).reshape(h, w)
-        out = np.asarray(kernel(pad, res, res_y), np.float64)
+        meta = {"tile_id": int(me["tile_id"]), "x0": float(me["x0"]),
+                "y0": float(me["y0"]), "res": res, "res_y": res_y,
+                "nx": nx, "ny": ny}
+        return pd.DataFrame(per_tile(pad, meta), columns=out_fields)
+
+    return msgs.groupBy("tx", "ty").applyInPandas(assemble, out_schema)
+
+
+def _focal(tiles: DataFrame, *, origin_x: float, origin_y: float,
+           kernel) -> DataFrame:
+    """Tile-out halo op: ``kernel(padded, res, res_y) -> 2D float array
+    (NaN = NULL out)`` applied per tile."""
+    def per_tile(pad, meta):
+        out = np.asarray(kernel(pad, meta["res"], meta["res_y"]),
+                         np.float64)
         # Horn's kernel omits the center pixel, but nodata-in means
         # nodata-out (gdaldem convention)
         out[np.isnan(pad[1:-1, 1:-1])] = np.nan
         vals = [None if math.isnan(x) else float(x) for x in out.ravel()]
-        return pd.DataFrame([[int(me["tile_id"]), float(me["x0"]),
-                              float(me["y0"]), res, res_y, nx, ny, vals]],
-                            columns=_OUT_FIELDS)
-
-    return msgs.groupBy("tx", "ty").applyInPandas(assemble, _OUT_SCHEMA)
+        return [(meta["tile_id"], meta["x0"], meta["y0"], meta["res"],
+                 meta["res_y"], meta["nx"], meta["ny"], vals)]
+    return halo_exchange(tiles, origin_x=origin_x, origin_y=origin_y,
+                         per_tile=per_tile, out_schema=_OUT_SCHEMA)
 
 
 def _horn_gradients(pad: np.ndarray, resx: float, resy: float):
