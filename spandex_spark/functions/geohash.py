@@ -42,12 +42,18 @@ def _bits(precision: int) -> tuple[int, int]:
 def geohash_expr(lon: Column, lat: Column, precision: int = 9) -> Column:
     """Geohash string of (lon, lat) at ``precision`` chars."""
     lonbits, latbits = _bits(precision)
-    ix = F.least(F.lit((1 << lonbits) - 1),
-                 F.floor((lon + F.lit(180.0)) / F.lit(360.0)
-                         * F.lit(float(1 << lonbits)))).cast("long")
-    iy = F.least(F.lit((1 << latbits) - 1),
-                 F.floor((lat + F.lit(90.0)) / F.lit(180.0)
-                         * F.lit(float(1 << latbits)))).cast("long")
+    # clamp BOTH ends: an out-of-range coordinate lands in the first or
+    # last cell (shiftright on a negative index would emit garbage)
+    ix = F.greatest(F.lit(0).cast("long"),
+                    F.least(F.lit((1 << lonbits) - 1),
+                            F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                                    * F.lit(float(1 << lonbits)))
+                            .cast("long")))
+    iy = F.greatest(F.lit(0).cast("long"),
+                    F.least(F.lit((1 << latbits) - 1),
+                            F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                                    * F.lit(float(1 << latbits)))
+                            .cast("long")))
     alpha = F.array(*[F.lit(ch) for ch in _ALPHABET])
     chars = []
     for c in range(precision):

@@ -54,6 +54,8 @@ _BY_NAME = {name: (pat, rep) for name, pat, rep in PII_RULES}
 
 def _check_kinds(kinds) -> list[str]:
     kinds = list(kinds)
+    if not kinds:
+        raise ValueError("kinds must name at least one PII rule")
     unknown = [k for k in kinds if k not in _BY_NAME]
     if unknown:
         raise ValueError(f"unknown PII rule(s) {unknown}; "

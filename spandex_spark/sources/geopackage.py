@@ -120,7 +120,13 @@ def write_geopackage(df, path: str, *, table: str = "features",
             CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))""")
 
         attr_cols = [f.name for f in df.schema.fields if f.name != geom_col]
-        sample = rows[0].asDict() if rows else {}
+        # type each column from its first NON-NULL value across all rows
+        # (a None in row 0 would otherwise declare TEXT and silently
+        # stringify later numerics under SQLite TEXT affinity)
+        sample = {}
+        for c in attr_cols:
+            sample[c] = next(
+                (r[c] for r in rows if r[c] is not None), None)
         col_defs = ", ".join(
             f'"{c}" {_sql_type(sample.get(c))}' for c in attr_cols)
         sep = ", " if col_defs else ""
@@ -196,9 +202,11 @@ def read_geopackage(spark, path: str, *, table: str | None = None,
     import pyspark.sql.types as T
 
     from spandex_spark.operators.trim import _GEOM_TYPE
-    first = rows[0]
     fields = []
-    for k, v in first.items():
+    for k in rows[0]:
+        # first NON-NULL value across the layer decides the type (a NULL
+        # attribute in feature 0 must not mistype the whole column)
+        v = next((r[k] for r in rows if r[k] is not None), None)
         if k == out_col:
             fields.append(T.StructField(k, _GEOM_TYPE))
         elif isinstance(v, bool):

@@ -178,8 +178,11 @@ def read_warc(spark: SparkSession, paths: str | list[str], *,
         if not os.path.exists(p):
             raise ValueError(f"no such WARC file: {p}")
 
+    # round-robin repartition (NO column): exactly one file per
+    # partition — hash partitioning on the path would birthday-collide
+    # into 2-3-file straggler tasks and empty partitions
     files = spark.createDataFrame([(p,) for p in hits], "path string") \
-                 .repartition(len(hits), "path")
+                 .repartition(len(hits))
 
     def parse(batches):
         import pandas as pd
@@ -211,7 +214,8 @@ def read_warc_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return (recs
             .filter((F.col("record_type") == "response")
                     & F.col("http_status").between(200, 299)
-                    & (F.split(F.col("content_type"), ";")[0] == "text/html"))
+                    & (F.lower(F.trim(F.split(F.col("content_type"), ";")[0]))
+                       == "text/html"))
             .select("url", "warc_ts", F.col("payload").alias("html")))
 
 
@@ -243,9 +247,15 @@ def write_warc(df: DataFrame, path: str, *, url_col: str = "url",
     pack = gzip.compress if compress else (lambda b: b)
     try:
         info = b"software: spandex_spark.sources.warc\r\nformat: WARC File Format 1.0\r\n"
+        # WARC-Date is mandatory on EVERY record (spec 5.4); stay
+        # deterministic by stamping the max page timestamp, not a clock
+        info_date = max((r[1] for r in rows if r[1] is not None),
+                        default=None)
         out.write(pack(_warc_record(
             "warcinfo",
-            [("Content-Type", "application/warc-fields"),
+            [("WARC-Date", info_date.strftime(_DATE_FMT) if info_date
+              else "1970-01-01T00:00:00Z"),
+             ("Content-Type", "application/warc-fields"),
              ("WARC-Filename", os.path.basename(path))], info)))
         n = 0
         for r in rows:
@@ -283,9 +293,13 @@ def write_wet(df: DataFrame, path: str, *, url_col: str = "url",
         info = (b"software: spandex_spark.sources.warc\r\n"
                 b"format: WARC File Format 1.0\r\n"
                 b"conversion: text extraction\r\n")
+        info_date = max((r[1] for r in rows if r[1] is not None),
+                        default=None)
         out.write(pack(_warc_record(
             "warcinfo",
-            [("Content-Type", "application/warc-fields"),
+            [("WARC-Date", info_date.strftime(_DATE_FMT) if info_date
+              else "1970-01-01T00:00:00Z"),
+             ("Content-Type", "application/warc-fields"),
              ("WARC-Filename", os.path.basename(path))], info)))
         for r in rows:
             url, ts, text = r[0], r[1], r[2]

@@ -548,16 +548,30 @@ class IcebergishTable:
 
         Source keys must be unique (the Iceberg cardinality rule — a
         target row matched twice is non-deterministic); checked with
-        one aggregate, ValueError if violated.
+        one aggregate, ValueError if violated. If the TARGET holds
+        several rows with one key (plain append() allows it), all of
+        them match: delete drops them all, update/upsert replaces them
+        all with THE single source row (the output is keyed — an
+        upsert's contract — which collapses such duplicates; counted
+        exactly in "matched").
 
         Returns {"matched", "inserted", "deleted", "rewritten",
-        "carried"} — matched counts replaced rows in update/upsert and
-        equals deleted in delete mode.
+        "carried"} — matched counts replaced target rows in
+        update/upsert and equals deleted in delete mode. All counts are
+        derived from manifest row totals (exact, no extra jobs beyond
+        one semi-join count and, for upsert, one source count).
         """
         if mode not in ("upsert", "update", "delete"):
             raise ValueError(f"unknown merge mode {mode!r}")
         keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         source = source.cache()
+        try:
+            return self._merge_impl(spark, source, keys, mode)
+        finally:
+            source.unpersist()
+
+    def _merge_impl(self, spark: SparkSession, source: DataFrame,
+                    keys: list[str], mode: str) -> dict:
         dup = (source.groupBy(*keys).count()
                .filter(F.col("count") > 1).limit(1).collect())  # collect-ok: <=1-row cardinality-violation probe
         if dup:
@@ -579,43 +593,53 @@ class IcebergishTable:
         if touched:
             tgt = spark.read.parquet(
                 *[os.path.join(self.root, f["path"]) for f in touched])
-            matched = source.join(tgt.select(*keys), keys,
-                                  "left_semi").count()
+            matched_src = source.join(tgt.select(*keys), keys,
+                                      "left_semi").count()
             survivors = tgt.join(source.select(*keys), keys, "left_anti")
         else:
-            matched, survivors = 0, None
+            matched_src, survivors = 0, None
 
-        if mode == "delete" or (mode == "update" and matched == 0):
+        no_op = {"matched": 0, "inserted": 0, "deleted": 0,
+                 "rewritten": 0, "carried": len(carried)}
+        if mode == "delete":
             if not touched:
-                source.unpersist()
-                return {"matched": 0, "inserted": 0, "deleted": 0,
-                        "rewritten": 0, "carried": len(carried)}
-            new_data, inserted = survivors, 0
-        else:
-            src = source
-            if mode == "update":
-                src = source.join(tgt.select(*keys).distinct(), keys,
-                                  "left_semi")
-                inserted = 0
-            else:
-                inserted = source.count() - matched
-            # align source columns to the table schema/order
+                return no_op
+            new_data, n_src_written = survivors, 0
+            inserted = 0
+        elif mode == "update":
+            if matched_src == 0:
+                # nothing to replace: rewriting byte-identical files
+                # and publishing a snapshot would be pure waste
+                return no_op
+            src = source.join(tgt.select(*keys).distinct(), keys,
+                              "left_semi")
+            n_src_written, inserted = matched_src, 0
             schema_json = self.current_snapshot()["schema"]
             cols = [f["name"] for f in schema_json["fields"]]
-            src = src.select(*cols)
+            new_data = survivors.unionByName(src.select(*cols))
+        else:  # upsert
+            n_src_written = source.count()
+            inserted = n_src_written - matched_src
+            schema_json = self.current_snapshot()["schema"]
+            cols = [f["name"] for f in schema_json["fields"]]
+            src = source.select(*cols)
             new_data = (survivors.unionByName(src)
                         if survivors is not None else src)
 
         snap_id = uuid.uuid4().hex[:12]
         out = os.path.join(self.data_dir, snap_id)
         new_data.write.mode("overwrite").parquet(out)
-        source.unpersist()
         new_files, new_total = self._scan_written(out)
         carried_total = sum(f["rows"] for f in carried)
         self._publish(snap_id, "rewrite",
                       self.current_snapshot()["schema"],
                       {"merge": [mode] + keys},
                       new_files + carried, new_total + carried_total)
-        return {"matched": int(matched), "inserted": int(inserted),
-                "deleted": int(matched) if mode == "delete" else 0,
+        # exact under duplicate-key targets: survivors = new_total minus
+        # the source rows written, so replaced/deleted TARGET rows are
+        # touched_rows - survivors
+        survivors_rows = new_total - n_src_written
+        matched_tgt = touched_rows - survivors_rows
+        return {"matched": int(matched_tgt), "inserted": int(inserted),
+                "deleted": int(matched_tgt) if mode == "delete" else 0,
                 "rewritten": len(touched), "carried": len(carried)}

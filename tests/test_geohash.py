@@ -14,6 +14,7 @@ VECTORS = [
     (-180.0, -90.0, 6, "000000"),
     (179.9999999, 89.9999999, 6, "zzzzzz"),
     (180.0, 90.0, 6, "zzzzzz"),                # edge clamps into last cell
+    (-180.5, -90.5, 6, "000000"),              # low end clamps too
 ]
 
 

@@ -112,3 +112,26 @@ def test_pip_parity_through_gpkg(spark, tmp_path, fixture_dir):
     b = tag_points(pts, zones2, poly_id_col="zone_id",
                    point_id_col="poi_id", level=9)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_null_in_first_row_types_from_later_rows(spark, tmp_path):
+    """A NULL attribute on feature 0 must not mistype the column
+    (review finding: first-row inference crashed the read and
+    stringified the write)."""
+    rows = [(1, None, None, _poly(1, "x", [0, 1, 1, 0], [0, 0, 1, 1])[2]),
+            (2, 42, 2.5, _poly(2, "y", [2, 3, 3, 2], [0, 0, 1, 1])[2])]
+    df = spark.createDataFrame(
+        rows, "pid long, pop long, score double, geom struct<kind:tinyint,"
+              " xs:array<double>, ys:array<double>, ring_offsets:array<int>,"
+              " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+    p = str(tmp_path / "nulls.gpkg")
+    write_geopackage(df, p)
+    back = {r["pid"]: r for r in read_geopackage(spark, p).collect()}
+    assert back[1]["pop"] is None and back[2]["pop"] == 42
+    assert back[2]["score"] == 2.5
+    # sqlite declared the column numeric, not TEXT
+    import sqlite3 as _sq
+    con = _sq.connect(p)
+    decl = {r[1]: r[2] for r in con.execute("PRAGMA table_info(features)")}
+    con.close()
+    assert decl["pop"] == "INTEGER" and decl["score"] == "REAL"

@@ -105,3 +105,33 @@ def test_composite_keys(spark, tmp_path):
     got = {(r["k"], r["sub"]): r["v"] for r in t.read(spark).collect()}
     assert got == {(1, "x"): "a", (1, "y"): "B", (2, "x"): "c",
                    (2, "y"): "d"}
+
+
+def test_update_range_overlap_but_no_match_publishes_nothing(spark, tmp_path):
+    """Key RANGE overlaps a live file but no key matches: update must
+    not rewrite byte-identical files (review finding)."""
+    t = _mk(spark, tmp_path, [(1, "a"), (9, "z")])
+    seq_before = t.current_snapshot()["sequence"]
+    res = t.merge(spark, spark.createDataFrame(
+        [(5, "x")], "k long, v string"), "k", mode="update")
+    assert res["rewritten"] == 0 and res["matched"] == 0
+    assert t.current_snapshot()["sequence"] == seq_before
+
+
+def test_duplicate_target_keys_counted_exactly(spark, tmp_path):
+    """Two target rows share a key (two appends): delete removes both
+    and reports 2; upsert replaces both with THE source row (keyed
+    output, documented) and reports matched=2."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    t.append(spark.createDataFrame([(2, "b2")], "k long, v string"))
+    res = t.merge(spark, spark.createDataFrame(
+        [(2, "B")], "k long, v string"), "k")
+    assert res["matched"] == 2 and res["inserted"] == 0
+    assert _state(t, spark) == {1: "a", 2: "B"}
+
+    t2 = _mk(spark, tmp_path, [(1, "a"), (2, "b")], name="t2")
+    t2.append(spark.createDataFrame([(2, "b2")], "k long, v string"))
+    res = t2.merge(spark, spark.createDataFrame(
+        [(2, "x")], "k long, v string"), "k", mode="delete")
+    assert res["deleted"] == 2 == res["matched"]
+    assert _state(t2, spark) == {1: "a"}

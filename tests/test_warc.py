@@ -173,3 +173,27 @@ def test_wet_round_trip(spark, fixture_dir, tmp_path):
         assert bytes(conv[url]["payload"]).decode("utf-8") == r["text"]
         assert conv[url]["content_type"] == "text/plain"
         assert conv[url]["http_status"] is None
+
+
+def test_content_type_case_insensitive(spark, tmp_path):
+    """'Text/HTML' with charset still counts as an html response
+    (review finding)."""
+    body = b"<p>x</p>"
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://a.example/up\r\n"
+           b"WARC-Date: 2026-01-02T00:00:00Z\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           b"Content-Length: %d\r\n\r\n" % (59 + len(body))
+           + b"HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; charset=UTF-8\r\n"
+           b"\r\n" + body + b"\r\n\r\n")
+    p = str(tmp_path / "case.warc.gz")
+    open(p, "wb").write(gzip.compress(rec))
+    pages = read_warc_pages(spark, p).collect()
+    assert len(pages) == 1 and bytes(pages[0]["html"]) == body
+
+
+def test_warcinfo_has_mandatory_date(spark, fixture_dir, tmp_path):
+    p = str(tmp_path / "dated.warc.gz")
+    write_warc(_pages(spark, fixture_dir, 5), p)
+    info = read_warc(spark, p).filter("record_type = 'warcinfo'").collect()
+    assert len(info) == 1 and info[0]["warc_ts"] is not None
