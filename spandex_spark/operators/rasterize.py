@@ -100,6 +100,12 @@ def rasterize(polys: DataFrame, tile_spec: DataFrame, *,
 
     tj = spec.join(polys_per_tile, "tile_id",
                    "left" if keep_empty else "inner")
+    # the joined rows are BYTE-tiny (ids + rings) but each costs a full
+    # tile burn, so AQE's bytes-based coalescing would collapse them
+    # onto one core; an explicit repartition is exempt from coalescing
+    # (the E3/skew lesson, BENCH/BASELINE.md "Mega-cell salting")
+    sc = spec.sparkSession.sparkContext
+    tj = tj.repartition(sc.defaultParallelism)
 
     asc = combine == "max"  # burn ascending so the LAST write is the max
     nod = float(nodata)
