@@ -49,6 +49,11 @@ def generate_points(df: DataFrame, *, n: int, id_col: str,
                     df[geom_col]["xs"].alias("xs"),
                     df[geom_col]["ys"].alias("ys"),
                     df[geom_col]["ring_offsets"].alias("offs"))
+    # ring rows are byte-tiny but each costs n rejection draws; pin the
+    # parallelism so AQE/file-based partitioning can't serialise the
+    # sampling (the rasterize burn lesson, BENCH/BASELINE.md)
+    sc = df.sparkSession.sparkContext
+    src = src.repartition(sc.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
