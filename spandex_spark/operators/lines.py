@@ -490,3 +490,128 @@ def line_locate(df: DataFrame, *, lon_col: str = "lon",
     return df.withColumn(out_col, _locate(
         F.col(lon_col).cast("double"), F.col(lat_col).cast("double"),
         g["kind"], g["xs"], g["ys"], g["ring_offsets"]))
+
+
+def _chain_parts(parts: list, quant: float = 1e-9) -> list:
+    """Merge open line parts through degree-2 nodes only (the PostGIS
+    ST_LineMerge rule: junctions where 3+ endpoints meet are never
+    merged through). Returns oriented (xs, ys) numpy pairs."""
+    from collections import defaultdict
+
+    def key(x, y):
+        return (round(x / quant), round(y / quant))
+
+    ends = []
+    node_deg: dict = defaultdict(int)
+    for xs, ys in parts:
+        a, b = key(xs[0], ys[0]), key(xs[-1], ys[-1])
+        ends.append((a, b))
+        node_deg[a] += 1
+        node_deg[b] += 1
+    incident = defaultdict(list)
+    for i, (a, b) in enumerate(ends):
+        incident[a].append(i)
+        incident[b].append(i)
+
+    used = [False] * len(parts)
+    out = []
+    for seed in range(len(parts)):
+        if used[seed]:
+            continue
+        used[seed] = True
+        xs = np.asarray(parts[seed][0], np.float64)
+        ys = np.asarray(parts[seed][1], np.float64)
+        chain_x, chain_y = [xs], [ys]
+        for direction in ("tail", "head"):
+            while True:
+                if direction == "tail":
+                    node = key(chain_x[-1][-1], chain_y[-1][-1])
+                else:
+                    node = key(chain_x[0][0], chain_y[0][0])
+                # a closed ring terminates on its own: the tail walk
+                # consumes every part and the head walk finds none unused
+                if node_deg[node] != 2:
+                    break
+                nxt = [i for i in incident[node] if not used[i]]
+                if not nxt:
+                    break
+                j = nxt[0]
+                used[j] = True
+                jx = np.asarray(parts[j][0], np.float64)
+                jy = np.asarray(parts[j][1], np.float64)
+                if direction == "tail":
+                    if key(jx[0], jy[0]) != node:
+                        jx, jy = jx[::-1], jy[::-1]
+                    chain_x.append(jx[1:])
+                    chain_y.append(jy[1:])
+                else:
+                    if key(jx[-1], jy[-1]) != node:
+                        jx, jy = jx[::-1], jy[::-1]
+                    chain_x.insert(0, jx[:-1])
+                    chain_y.insert(0, jy[:-1])
+        out.append((np.concatenate(chain_x), np.concatenate(chain_y)))
+    return out
+
+
+def line_merge(df: DataFrame, *, geom_col: str = "geom",
+               out_col: str | None = None,
+               quant: float = 1e-9) -> DataFrame:
+    """ST_LineMerge analog: re-chain the parts of each (multi)linestring
+    (kind=2) through shared endpoints. PostGIS-faithful rule: parts
+    merge ONLY across nodes where exactly two endpoints meet; three-way
+    junctions stay split. Map-only Arrow pass, no shuffle; NULL and
+    non-line geometries pass through untouched."""
+    out_col = out_col or geom_col
+
+    @pandas_udf(_TRIM_GEOM_TYPE)
+    def _merge(kind: pd.Series, xs: pd.Series, ys: pd.Series,
+               offs: pd.Series) -> pd.DataFrame:
+        kinds, oxs, oys, ooffs, bbs = [], [], [], [], []
+        for i in range(len(kind)):
+            k = kind.iloc[i]
+            # NULL structs surface as NaN in the numeric kind series
+            if pd.isna(k) or int(k) != 2 or xs.iloc[i] is None:
+                # pass through non-lines untouched
+                kinds.append(None if pd.isna(k) else int(k))
+                oxs.append(None if xs.iloc[i] is None
+                           else [float(v) for v in xs.iloc[i]])
+                oys.append(None if ys.iloc[i] is None
+                           else [float(v) for v in ys.iloc[i]])
+                o = offs.iloc[i]
+                ooffs.append(None if o is None else [int(v) for v in o])
+                if xs.iloc[i] is None:
+                    bbs.append(None)
+                else:
+                    gx = np.asarray(xs.iloc[i], np.float64)
+                    gy = np.asarray(ys.iloc[i], np.float64)
+                    bbs.append({"minx": float(gx.min()),
+                                "miny": float(gy.min()),
+                                "maxx": float(gx.max()),
+                                "maxy": float(gy.max())})
+                continue
+            gx = np.asarray(xs.iloc[i], np.float64)
+            gy = np.asarray(ys.iloc[i], np.float64)
+            o = offs.iloc[i]
+            o = (np.asarray(o, np.int64) if o is not None
+                 else np.array([0, gx.shape[0]], np.int64))
+            parts = [(gx[o[p]:o[p + 1]], gy[o[p]:o[p + 1]])
+                     for p in range(len(o) - 1)]
+            merged = _chain_parts(parts, quant)
+            mx = np.concatenate([m[0] for m in merged])
+            my = np.concatenate([m[1] for m in merged])
+            moff = [0]
+            for m in merged:
+                moff.append(moff[-1] + m[0].shape[0])
+            kinds.append(2)
+            oxs.append(mx.tolist())
+            oys.append(my.tolist())
+            ooffs.append(moff)
+            bbs.append({"minx": float(mx.min()), "miny": float(my.min()),
+                        "maxx": float(mx.max()), "maxy": float(my.max())})
+        return pd.DataFrame({"kind": kinds, "xs": oxs, "ys": oys,
+                             "ring_offsets": ooffs, "bbox": bbs})
+
+    g = F.col(geom_col)
+    merged = _merge(g["kind"], g["xs"], g["ys"], g["ring_offsets"])
+    return df.withColumn(out_col,
+                         F.when(g.isNotNull(), merged))
