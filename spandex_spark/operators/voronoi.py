@@ -1,0 +1,112 @@
+"""ST_VoronoiPolygons analog: bounded Voronoi cells per point group.
+
+Reference semantics: PostGIS ST_VoronoiPolygons(collection, extend_to)
+computes the diagram of ONE collection; spandex's templates apply such
+collection functions per group. Mirrored here: ``group_col`` keys the
+collections, the diagram is computed inside one
+`groupBy().applyInPandas` kernel per group — the same bounded-group
+contract as `simplify.convex_hull` (hull_parcels): a group is a
+parcel/zone-sized point set, not the whole planet. The cross-group
+fan-out is where the distribution lives.
+
+Construction is the textbook half-plane intersection: every site's
+cell starts as the clip box (group extent padded by ``margin``, or an
+explicit ``bbox``) and is clipped by the perpendicular bisector of
+(site, other) for every other site in the group — O(n² · clip) per
+group, exact planar arithmetic, deterministic. Cells PARTITION the
+clip box by construction: area-sum == box area is the pytest oracle,
+alongside site-containment and the symmetric-grid closed form.
+
+Output: (group_col, point id, site lon/lat, cell geometry struct,
+cell area). Groups with a single site get the whole box.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from spandex_spark.operators.trim import _GEOM_TYPE
+
+
+def _clip_halfplane(px: np.ndarray, py: np.ndarray, ax: float, ay: float,
+                    bx: float, by: float):
+    """Sutherland-Hodgman clip of polygon (px, py) to the half-plane of
+    points closer to A=(ax,ay) than B=(bx,by):
+    (B-A)·P <= (B-A)·midpoint."""
+    nx_, ny_ = bx - ax, by - ay
+    c = nx_ * (ax + bx) / 2.0 + ny_ * (ay + by) / 2.0
+    d = nx_ * px + ny_ * py - c          # <= 0 inside
+    out_x, out_y = [], []
+    n = px.shape[0]
+    for i in range(n):
+        j = (i + 1) % n
+        di, dj = d[i], d[j]
+        if di <= 0:
+            out_x.append(px[i]); out_y.append(py[i])
+        if (di < 0) != (dj < 0) and di != dj:
+            t = di / (di - dj)
+            out_x.append(px[i] + t * (px[j] - px[i]))
+            out_y.append(py[i] + t * (py[j] - py[i]))
+    return np.asarray(out_x), np.asarray(out_y)
+
+
+def voronoi_polygons(points: DataFrame, *, group_col: str,
+                     point_id_col: str, lon_col: str = "lon",
+                     lat_col: str = "lat", margin: float = 1.0,
+                     bbox: tuple | None = None) -> DataFrame:
+    """Bounded Voronoi cell per site, per group (module docstring)."""
+    out_schema = T.StructType([
+        T.StructField("group", points.schema[group_col].dataType),
+        T.StructField("site_id", points.schema[point_id_col].dataType),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("cell", _GEOM_TYPE),
+        T.StructField("area", T.DoubleType()),
+    ])
+
+    def diagram(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = key[0]
+        sx = pdf[lon_col].to_numpy(np.float64)
+        sy = pdf[lat_col].to_numpy(np.float64)
+        ids = pdf[point_id_col].tolist()
+        if bbox is not None:
+            x0, y0, x1, y1 = map(float, bbox)
+        else:
+            x0, x1 = sx.min() - margin, sx.max() + margin
+            y0, y1 = sy.min() - margin, sy.max() + margin
+        rows = []
+        for i in range(sx.shape[0]):
+            px = np.array([x0, x1, x1, x0])
+            py = np.array([y0, y0, y1, y1])
+            # clip nearest bisectors first: the cell shrinks fastest, so
+            # later (farther) sites mostly no-op
+            order = np.argsort((sx - sx[i]) ** 2 + (sy - sy[i]) ** 2,
+                               kind="stable")
+            for j in order:
+                if j == i or px.shape[0] == 0:
+                    continue
+                px, py = _clip_halfplane(px, py, sx[i], sy[i],
+                                         float(sx[j]), float(sy[j]))
+            if px.shape[0] < 3:
+                cell, area = None, 0.0
+            else:
+                area = 0.5 * abs(np.dot(px, np.roll(py, -1))
+                                 - np.dot(py, np.roll(px, -1)))
+                cell = {"kind": 3, "xs": px.tolist(), "ys": py.tolist(),
+                        "ring_offsets": [0, int(px.shape[0])],
+                        "bbox": {"minx": float(px.min()),
+                                 "miny": float(py.min()),
+                                 "maxx": float(px.max()),
+                                 "maxy": float(py.max())}}
+            rows.append((g, ids[i], float(sx[i]), float(sy[i]),
+                         cell, float(area)))
+        return pd.DataFrame(rows, columns=["group", "site_id", "lon",
+                                           "lat", "cell", "area"])
+
+    out = (points.groupBy(group_col).applyInPandas(diagram, out_schema)
+           .withColumnRenamed("group", group_col)
+           .withColumnRenamed("site_id", point_id_col))
+    return out
