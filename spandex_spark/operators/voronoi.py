@@ -110,3 +110,101 @@ def voronoi_polygons(points: DataFrame, *, group_col: str,
            .withColumnRenamed("group", group_col)
            .withColumnRenamed("site_id", point_id_col))
     return out
+
+
+def _bowyer_watson(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Incremental Delaunay triangulation (Bowyer-Watson), float64
+    in-circle via the standard 3x3 determinant on a CCW-oriented
+    triangle. Returns index triples into ``pts``. O(n²) per group —
+    the bounded-group contract."""
+    n = pts.shape[0]
+    cx, cy = pts.mean(axis=0)
+    big = 1e3 * max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1e-9)
+    verts = np.vstack([pts, [[cx - 3 * big, cy - big],
+                             [cx + 3 * big, cy - big],
+                             [cx, cy + 3 * big]]])
+    tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
+
+    def in_circle(t, p) -> bool:
+        a, b, c = (verts[t[0]], verts[t[1]], verts[t[2]])
+        # orient CCW
+        if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) < 0:
+            b, c = c, b
+        m = np.array([
+            [a[0] - p[0], a[1] - p[1],
+             (a[0] - p[0]) ** 2 + (a[1] - p[1]) ** 2],
+            [b[0] - p[0], b[1] - p[1],
+             (b[0] - p[0]) ** 2 + (b[1] - p[1]) ** 2],
+            [c[0] - p[0], c[1] - p[1],
+             (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2]])
+        return float(np.linalg.det(m)) > 0.0
+
+    for p_idx in range(n):
+        p = verts[p_idx]
+        bad = [t for t in tris if in_circle(t, p)]
+        counts: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2])):
+                k = (min(e), max(e))
+                counts[k] = counts.get(k, 0) + 1
+        boundary = [e for e, c in counts.items() if c == 1]
+        bad_set = set(bad)
+        tris = [t for t in tris if t not in bad_set]
+        tris += [(e[0], e[1], p_idx) for e in boundary]
+    return [t for t in tris if max(t) < n]
+
+
+def delaunay_triangles(points: DataFrame, *, group_col: str,
+                       point_id_col: str, lon_col: str = "lon",
+                       lat_col: str = "lat") -> DataFrame:
+    """ST_DelaunayTriangles analog: the triangulation of each group's
+    sites via Bowyer-Watson (NOT the bounded-Voronoi dual — a
+    near-hull Delaunay edge's empty circle can be arbitrarily large,
+    so any clipped dual drops edges; found the hard way, see
+    tests/test_delaunay.py's radius-128 regression pair). Same
+    bounded-group kernel contract as `voronoi_polygons`.
+
+    Output: (group_col, id_a, id_b, id_c) vertex ids per triangle,
+    sorted within the row; deterministic for a given group."""
+    out_schema = T.StructType([
+        T.StructField("group", points.schema[group_col].dataType),
+        T.StructField("id_a", points.schema[point_id_col].dataType),
+        T.StructField("id_b", points.schema[point_id_col].dataType),
+        T.StructField("id_c", points.schema[point_id_col].dataType),
+    ])
+
+    def tri(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[[lon_col, lat_col]].to_numpy(np.float64)
+        ids = pdf[point_id_col].tolist()
+        rows = []
+        if pts.shape[0] >= 3:
+            for a, b, c in _bowyer_watson(pts):
+                ta, tb, tc = sorted([ids[a], ids[b], ids[c]])
+                rows.append((key[0], ta, tb, tc))
+        return pd.DataFrame(rows, columns=["group", "id_a", "id_b", "id_c"])
+
+    return (points.groupBy(group_col).applyInPandas(tri, out_schema)
+            .withColumnRenamed("group", group_col))
+
+
+def delaunay_edges(points: DataFrame, *, group_col: str,
+                   point_id_col: str, lon_col: str = "lon",
+                   lat_col: str = "lat") -> DataFrame:
+    """Delaunay EDGES (the ST_DelaunayTriangles ``flags=1`` analog):
+    the distinct undirected edges of `delaunay_triangles` — one
+    distinct() over the exploded triangle edges, everything else
+    inherited."""
+    from pyspark.sql import functions as F
+    tris = delaunay_triangles(points, group_col=group_col,
+                              point_id_col=point_id_col,
+                              lon_col=lon_col, lat_col=lat_col)
+    edges = tris.select(
+        group_col,
+        F.explode(F.array(
+            F.array("id_a", "id_b"),
+            F.array("id_b", "id_c"),
+            F.array("id_a", "id_c"))).alias("_e"))
+    return (edges.select(group_col,
+                         F.col("_e")[0].alias("id_a"),
+                         F.col("_e")[1].alias("id_b"))
+            .distinct())
