@@ -33,4 +33,4 @@ from spandex_spark.operators.contour import contour_lines, assemble_contours  # 
 from spandex_spark.operators.textnorm import normalize_text, encoding_stats  # noqa: F401
 from spandex_spark.operators.genpoints import generate_points  # noqa: F401
 from spandex_spark.operators.voronoi import (  # noqa: F401
-    delaunay_edges, delaunay_triangles, voronoi_polygons)
+    alpha_shape, delaunay_edges, delaunay_triangles, voronoi_polygons)

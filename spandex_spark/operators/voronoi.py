@@ -23,6 +23,8 @@ cell area). Groups with a single site get the whole box.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -116,7 +118,16 @@ def _bowyer_watson(pts: np.ndarray) -> list[tuple[int, int, int]]:
     """Incremental Delaunay triangulation (Bowyer-Watson), float64
     in-circle via the standard 3x3 determinant on a CCW-oriented
     triangle. Returns index triples into ``pts``. O(n²) per group —
-    the bounded-group contract."""
+    the bounded-group contract.
+
+    Cocircular ties (lattices, points sampled on a circle) are broken
+    STRICT-INSIDE: |det| below a Hadamard-scaled epsilon counts as
+    "not inside", so on-circle triangles stay put and any
+    triangulation of the cocircular fan is kept (all are equally
+    Delaunay). Raw ``det > 0.0`` lets float noise flip the tie per
+    triangle and emits overlapping cavities — 181 triangles for 40
+    cocircular points where Euler demands 38 (regression:
+    tests/test_alpha_shape.py::test_cocircular_exact_threshold)."""
     n = pts.shape[0]
     cx, cy = pts.mean(axis=0)
     big = 1e3 * max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1e-9)
@@ -137,7 +148,14 @@ def _bowyer_watson(pts: np.ndarray) -> list[tuple[int, int, int]]:
              (b[0] - p[0]) ** 2 + (b[1] - p[1]) ** 2],
             [c[0] - p[0], c[1] - p[1],
              (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2]])
-        return float(np.linalg.det(m)) > 0.0
+        det = float(np.linalg.det(m))
+        # Hadamard bound: |det| <= prod(row norms). 1e-12 of that is
+        # ~1e4 above the f64 LU noise floor yet below any true signal
+        # even when the bound is loose (the huge super-triangle vs a
+        # far-away small cluster skews rows near-parallel; 1e-9 there
+        # swallowed genuine insertions and emptied the triangulation).
+        eps = 1e-12 * float(np.prod(np.linalg.norm(m, axis=1)))
+        return det > eps
 
     for p_idx in range(n):
         p = verts[p_idx]
@@ -208,3 +226,106 @@ def delaunay_edges(points: DataFrame, *, group_col: str,
                          F.col("_e")[0].alias("id_a"),
                          F.col("_e")[1].alias("id_b"))
             .distinct())
+
+
+def _alpha_boundary(pts: np.ndarray, tris: list, alpha: float):
+    """Alpha-complex boundary for one group: keep triangles with
+    circumradius <= alpha, orient each CCW, and walk the directed
+    boundary edges (edges whose reverse is absent). Because every kept
+    triangle is CCW, interior edges cancel in opposite directions and
+    the walk emits outer rings CCW and hole rings CW — exactly the
+    engine's even-odd convention (geom.py module docstring).
+
+    Returns (rings, area, n_kept): rings = list of np index arrays,
+    area = sum of kept-triangle areas (exact, independent of the ring
+    walk), n_kept = surviving triangle count."""
+    kept = []
+    area = 0.0
+    for a, b, c in tris:
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        cx, cy = pts[c]
+        cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        if cross < 0:           # orient CCW
+            b, c = c, b
+            bx, by, cx, cy = cx, cy, bx, by
+            cross = -cross
+        if cross == 0:
+            continue            # degenerate sliver contributes nothing
+        la = math.hypot(bx - ax, by - ay)
+        lb = math.hypot(cx - bx, cy - by)
+        lc = math.hypot(ax - cx, ay - cy)
+        circum_r = (la * lb * lc) / (2.0 * cross)   # abc / (4 * area)
+        if circum_r <= alpha:
+            kept.append((a, b, c))
+            area += 0.5 * cross
+    directed = set()
+    for a, b, c in kept:
+        for e in ((a, b), (b, c), (c, a)):
+            directed.add(e)
+    boundary = [e for e in directed if (e[1], e[0]) not in directed]
+    nxt: dict = {}
+    for a, b in boundary:
+        nxt.setdefault(a, []).append(b)
+    rings = []
+    while nxt:
+        start = next(iter(nxt))
+        ring = [start]
+        cur = start
+        while True:
+            outs = nxt[cur]
+            step = outs.pop()
+            if not outs:
+                del nxt[cur]
+            ring.append(step)
+            cur = step
+            if cur == start:
+                break
+        rings.append(np.asarray(ring[:-1], dtype=np.int64))
+    return rings, area, len(kept)
+
+
+def alpha_shape(points: DataFrame, *, group_col: str,
+                lon_col: str = "lon", lat_col: str = "lat",
+                alpha: float) -> DataFrame:
+    """ST_ConcaveHull analog (the classical alpha shape, Edelsbrunner
+    1983): per group, the union of Delaunay triangles with circumradius
+    <= ``alpha``. Unlike `simplify.convex_hull` this follows reflex
+    coastlines, splits disjoint clusters into separate outer rings, and
+    opens interior voids as CW hole rings (the per-domain page-footprint
+    use case). Same bounded-group kernel contract as `voronoi_polygons`;
+    the cross-group fan-out is where the distribution lives.
+
+    Output: (group_col, geom (NULL when no triangle survives), area
+    (even-odd exact, = sum of kept triangle areas), n_triangles)."""
+    out_schema = T.StructType([
+        T.StructField("group", points.schema[group_col].dataType),
+        T.StructField("geom", _GEOM_TYPE),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("n_triangles", T.IntegerType()),
+    ])
+
+    def shape(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[[lon_col, lat_col]].to_numpy(np.float64)
+        geom, area, n_tri = None, 0.0, 0
+        if pts.shape[0] >= 3:
+            tris = _bowyer_watson(pts)
+            rings, area, n_tri = _alpha_boundary(pts, tris, float(alpha))
+            if rings:
+                xs: list = []
+                ys: list = []
+                offs = [0]
+                for r in rings:
+                    xs.extend(pts[r, 0].tolist())
+                    ys.extend(pts[r, 1].tolist())
+                    offs.append(len(xs))
+                geom = {"kind": 3 if len(rings) == 1 else 6,
+                        "xs": xs, "ys": ys, "ring_offsets": offs,
+                        "bbox": {"minx": min(xs), "miny": min(ys),
+                                 "maxx": max(xs), "maxy": max(ys)}}
+        return pd.DataFrame(
+            [(key[0], geom, float(area), n_tri)],
+            columns=["group", "geom", "area", "n_triangles"])
+
+    return (points.groupBy(group_col).applyInPandas(shape, out_schema)
+            .withColumnRenamed("group", group_col))
