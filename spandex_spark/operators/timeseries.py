@@ -170,3 +170,54 @@ def _asof_join_bucketed(left: DataFrame, right: DataFrame, *, on: str,
 
 
 from pyspark.sql import Window  # noqa: E402
+
+
+def sessionize(df: DataFrame, *, ts_col: str = "ts",
+               by: str = "user_id", gap_seconds: float = 1800.0,
+               order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Gap-based sessionization (the web-analytics primitive; BigQuery/
+    Snowflake express it with the same lag+running-sum idiom — there is
+    no reference analog, spandex has no time-series surface, SURVEY.md
+    §1.1): a new session starts at a row whose time since the PREVIOUS
+    event of the same ``by`` key exceeds ``gap_seconds``.
+
+    Arithmetic is integer MICROSECONDS (unix_micros / epoch_us) so a SQL
+    oracle matches bit-for-bit — float epoch seconds round-trip
+    differently between engines. Ties on ``ts_col`` are broken by
+    ``order_cols`` (pass the event id for full determinism).
+
+    Scale shape: ONE shuffle on ``by``; lag and the running sum share the
+    window's partitioning+ordering so the sort is paid once. Key skew =
+    hottest single user, the same contract as `asof_join`.
+
+    Output: input columns + ``session_seq`` (1-based per key) +
+    ``session_id`` ("<by>-<seq>")."""
+    w = Window.partitionBy(by).orderBy(ts_col, *order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    gap_us = int(round(gap_seconds * 1_000_000))
+    is_new = F.when(prev.isNull() | ((us - prev) > F.lit(gap_us)),
+                    F.lit(1)).otherwise(F.lit(0))
+    seq = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("session_seq", seq.cast("long"))
+            .withColumn("session_id",
+                        F.concat_ws("-", F.col(by).cast("string"),
+                                    F.col("session_seq").cast("string"))))
+
+
+def session_stats(df: DataFrame, *, ts_col: str = "ts",
+                  by: str = "user_id", gap_seconds: float = 1800.0,
+                  order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Session-level rollup over `sessionize`: one row per (key, session)
+    with event count, start/end, and duration in integer microseconds.
+    Same single shuffle — the groupBy key is a prefix of the window's
+    partition key, so no second exchange."""
+    s = sessionize(df, ts_col=ts_col, by=by, gap_seconds=gap_seconds,
+                   order_cols=order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (s.groupBy(by, "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 (F.max(us) - F.min(us)).alias("duration_us")))
