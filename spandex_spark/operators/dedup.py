@@ -357,3 +357,61 @@ def line_dedup(df: DataFrame, *, text_col: str = "text",
                                   F.lit(0)))
            .drop("_newtext", "_n_lines"))
     return out
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None, n: int = 13,
+                  lowercase: bool = True,
+                  hashed: bool = True) -> DataFrame:
+    """Training-vs-eval n-gram overlap (the GPT-3 appendix-C /
+    PaLM-style decontamination primitive; no reference analog — this is
+    the web-scale graft's pipeline toolbox): flag every corpus document
+    sharing at least one word ``n``-gram with any benchmark text.
+
+    Scale shape: the benchmark side (eval suites — 1e5..1e7 n-grams)
+    reduces to DISTINCT n-gram keys and BROADCASTS; the corpus explodes
+    its n-grams map-side and probes the broadcast join, so the corpus is
+    never shuffled for the match — the only exchange is the
+    groupBy(id) for per-document hit counts, and only MATCHED rows
+    reach it. ``hashed=True`` broadcasts xxhash64 keys (8 bytes/gram)
+    instead of strings; collisions only ever over-flag, at ~2^-64 per
+    probe.
+
+    Documents/benchmarks shorter than ``n`` words contribute their full
+    text as a single floor-gram (the `_shingles` contract), so verbatim
+    short-item copies still match; a short quote INSIDE a long document
+    does not — the standard n-gram-decontamination blind spot, widen by
+    lowering ``n``.
+
+    Output: one row per CONTAMINATED corpus document —
+    (id_col, n_matched distinct grams, n_grams distinct grams in doc,
+    contamination_ratio)."""
+    bcol = bench_text_col or text_col
+
+    def norm(c):
+        return F.lower(c) if lowercase else c
+
+    def gram_key(col):
+        return F.xxhash64(col) if hashed else col
+
+    bench_keys = (benchmark
+                  .select(F.explode(F.array_distinct(
+                      _shingles(norm(F.col(bcol)), n))).alias("_g"))
+                  .filter(F.length("_g") > 0)
+                  .select(gram_key(F.col("_g")).alias("_k"))
+                  .distinct())
+    grams = (corpus
+             .select(id_col,
+                     F.array_distinct(_shingles(norm(F.col(text_col)), n))
+                     .alias("_gs"))
+             .select(id_col, F.size("_gs").alias("n_grams"),
+                     F.explode("_gs").alias("_g"))
+             .filter(F.length("_g") > 0)
+             .select(id_col, "n_grams", gram_key(F.col("_g")).alias("_k")))
+    return (grams.join(F.broadcast(bench_keys), "_k")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_matched"),
+                 F.first("n_grams").alias("n_grams"))
+            .withColumn("contamination_ratio",
+                        F.col("n_matched") / F.col("n_grams")))
