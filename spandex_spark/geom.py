@@ -27,6 +27,8 @@ closed-form grid oracle ``zone_id = (floor(lat)+10)*20 + (floor(lon)+10)``.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 EARTH_RADIUS_M = 6_371_008.8  # mean Earth radius
@@ -1183,3 +1185,98 @@ def make_valid_rings(xs: np.ndarray, ys: np.ndarray, offsets=None,
     return _arrangement_region(
         polys, lambda px, py: points_in_rings(px, py, xs_n, ys_n, offs_n),
         quant=quant, eps_off=eps_off)
+
+
+def min_enclosing_circle(xs: np.ndarray, ys: np.ndarray):
+    """Smallest circle containing every point: Welzl's randomized
+    incremental miniball (the three-loop non-recursive form), expected
+    O(n). The minimum enclosing circle is UNIQUE, so the fixed-seed
+    shuffle affects running time only, never the answer. Returns
+    (cx, cy, r); r == 0.0 for a single distinct point.
+
+    Boundary tolerance is relative (1 + 1e-12) so cocircular inputs do
+    not thrash between equivalent support sets."""
+    pts = np.unique(np.column_stack([np.asarray(xs, np.float64),
+                                     np.asarray(ys, np.float64)]), axis=0)
+    n = pts.shape[0]
+    if n == 0:
+        return math.nan, math.nan, math.nan
+    if n == 1:
+        return float(pts[0, 0]), float(pts[0, 1]), 0.0
+    P = pts[np.random.default_rng(12345).permutation(n)]
+
+    def d2(p, c):
+        return (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2
+
+    def circ2(a, b):
+        c = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+        return c, d2(a, c)
+
+    def circ3(a, b, c):
+        d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                   + c[0] * (a[1] - b[1]))
+        if d == 0.0:
+            return None
+        a2 = a[0] ** 2 + a[1] ** 2
+        b2 = b[0] ** 2 + b[1] ** 2
+        c2 = c[0] ** 2 + c[1] ** 2
+        ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1]) + c2 * (a[1] - b[1])) / d
+        uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0]) + c2 * (b[0] - a[0])) / d
+        ctr = (ux, uy)
+        return ctr, max(d2(a, ctr), d2(b, ctr), d2(c, ctr))
+
+    TOL = 1.0 + 1e-12
+    ctr, r2 = circ2(P[0], P[1])
+    for i in range(2, n):
+        if d2(P[i], ctr) <= r2 * TOL:
+            continue
+        ctr, r2 = circ2(P[0], P[i])
+        for j in range(1, i):
+            if d2(P[j], ctr) <= r2 * TOL:
+                continue
+            ctr, r2 = circ2(P[j], P[i])
+            for k in range(j):
+                if d2(P[k], ctr) <= r2 * TOL:
+                    continue
+                got = circ3(P[k], P[j], P[i])
+                if got is not None:
+                    ctr, r2 = got
+    return float(ctr[0]), float(ctr[1]), float(math.sqrt(r2))
+
+
+def oriented_envelope(xs: np.ndarray, ys: np.ndarray):
+    """Minimum-AREA rotated rectangle: the optimum has a side collinear
+    with a convex-hull edge (Freeman & Shapira 1975), so project the
+    hull onto each edge-aligned basis and keep the smallest box —
+    O(h²) over hull vertices, exact, deterministic. Returns
+    (rect_xs[4], rect_ys[4] CCW, area) or None when the hull is
+    degenerate (< 3 strict hull vertices: point / collinear input)."""
+    hx, hy = convex_hull(np.asarray(xs, np.float64),
+                         np.asarray(ys, np.float64))
+    h = hx.shape[0]
+    if h < 3:
+        return None
+    H = np.column_stack([hx, hy])
+    best = None
+    for i in range(h):
+        ex = hx[(i + 1) % h] - hx[i]
+        ey = hy[(i + 1) % h] - hy[i]
+        ln = math.hypot(ex, ey)
+        if ln == 0.0:
+            continue
+        ux, uy = ex / ln, ey / ln
+        s = H @ np.array([ux, uy])
+        t = H @ np.array([-uy, ux])
+        area = (s.max() - s.min()) * (t.max() - t.min())
+        if best is None or area < best[0]:
+            best = (float(area), ux, uy,
+                    float(s.min()), float(s.max()),
+                    float(t.min()), float(t.max()))
+    if best is None:
+        return None
+    area, ux, uy, s0, s1, t0, t1 = best
+    # corners in (u, v) box order -> world frame; u x v is CCW already
+    corners = [(s0, t0), (s1, t0), (s1, t1), (s0, t1)]
+    rx = np.array([s * ux - t * uy for s, t in corners])
+    ry = np.array([s * uy + t * ux for s, t in corners])
+    return rx, ry, area
