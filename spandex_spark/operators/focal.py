@@ -87,15 +87,23 @@ def _tile_shape(tiles: DataFrame):
 
 
 def halo_exchange(tiles: DataFrame, *, origin_x: float, origin_y: float,
-                  per_tile, out_schema: T.StructType) -> DataFrame:
+                  per_tile, out_schema: T.StructType,
+                  halo: int = 1) -> DataFrame:
     """The generic ONE-shuffle tile halo exchange (module docstring):
     ``per_tile(padded, meta) -> list[tuple]`` runs once per tile on the
-    assembled (ny+2)x(nx+2) padded array (NaN where no neighbour
-    exists); ``meta`` is a dict with tile_id/x0/y0/res/res_y/nx/ny.
-    Rows it returns become ``out_schema`` rows. `operators/contour.py`
-    builds on this with a non-tile output shape."""
+    assembled (ny+2·halo)x(nx+2·halo) padded array (NaN where no
+    neighbour exists); ``meta`` is a dict with
+    tile_id/x0/y0/res/res_y/nx/ny. Rows it returns become
+    ``out_schema`` rows. `operators/contour.py` builds on this with a
+    non-tile output shape; `focal_stats` passes ``halo > 1`` for wider
+    windows (strips stay perimeter-sized: the exchange carries
+    ~(1 + 4·halo/nx)× the raster). ``halo`` must not exceed the tile
+    dims — wider windows would need neighbour-of-neighbour data, i.e.
+    a second exchange; retile first instead."""
     tiles = _with_res_y(tiles)
     res, res_y, nx, ny = _tile_shape(tiles)
+    if not (1 <= halo <= min(nx, ny)):
+        raise ValueError(f"halo must be in [1, min(nx, ny)={min(nx, ny)}]")
     tw, th = res * nx, res_y * ny
 
     src = tiles.select(
@@ -117,10 +125,10 @@ def halo_exchange(tiles: DataFrame, *, origin_x: float, origin_y: float,
                 for sdx, sdy in ((-1, 0), (1, 0), (0, -1), (0, 1),
                                  (-1, -1), (1, -1), (-1, 1), (1, 1)):
                     # dest = me - (sdx, sdy); the strip is my side facing it
-                    cols = {-1: slice(0, 1), 0: slice(None),
-                            1: slice(nx - 1, nx)}[-sdx]
-                    rws = {-1: slice(0, 1), 0: slice(None),
-                           1: slice(ny - 1, ny)}[-sdy]
+                    cols = {-1: slice(0, halo), 0: slice(None),
+                            1: slice(nx - halo, nx)}[-sdx]
+                    rws = {-1: slice(0, halo), 0: slice(None),
+                           1: slice(ny - halo, ny)}[-sdy]
                     rows.append((tx - sdx, ty - sdy, sdx, sdy,
                                  v[rws, cols].ravel().tolist(),
                                  None, None, None))
@@ -135,20 +143,20 @@ def halo_exchange(tiles: DataFrame, *, origin_x: float, origin_y: float,
         if not len(self_rows):
             return pd.DataFrame(columns=out_fields)
         me = self_rows.iloc[0]
-        pad = np.full((ny + 2, nx + 2), np.nan)
+        pad = np.full((ny + 2 * halo, nx + 2 * halo), np.nan)
         for r in pdf.itertuples(index=False):
             sdx, sdy = int(r.sdx), int(r.sdy)
             if sdx == 0 and sdy == 0:
-                pad[1:ny + 1, 1:nx + 1] = np.asarray(
+                pad[halo:ny + halo, halo:nx + halo] = np.asarray(
                     r.payload, np.float64).reshape(ny, nx)
                 continue
             # sender at (sdx, sdy) fills the matching padded border
-            cols = {-1: slice(0, 1), 0: slice(1, nx + 1),
-                    1: slice(nx + 1, nx + 2)}[sdx]
-            rws = {-1: slice(0, 1), 0: slice(1, ny + 1),
-                   1: slice(ny + 1, ny + 2)}[sdy]
-            w = (1 if sdx else nx)
-            h = (1 if sdy else ny)
+            cols = {-1: slice(0, halo), 0: slice(halo, nx + halo),
+                    1: slice(nx + halo, nx + 2 * halo)}[sdx]
+            rws = {-1: slice(0, halo), 0: slice(halo, ny + halo),
+                   1: slice(ny + halo, ny + 2 * halo)}[sdy]
+            w = (halo if sdx else nx)
+            h = (halo if sdy else ny)
             pad[rws, cols] = np.asarray(
                 r.payload, np.float64).reshape(h, w)
         meta = {"tile_id": int(me["tile_id"]), "x0": float(me["x0"]),
@@ -226,3 +234,48 @@ def hillshade(tiles: DataFrame, *, origin_x: float, origin_y: float,
              + np.sin(zen) * np.sin(sl) * np.cos(az - asp))
         return np.round(255.0 * np.clip(v, 0.0, 1.0))
     return _focal(tiles, origin_x=origin_x, origin_y=origin_y, kernel=k)
+
+
+_FOCAL_STATS = ("mean", "sum", "min", "max", "std", "median",
+                "range", "count")
+
+
+def focal_stats(tiles: DataFrame, *, origin_x: float, origin_y: float,
+                stat: str = "mean", window: int = 3) -> DataFrame:
+    """Focal statistics (the ArcGIS FocalStatistics / GRASS r.neighbors
+    analog): per-pixel ``stat`` over the odd ``window``×``window``
+    neighbourhood, distributed on the same ONE-shuffle halo exchange
+    with halo = window//2.
+
+    Nodata semantics — DELIBERATELY the FocalStatistics convention, not
+    the slope/aspect null-out: NaN cells (nodata neighbours, and cells
+    beyond the raster border) are IGNORED, so border pixels aggregate
+    their partial window; output is NULL only when the whole window is
+    empty. ``count`` returns the number of valid cells, ``range`` is
+    max−min, ``std`` is population (ddof=0)."""
+    if stat not in _FOCAL_STATS:
+        raise ValueError(f"stat {stat!r} not in {_FOCAL_STATS}")
+    if window < 3 or window % 2 == 0:
+        raise ValueError("window must be odd and >= 3")
+    h = window // 2
+
+    def per_tile(pad, meta):
+        sw = np.lib.stride_tricks.sliding_window_view(pad, (window, window))
+        flat = sw.reshape(sw.shape[0], sw.shape[1], -1)
+        cnt = (~np.isnan(flat)).sum(axis=2)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+            if stat == "count":
+                out = cnt.astype(np.float64)
+            elif stat == "range":
+                out = np.nanmax(flat, axis=2) - np.nanmin(flat, axis=2)
+            else:
+                out = getattr(np, f"nan{stat}")(flat, axis=2)
+        out = np.where(cnt == 0, np.nan, out)
+        vals = [None if math.isnan(x) else float(x) for x in out.ravel()]
+        return [(meta["tile_id"], meta["x0"], meta["y0"], meta["res"],
+                 meta["res_y"], meta["nx"], meta["ny"], vals)]
+
+    return halo_exchange(tiles, origin_x=origin_x, origin_y=origin_y,
+                         per_tile=per_tile, out_schema=_OUT_SCHEMA, halo=h)
