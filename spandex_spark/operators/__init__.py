@@ -18,7 +18,7 @@ from spandex_spark.operators.bounds import bounding_circle, oriented_envelope  #
 from spandex_spark.operators.buffer import buffer_points, buffer_polygons  # noqa: F401
 from spandex_spark.operators.lines import (  # noqa: F401
     nearest_line_join, line_length, clip_lines, line_interpolate,
-    line_locate, line_merge)
+    line_locate, line_merge, line_substring)
 from spandex_spark.operators.cluster import grid_cluster, cluster_within, dbscan  # noqa: F401
 from spandex_spark.operators.timeseries import time_rollup, asof_join  # noqa: F401
 from spandex_spark.operators.html import extract_text, verify_extraction  # noqa: F401

@@ -615,3 +615,72 @@ def line_merge(df: DataFrame, *, geom_col: str = "geom",
     merged = _merge(g["kind"], g["xs"], g["ys"], g["ring_offsets"])
     return df.withColumn(out_col,
                          F.when(g.isNotNull(), merged))
+
+
+def line_substring(df: DataFrame, *, start: float, end: float,
+                   geom_col: str = "geom",
+                   out_col: str = "geom_sub") -> DataFrame:
+    """ST_LineSubstring (planar): the portion of the line between length
+    fractions ``start`` and ``end`` (0 <= start < end <= 1), endpoints
+    interpolated exactly like `line_interpolate`. Single-part
+    linestrings only (multi-part rows -> NULL, same contract as
+    `line_interpolate`); a zero-length line returns itself. Requires
+    start < end — PostGIS's start == end degenerates to a POINT, a
+    different geometry kind; use `line_interpolate` for that.
+    Vectorized per Arrow batch; zero shuffles."""
+    if not (0.0 <= start < end <= 1.0):
+        raise ValueError("need 0 <= start < end <= 1")
+
+    @pandas_udf(_TRIM_GEOM_TYPE)
+    def _sub(kind: pd.Series, xs: pd.Series, ys: pd.Series,
+             offs: pd.Series) -> pd.DataFrame:
+        kinds, oxs, oys, ooffs, bbs = [], [], [], [], []
+        for i in range(len(xs)):
+            k = kind.iloc[i]
+            o = offs.iloc[i]
+            bad = (k is None or pd.isna(k) or int(k) != 2
+                   or (o is not None and len(o) > 2))
+            rx = ry = None
+            if not bad:
+                rx = np.asarray(xs.iloc[i], np.float64)
+                ry = np.asarray(ys.iloc[i], np.float64)
+                bad = rx.shape[0] < 2
+            if bad:
+                kinds.append(None); oxs.append(None); oys.append(None)
+                ooffs.append(None); bbs.append(None)
+                continue
+            seg = np.hypot(np.diff(rx), np.diff(ry))
+            total = seg.sum()
+            if total == 0.0:
+                px, py = rx, ry           # zero-length: identity
+            else:
+                cum = np.concatenate([[0.0], np.cumsum(seg)])
+
+                def at(target):
+                    j = int(np.searchsorted(cum, target, side="right") - 1)
+                    j = min(max(j, 0), seg.shape[0] - 1)
+                    t = ((target - cum[j]) / seg[j]) if seg[j] > 0 else 0.0
+                    return (rx[j] + t * (rx[j + 1] - rx[j]),
+                            ry[j] + t * (ry[j + 1] - ry[j]))
+
+                a, b = start * total, end * total
+                keep = (cum > a) & (cum < b)
+                ax, ay = at(a)
+                bx, by = at(b)
+                px = np.concatenate([[ax], rx[keep], [bx]])
+                py = np.concatenate([[ay], ry[keep], [by]])
+            kinds.append(2)
+            oxs.append(px.tolist()); oys.append(py.tolist())
+            ooffs.append([0, int(px.shape[0])])
+            bbs.append({"minx": float(px.min()), "miny": float(py.min()),
+                        "maxx": float(px.max()), "maxy": float(py.max())})
+        return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
+                             "xs": oxs, "ys": oys,
+                             "ring_offsets": ooffs, "bbox": bbs})
+
+    g = F.col(geom_col)
+    out = df.withColumn(out_col, _sub(g["kind"], g["xs"], g["ys"],
+                                      g["ring_offsets"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.kind").isNotNull(),
+                        F.col(out_col)))
