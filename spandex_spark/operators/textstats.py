@@ -228,3 +228,47 @@ def repetition_ratios(df: DataFrame, *, text_col: str = "text",
                         (dlf <= max_dup_line_frac)
                         & (dlcf <= max_dup_line_char_frac)
                         & (twf <= max_top_word_frac)))
+
+
+def tfidf_top_terms(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5,
+                    min_df: int = 1) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (the keyword-extraction
+    primitive of every corpus-exploration pipeline; no reference
+    analog — spandex has no text surface, SURVEY.md §1.1).
+
+    Definitions, chosen to be SQL-oracle-replicable: tokens are
+    lowercased whitespace words; tf = raw in-document count;
+    idf = ln((1 + N) / (1 + df)) + 1 (the sklearn smooth form — never
+    zero, no division by zero); ties break by term ascending, so the
+    output is fully deterministic.
+
+    Scale shape: explode → ONE groupBy (id, term) for tf; the per-term
+    document frequency aggregates FROM that tf table (terms only, no
+    second pass over text) and joins back on term — vocabulary-sized,
+    AQE picks broadcast when it fits; the final top-k is one window
+    over id. All JVM."""
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                        r"\s+", " ")), " "),
+        lambda w: w != "")
+    tf = (df.select(id_col, F.explode(toks).alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    # N stays IN-PLAN (1-row aggregate broadcast-cross-joined) — a
+    # driver-side .count() here would be a whole extra corpus scan
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n_docs"))
+    docfreq = (tf.groupBy("term")
+               .agg(F.count("*").alias("df"))
+               .filter(F.col("df") >= min_df))
+    from pyspark.sql import Window
+    scored = (tf.join(docfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("idf", F.log((1.0 + F.col("_n_docs"))
+                                       / (1.0 + F.col("df"))) + 1.0)
+              .withColumn("tfidf", F.col("tf") * F.col("idf")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("tfidf").desc(), F.col("term").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term", "tf", "df",
+                    F.round("tfidf", 9).alias("tfidf")))
