@@ -15,6 +15,7 @@ from spandex_spark.operators.dissolve import dissolve_by, union_by  # noqa: F401
 from spandex_spark.operators.distance import within_distance_join  # noqa: F401
 from spandex_spark.operators.predicates import spatial_predicate_join  # noqa: F401
 from spandex_spark.operators.bounds import bounding_circle, oriented_envelope  # noqa: F401
+from spandex_spark.operators.geomdist import frechet_distance, hausdorff_distance  # noqa: F401
 from spandex_spark.operators.buffer import buffer_points, buffer_polygons  # noqa: F401
 from spandex_spark.operators.lines import (  # noqa: F401
     nearest_line_join, line_length, clip_lines, line_interpolate,
