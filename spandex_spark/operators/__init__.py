@@ -20,12 +20,15 @@ from spandex_spark.operators.buffer import buffer_points, buffer_polygons  # noq
 from spandex_spark.operators.lines import (  # noqa: F401
     nearest_line_join, line_length, clip_lines, line_interpolate,
     line_locate, line_merge, line_substring)
-from spandex_spark.operators.cluster import grid_cluster, cluster_within, dbscan  # noqa: F401
-from spandex_spark.operators.timeseries import time_rollup, asof_join  # noqa: F401
+from spandex_spark.operators.cluster import (  # noqa: F401
+    grid_cluster, cluster_within, dbscan, cluster_kmeans)
+from spandex_spark.operators.timeseries import (  # noqa: F401
+    time_rollup, asof_join, sessionize, session_stats)
 from spandex_spark.operators.html import extract_text, verify_extraction  # noqa: F401
 from spandex_spark.operators.urls import (  # noqa: F401
     url_parts, normalize_url, registrable_domain, domain_stats)
-from spandex_spark.operators.dedup import line_dedup  # noqa: F401
+from spandex_spark.operators.dedup import line_dedup, decontaminate  # noqa: F401
+from spandex_spark.operators.textstats import tfidf_top_terms  # noqa: F401
 from spandex_spark.operators.subdivide import subdivide  # noqa: F401
 from spandex_spark.operators.polygonize import polygonize  # noqa: F401
 from spandex_spark.operators.pii import scrub_pii, pii_stats  # noqa: F401

@@ -169,3 +169,83 @@ def dbscan(points: DataFrame, *, eps: float, min_pts: int,
             .join(lab, point_id_col, "left")
             .withColumn("is_core", F.coalesce("is_core", F.lit(False)))
             .select(point_id_col, "cluster_id", "is_core"))
+
+
+def cluster_kmeans(points: DataFrame, *, k: int, group_col: str,
+                   point_id_col: str, lon_col: str = "lon",
+                   lat_col: str = "lat", max_iter: int = 50) -> DataFrame:
+    """ST_ClusterKMeans analog: k-means cluster ids per point, computed
+    independently inside each ``group_col`` window (the PostGIS window-
+    function shape). Same bounded-group kernel contract as
+    `voronoi.voronoi_polygons` — a group is a zone/city-sized point
+    set; the cross-group fan-out is the distribution.
+
+    Fully DETERMINISTIC where PostGIS inherits scan order: points are
+    sorted inside the kernel by (lon, lat, id) before a k-means++ init
+    with a fixed-seed RNG, so output is partitioning/arrival-order
+    independent; empty clusters reseed to the farthest point; final
+    labels are relabeled in first-appearance order of the SORTED
+    points. Groups with n <= k give each distinct position its own
+    cluster (PostGIS behaviour). Output: (group_col, point_id_col,
+    cluster_id 0..k-1)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out_schema = T.StructType([
+        T.StructField("group", points.schema[group_col].dataType),
+        T.StructField("pid", points.schema[point_id_col].dataType),
+        T.StructField("cluster_id", T.IntegerType()),
+    ])
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([lon_col, lat_col, point_id_col],
+                              kind="mergesort").reset_index(drop=True)
+        X = pdf[[lon_col, lat_col]].to_numpy(np.float64)
+        n = X.shape[0]
+        uniq, inv = np.unique(X, axis=0, return_inverse=True)
+        if uniq.shape[0] <= k:
+            lab = inv                      # one cluster per distinct pos
+        else:
+            rng = np.random.default_rng(20240817)
+            # k-means++ over the sorted points (deterministic)
+            cents = [X[0]]
+            d2 = ((X - cents[0]) ** 2).sum(axis=1)
+            for _ in range(k - 1):
+                p = d2 / d2.sum() if d2.sum() > 0 else None
+                idx = int(rng.choice(n, p=p))
+                cents.append(X[idx])
+                d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+            C = np.asarray(cents)
+            lab = np.zeros(n, np.int64)
+            for _ in range(max_iter):
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                new = d.argmin(axis=1)
+                for c in range(k):
+                    m = new == c
+                    if m.any():
+                        C[c] = X[m].mean(axis=0)
+                    else:                   # reseed to farthest point
+                        far = int(d.min(axis=1).argmax())
+                        C[c] = X[far]
+                        new[far] = c
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+        # relabel in first-appearance order over the sorted rows
+        remap, nxt = {}, 0
+        out = np.empty(n, np.int32)
+        for i, c in enumerate(lab):
+            if c not in remap:
+                remap[c] = nxt
+                nxt += 1
+            out[i] = remap[c]
+        return pd.DataFrame({"group": pdf[group_col] if group_col else None,
+                             "pid": pdf[point_id_col],
+                             "cluster_id": out})
+
+    return (points.groupBy(group_col).applyInPandas(kern, out_schema)
+            .withColumnRenamed("group", group_col)
+            .withColumnRenamed("pid", point_id_col))
