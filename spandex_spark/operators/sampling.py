@@ -1,0 +1,61 @@
+"""Deterministic corpus sampling — the cap-per-domain / fixed-fraction
+primitives every training-data pipeline needs (no reference analog;
+part of the web-scale graft's toolbox, SURVEY.md §11).
+
+Both operators order/score rows by ``md5(seed || id)`` instead of a
+native RNG or xxhash: md5 is bit-identical in Spark, DuckDB, Postgres
+and every other SQL engine, so an oracle replicates the EXACT row
+selection — sampling that cannot be cross-checked row-for-row is a
+silent-drift hazard in a pipeline that reruns for years. md5 costs
+more cycles than xxhash64, but the hash is one pass over a short id
+string — noise next to the shuffle it feeds.
+
+Scale shapes: `stratified_sample` is ONE shuffle on the stratum key +
+a per-stratum sort (row_number window) — the hottest stratum bounds
+the straggler, the same hot-key contract as `timeseries.sessionize`;
+pre-filter with `sample_fraction` first when strata are huge and n is
+small. `sample_fraction` is map-only: a lexicographic compare of a
+hex prefix against a threshold string, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_col(id_col: str, seed: int):
+    return F.md5(F.concat_ws("|", F.lit(str(seed)),
+                             F.col(id_col).cast("string")))
+
+
+def stratified_sample(df: DataFrame, *, strata_col: str, n: int,
+                      id_col: str, seed: int = 42) -> DataFrame:
+    """Keep the ``n`` rows per stratum with the smallest
+    md5(seed||id) — a seeded pseudo-random, fully deterministic,
+    engine-portable uniform sample without replacement per key (the
+    per-domain cap). Strata smaller than ``n`` keep every row."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = (Window.partitionBy(strata_col)
+         .orderBy(_hash_col(id_col, seed), F.col(id_col)))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n).drop("_rk"))
+
+
+def sample_fraction(df: DataFrame, *, fraction: float, id_col: str,
+                    seed: int = 42) -> DataFrame:
+    """Deterministic Bernoulli(fraction) by id: keep rows whose first
+    8 md5 hex chars compare below ``floor(fraction · 16^8)`` — a pure
+    string comparison (lowercase hex is lexicographically monotonic in
+    value), map-only, no shuffle, identical row set in any engine.
+    The SAME (id, seed) always lands the same way, so re-runs and
+    incremental loads select consistently; use a different seed for an
+    independent draw."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thr = format(int(fraction * (16 ** 8)), "08x")
+    if fraction >= 1.0:
+        return df
+    return df.filter(
+        F.substring(_hash_col(id_col, seed), 1, 8) < F.lit(thr))
