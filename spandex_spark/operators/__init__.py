@@ -10,7 +10,10 @@ from spandex_spark.operators.validate import (  # noqa: F401
 from spandex_spark.operators.reproject import (  # noqa: F401
     reproject, reproject_inverse, reproject_geom)
 from spandex_spark.operators.trim import trim, erase, erase_join  # noqa: F401
-from spandex_spark.operators.simplify import simplify, convex_hull  # noqa: F401
+from spandex_spark.operators.simplify import (  # noqa: F401
+    simplify, convex_hull, snap_to_grid, point_on_surface, segmentize)
+from spandex_spark.operators.affine import (  # noqa: F401
+    affine_transform, translate, scale_geom, rotate)
 from spandex_spark.operators.dissolve import dissolve_by, union_by  # noqa: F401
 from spandex_spark.operators.distance import within_distance_join  # noqa: F401
 from spandex_spark.operators.predicates import spatial_predicate_join  # noqa: F401

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from spandex_spark import geom as _geom
@@ -133,3 +134,111 @@ def snap_to_grid(df: DataFrame, *, size: float, geom_col: str = "geom",
                  F.array_max(ys).alias("maxy")).alias("bbox"))
     return df.withColumn(out_col or geom_col,
                          F.when(g.isNotNull(), new))
+
+
+def point_on_surface(df: DataFrame, *, geom_col: str = "geom",
+                     out_col: str = "surface_point") -> DataFrame:
+    """ST_PointOnSurface analog: a point GUARANTEED on/inside the
+    geometry — what labeling and sampling actually need where centroid
+    falls in the hole of a donut or outside an L. Polygons use the
+    widest-scanline-interval kernel (geom.interior_point); linestrings
+    return their middle vertex (documented simplification — PostGIS
+    picks an interior vertex too); points return themselves. NULL in,
+    NULL out. Per-row Arrow UDF, no shuffle."""
+    point_type = T.StructType([T.StructField("x", T.DoubleType()),
+                               T.StructField("y", T.DoubleType())])
+
+    @pandas_udf(point_type)
+    def _pos(kind: pd.Series, xs: pd.Series, ys: pd.Series,
+             offs: pd.Series) -> pd.DataFrame:
+        ox = np.full(len(xs), np.nan)
+        oy = np.full(len(xs), np.nan)
+        for i in range(len(xs)):
+            k = kind.iloc[i]
+            if k is None or pd.isna(k):
+                continue
+            k = int(k)
+            rx = np.asarray(xs.iloc[i], np.float64)
+            ry = np.asarray(ys.iloc[i], np.float64)
+            if rx.shape[0] == 0:
+                continue
+            if k in (3, 6):
+                ox[i], oy[i] = _geom.interior_point(rx, ry, offs.iloc[i])
+            elif k == 2:
+                m = rx.shape[0] // 2
+                ox[i], oy[i] = rx[m], ry[m]
+            else:
+                ox[i], oy[i] = rx[0], ry[0]
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    g = F.col(geom_col)
+    out = df.withColumn(out_col, _pos(g["kind"], g["xs"], g["ys"],
+                                      g["ring_offsets"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.x").isNotNull(),
+                        F.col(out_col)))
+
+
+def segmentize(df: DataFrame, *, max_length: float,
+               geom_col: str = "geom",
+               out_col: str | None = None) -> DataFrame:
+    """ST_Segmentize analog (the densifying inverse of `simplify`): no
+    output segment exceeds ``max_length`` — each segment splits into
+    ceil(len/max_length) EQUAL pieces, so original vertices are all
+    preserved and part/ring lengths are exactly unchanged. Per-ring
+    vertex counts change, so ring_offsets are rebuilt. NULL in, NULL
+    out. Per-row Arrow UDF over numpy interpolation, no shuffle."""
+    if max_length <= 0:
+        raise ValueError("max_length must be positive")
+
+    @pandas_udf(_GEOM_TYPE)
+    def _seg(kind: pd.Series, xs: pd.Series, ys: pd.Series,
+             offs: pd.Series) -> pd.DataFrame:
+        kinds, oxs, oys, ooffs, bbs = [], [], [], [], []
+        for i in range(len(xs)):
+            k = kind.iloc[i]
+            if k is None or pd.isna(k):
+                kinds.append(None); oxs.append(None); oys.append(None)
+                ooffs.append(None); bbs.append(None)
+                continue
+            k = int(k)
+            closed = k in (3, 6)
+            nx_parts, ny_parts, no = [], [], [0]
+            for rx, ry in _geom.rings_of(
+                    np.asarray(xs.iloc[i], np.float64),
+                    np.asarray(ys.iloc[i], np.float64), offs.iloc[i]):
+                px, py = [], []
+                n = rx.shape[0]
+                segn = n if closed else n - 1
+                for s in range(max(segn, 0)):
+                    t = (s + 1) % n
+                    seg_len = np.hypot(rx[t] - rx[s], ry[t] - ry[s])
+                    pieces = max(int(np.ceil(seg_len / max_length)), 1)
+                    f = np.arange(pieces) / pieces
+                    px.append(rx[s] + f * (rx[t] - rx[s]))
+                    py.append(ry[s] + f * (ry[t] - ry[s]))
+                if not px:
+                    px, py = [rx], [ry]
+                elif not closed:
+                    px.append(rx[-1:]); py.append(ry[-1:])
+                nx_parts.append(np.concatenate(px))
+                ny_parts.append(np.concatenate(py))
+                no.append(no[-1] + nx_parts[-1].shape[0])
+            ax = np.concatenate(nx_parts)
+            ay = np.concatenate(ny_parts)
+            kinds.append(k)
+            oxs.append(ax.tolist()); oys.append(ay.tolist())
+            ooffs.append([int(v) for v in no])
+            bbs.append({"minx": float(ax.min()), "miny": float(ay.min()),
+                        "maxx": float(ax.max()), "maxy": float(ay.max())})
+        return pd.DataFrame({"kind": pd.array(kinds, dtype="Int8"),
+                             "xs": oxs, "ys": oys,
+                             "ring_offsets": ooffs, "bbox": bbs})
+
+    out_col = out_col or geom_col
+    g = F.col(geom_col)
+    out = df.withColumn(out_col, _seg(g["kind"], g["xs"], g["ys"],
+                                      g["ring_offsets"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.kind").isNotNull(),
+                        F.col(out_col)))
