@@ -53,6 +53,35 @@ _PARTIAL_SCHEMA = T.StructType([
 ])
 
 
+def _tiles_with_candidate_zones(tiles: DataFrame, zones: DataFrame,
+                                zone_id_col: str, level: int,
+                                broadcast_zones: bool) -> DataFrame:
+    """The zonal candidate machinery, shared by zonal_stats and
+    zonal_histogram: cell-cover both sides, join candidate
+    (tile, zone) PAIRS on cell ids only (pixel arrays stay out of that
+    shuffle), then join each tile's candidate-zone ring list in exactly
+    once."""
+    zc = zones.select(F.col(zone_id_col).alias("_zid"),
+                      F.col("geom")["xs"].alias("_zxs"),
+                      F.col("geom")["ys"].alias("_zys"),
+                      F.col("geom")["ring_offsets"].alias("_zoff"),
+                      F.explode(cover_cells_udf(F.col("geom"), level)).alias("cell"))
+    if broadcast_zones:
+        zc = F.broadcast(zc)
+
+    tile_cells = tiles.select(
+        "tile_id",
+        F.explode(_tile_cells_udf(F.col("x0"), F.col("y0"), F.col("res"),
+                                  F.col("res_y"), F.col("nx"), F.col("ny"),
+                                  F.lit(level))).alias("cell"))
+
+    pairs = (tile_cells.join(zc, "cell", "inner")
+             .dropDuplicates(["tile_id", "_zid"]))
+    zones_per_tile = pairs.groupBy("tile_id").agg(
+        F.collect_list(F.struct("_zid", "_zxs", "_zys", "_zoff")).alias("_zones"))
+    return tiles.join(zones_per_tile, "tile_id", "inner")
+
+
 def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                 zone_id_col: str = "zone_id", level: int = 7,
                 broadcast_zones: bool = True,
@@ -69,28 +98,8 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
         raise ValueError(f"unknown weight {weight!r}")
     weighted = weight == "sph_area"
     tiles = _with_res_y(tiles)
-    zc = zones.select(F.col(zone_id_col).alias("_zid"),
-                      F.col("geom")["xs"].alias("_zxs"),
-                      F.col("geom")["ys"].alias("_zys"),
-                      F.col("geom")["ring_offsets"].alias("_zoff"),
-                      F.explode(cover_cells_udf(F.col("geom"), level)).alias("cell"))
-    if broadcast_zones:
-        zc = F.broadcast(zc)
-
-    tile_cells = tiles.select(
-        "tile_id",
-        F.explode(_tile_cells_udf(F.col("x0"), F.col("y0"), F.col("res"),
-                                  F.col("res_y"), F.col("nx"), F.col("ny"),
-                                  F.lit(level))).alias("cell"))
-
-    # candidate pairs on ids only — the pixel arrays stay out of this shuffle
-    pairs = (tile_cells.join(zc, "cell", "inner")
-             .dropDuplicates(["tile_id", "_zid"]))
-    zones_per_tile = pairs.groupBy("tile_id").agg(
-        F.collect_list(F.struct("_zid", "_zxs", "_zys", "_zoff")).alias("_zones"))
-
-    # pixel arrays join in exactly once per tile
-    tj = tiles.join(zones_per_tile, "tile_id", "inner")
+    tj = _tiles_with_candidate_zones(tiles, zones, zone_id_col, level,
+                                     broadcast_zones)
 
     def compute_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -490,3 +499,85 @@ def map_algebra(a: DataFrame, b: DataFrame, fn, *,
     right = b.select(*keys, F.col("values").alias("_vb"))
     joined = left.join(right, keys, "inner")
     return joined.select(*keys, F.zip_with("_va", "_vb", fn).alias(out_col))
+
+
+def zonal_histogram(tiles: DataFrame, zones: DataFrame, *,
+                    zone_id_col: str = "zone_id", level: int = 7,
+                    broadcast_zones: bool = True) -> DataFrame:
+    """Per-zone value histogram — the categorical-raster zonal family
+    (ArcGIS ZonalStatistics MAJORITY/MINORITY/VARIETY, GRASS
+    r.stats): one row per (zone, distinct value) with the pixel count.
+    Same candidate machinery and pixel-center-in-zone semantics as
+    `zonal_stats`; per-tile partial (zone, value) counts are built with
+    np.unique inside the kernel, so the shuffle carries one row per
+    distinct value per zone per tile, not per pixel. NaN pixels are
+    excluded. Use `zonal_majority` for the argmax rollup."""
+    tiles = _with_res_y(tiles)
+    tj = _tiles_with_candidate_zones(tiles, zones, zone_id_col, level,
+                                     broadcast_zones)
+    part_schema = T.StructType([
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                vals = np.asarray(
+                    [np.nan if v is None else v for v in row["values"]],
+                    np.float64)
+                nx, ny, res = int(row["nx"]), int(row["ny"]), float(row["res"])
+                ry = float(row["res_y"])
+                px = float(row["x0"]) + (np.arange(nx) + 0.5) * res
+                py = float(row["y0"]) + (np.arange(ny) + 0.5) * ry
+                lon, lat = np.meshgrid(px, py)
+                lon, lat = lon.ravel(), lat.ravel()
+                for z in row["_zones"]:
+                    xs = np.asarray(z["_zxs"], np.float64)
+                    ys = np.asarray(z["_zys"], np.float64)
+                    zo = z["_zoff"]
+                    zo = (np.asarray(zo, np.int64)
+                          if zo is not None and len(zo) > 2 else None)
+                    box = ((lon >= xs.min()) & (lon <= xs.max())
+                           & (lat >= ys.min()) & (lat <= ys.max()))
+                    if not box.any():
+                        continue
+                    mask = _geom.points_in_rings(lon[box], lat[box],
+                                                 xs, ys, zo)
+                    if not mask.any():
+                        continue
+                    v = vals[box][mask]
+                    v = v[~np.isnan(v)]
+                    uniq, cnt = np.unique(v, return_counts=True)
+                    for u, c in zip(uniq, cnt):
+                        rows.append((int(z["_zid"]), float(u), int(c)))
+            yield pd.DataFrame(rows, columns=["zone_id", "value", "n"])
+
+    return (tj.mapInPandas(partials, schema=part_schema)
+            .groupBy("zone_id", "value")
+            .agg(F.sum("n").alias("n_pixels")))
+
+
+def zonal_majority(tiles: DataFrame, zones: DataFrame, *,
+                   zone_id_col: str = "zone_id", level: int = 7,
+                   broadcast_zones: bool = True) -> DataFrame:
+    """Per-zone MAJORITY / MINORITY / VARIETY over `zonal_histogram`
+    (ties break to the SMALLEST value — deterministic where ArcGIS
+    inherits scan order). Output: (zone_id, majority, majority_n,
+    minority, minority_n, variety)."""
+    h = zonal_histogram(tiles, zones, zone_id_col=zone_id_col,
+                        level=level, broadcast_zones=broadcast_zones)
+    return (h.groupBy("zone_id")
+            .agg(F.min_by(F.col("value"),
+                          F.struct((-F.col("n_pixels")).alias("a"),
+                                   F.col("value").alias("b")))
+                 .alias("majority"),
+                 F.max("n_pixels").alias("majority_n"),
+                 F.min_by(F.col("value"),
+                          F.struct(F.col("n_pixels").alias("a"),
+                                   F.col("value").alias("b")))
+                 .alias("minority"),
+                 F.min("n_pixels").alias("minority_n"),
+                 F.count("*").alias("variety")))
