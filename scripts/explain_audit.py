@@ -195,6 +195,48 @@ CHECKS = {
          r"Exchange hashpartitioning",
          "exactly ONE shuffle — the tile halo exchange on (tx, ty)"),
     ],
+    "sessionize (gap sessions)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "pure JVM lag + running-sum window chain — zero Python"),
+        (r"windowspecdefinition", "single window partitioning, one shuffle"),
+    ],
+    "decontaminate (eval-set n-gram overlap)": [
+        ("BroadcastHashJoin", "benchmark gram keys broadcast — the corpus "
+                              "never shuffles for the probe"),
+        ("xxhash64", "8-byte gram keys, not strings"),
+    ],
+    "tfidf_top_terms (keyword extraction)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python"),
+        ("BroadcastHashJoin|BroadcastNestedLoopJoin",
+         "corpus size N rides along as a broadcast 1-row aggregate — "
+         "no driver-side count scan"),
+    ],
+    "sample_fraction (map-only Bernoulli)": [
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — a hex-prefix compare "
+                                    "filter"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython))", "zero Python"),
+    ],
+    "stratified_sample (cap per stratum)": [
+        (r"windowspecdefinition", "row_number per stratum — one shuffle"),
+        ("md5", "engine-portable hash order (row-for-row SQL parity)"),
+    ],
+    "affine rotate (pure codegen)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"Exchange))", "zero Python, zero shuffle"),
+        (r"zip_with", "vertex transform is a zip_with array expression"),
+    ],
+    "focal_stats (NxN halo window)": [
+        ("MapInPandas", "strip emission is map-side"),
+        ("FlatMapGroupsInPandas", "ONE groupBy assembles the padded tile"),
+    ],
+    "region_group (two-level CCL)": [
+        ("MapInPandas apply_map", "relabel is one Arrow pass per tile"),
+        ("BroadcastHashJoin", "the seam-label canonical map is broadcast — "
+                              "tile arrays never shuffle for the relabel "
+                              "(the seam FlatMapGroupsInPandas ran in the "
+                              "checkpointed CC jobs, upstream of this plan)"),
+    ],
 }
 
 
@@ -392,6 +434,31 @@ def main():
     rendered = {"tag_points_bucketed (persisted-shuffle co-located join)":
                 _bdf._jdf.queryExecution().executedPlan().toString()}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _old_abt)
+
+    from spandex_spark.operators.timeseries import sessionize
+    plans["sessionize (gap sessions)"] = sessionize(
+        ev, gap_seconds=900, order_cols=("event_id",))
+    from spandex_spark.operators.dedup import decontaminate
+    plans["decontaminate (eval-set n-gram overlap)"] = decontaminate(
+        docs.filter("doc_id >= 5"), docs.filter("doc_id < 5").select("text"),
+        n=8)
+    from spandex_spark.operators.textstats import tfidf_top_terms
+    plans["tfidf_top_terms (keyword extraction)"] = tfidf_top_terms(docs, k=3)
+    from spandex_spark.operators.sampling import (sample_fraction,
+                                                  stratified_sample)
+    plans["sample_fraction (map-only Bernoulli)"] = sample_fraction(
+        docs, fraction=0.25, id_col="doc_id")
+    plans["stratified_sample (cap per stratum)"] = stratified_sample(
+        docs, strata_col="lang", n=5, id_col="doc_id")
+    from spandex_spark.operators.affine import rotate as _rotate
+    plans["affine rotate (pure codegen)"] = _rotate(
+        parcels_df(spark), radians=0.3, origin=(0.0, 0.0))
+    from spandex_spark.operators.focal import focal_stats as _fstats
+    plans["focal_stats (NxN halo window)"] = _fstats(
+        _ftiles, origin_x=-10.0, origin_y=-10.0, stat="mean", window=5)
+    from spandex_spark.operators.regions import region_group as _rgroup
+    plans["region_group (two-level CCL)"] = _rgroup(
+        _ftiles, origin_x=-10.0, origin_y=-10.0)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
