@@ -3,7 +3,7 @@ from spandex_spark.operators.overlay import proportion_overlap, intersection_joi
 from spandex_spark.operators.knn import knn_join  # noqa: F401
 from spandex_spark.operators.zonal import (  # noqa: F401
     zonal_stats, clip_raster, downsample, raster_sample, resample_tiles,
-    map_algebra)
+    map_algebra, zonal_histogram, zonal_majority)
 from spandex_spark.operators.scaling import scale_to_targets  # noqa: F401
 from spandex_spark.operators.validate import (  # noqa: F401
     invalid_geometry_check, duplicate_stacked_geometry_check, make_valid)
@@ -18,7 +18,8 @@ from spandex_spark.operators.dissolve import dissolve_by, union_by  # noqa: F401
 from spandex_spark.operators.distance import within_distance_join  # noqa: F401
 from spandex_spark.operators.predicates import spatial_predicate_join  # noqa: F401
 from spandex_spark.operators.bounds import bounding_circle, oriented_envelope  # noqa: F401
-from spandex_spark.operators.geomdist import frechet_distance, hausdorff_distance  # noqa: F401
+from spandex_spark.operators.geomdist import (  # noqa: F401
+    frechet_distance, hausdorff_distance, closest_point)
 from spandex_spark.operators.buffer import buffer_points, buffer_polygons  # noqa: F401
 from spandex_spark.operators.lines import (  # noqa: F401
     nearest_line_join, line_length, clip_lines, line_interpolate,

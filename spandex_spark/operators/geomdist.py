@@ -162,3 +162,97 @@ def frechet_distance(df: DataFrame, *, geom_a: str = "geom_a",
     return df.withColumn(out_col, _f(
         a["kind"], a["xs"], a["ys"], a["ring_offsets"],
         b["kind"], b["xs"], b["ys"], b["ring_offsets"]))
+
+
+def closest_point(df: DataFrame, *, geom_a: str = "geom_a",
+                  geom_b: str = "geom_b",
+                  out_col: str = "closest") -> DataFrame:
+    """ST_ClosestPoint / ST_ShortestLine analog: for each row, the pair
+    of nearest points — one ON geometry A, one ON geometry B — and
+    their distance. A's candidate set is its vertices plus the
+    projections of B's vertices onto A's segments (and vice versa);
+    for the min-distance pair one endpoint is always a vertex of one
+    geometry projected onto the other, so this is EXACT for
+    non-crossing geometries (crossing geometries return distance 0 at
+    a crossing vertex-projection, matching PostGIS up to which contact
+    point is reported). Rings closed like `hausdorff_distance`.
+
+    Output struct: (ax, ay, bx, by, dist); NULL if either side NULL."""
+    out_type = T.StructType([
+        T.StructField("ax", T.DoubleType()),
+        T.StructField("ay", T.DoubleType()),
+        T.StructField("bx", T.DoubleType()),
+        T.StructField("by", T.DoubleType()),
+        T.StructField("dist", T.DoubleType()),
+    ])
+
+    def _proj(px, py, parts):
+        """For each point, nearest location on `parts` + distance."""
+        bx = np.full(px.shape[0], np.nan)
+        by = np.full(px.shape[0], np.nan)
+        bd = np.full(px.shape[0], np.inf)
+        for rx, ry in parts:
+            if rx.shape[0] == 1:
+                d = np.hypot(px - rx[0], py - ry[0])
+                m = d < bd
+                bd[m] = d[m]
+                bx[m], by[m] = rx[0], ry[0]
+                continue
+            for i in range(rx.shape[0] - 1):
+                dx, dy = rx[i + 1] - rx[i], ry[i + 1] - ry[i]
+                ln = dx * dx + dy * dy
+                if ln == 0.0:
+                    t = np.zeros(px.shape[0])
+                else:
+                    t = np.clip(((px - rx[i]) * dx + (py - ry[i]) * dy)
+                                / ln, 0.0, 1.0)
+                qx, qy = rx[i] + t * dx, ry[i] + t * dy
+                d = np.hypot(px - qx, py - qy)
+                m = d < bd
+                bd[m] = d[m]
+                bx[m], by[m] = qx[m], qy[m]
+        return bx, by, bd
+
+    @pandas_udf(out_type)
+    def _cp(ka: pd.Series, xa: pd.Series, ya: pd.Series, oa: pd.Series,
+            kb: pd.Series, xb: pd.Series, yb: pd.Series,
+            ob: pd.Series) -> pd.DataFrame:
+        cols = {k: [] for k in ("ax", "ay", "bx", "by", "dist")}
+        for i in range(len(xa)):
+            if (ka.iloc[i] is None or pd.isna(ka.iloc[i])
+                    or kb.iloc[i] is None or pd.isna(kb.iloc[i])):
+                for k in cols:
+                    cols[k].append(None)
+                continue
+            pa = _closed_parts(xa.iloc[i], ya.iloc[i], oa.iloc[i],
+                               int(ka.iloc[i]))
+            pb = _closed_parts(xb.iloc[i], yb.iloc[i], ob.iloc[i],
+                               int(kb.iloc[i]))
+            vax = np.concatenate([p[0] for p in pa])
+            vay = np.concatenate([p[1] for p in pa])
+            vbx = np.concatenate([p[0] for p in pb])
+            vby = np.concatenate([p[1] for p in pb])
+            # A vertices -> B, and B vertices -> A
+            qbx, qby, dab = _proj(vax, vay, pb)
+            qax, qay, dba = _proj(vbx, vby, pa)
+            ia, ib = int(dab.argmin()), int(dba.argmin())
+            if dab[ia] <= dba[ib]:
+                ax_, ay_ = float(vax[ia]), float(vay[ia])
+                bx_, by_ = float(qbx[ia]), float(qby[ia])
+                d = float(dab[ia])
+            else:
+                ax_, ay_ = float(qax[ib]), float(qay[ib])
+                bx_, by_ = float(vbx[ib]), float(vby[ib])
+                d = float(dba[ib])
+            cols["ax"].append(ax_); cols["ay"].append(ay_)
+            cols["bx"].append(bx_); cols["by"].append(by_)
+            cols["dist"].append(d)
+        return pd.DataFrame(cols)
+
+    a, b = F.col(geom_a), F.col(geom_b)
+    out = df.withColumn(out_col, _cp(
+        a["kind"], a["xs"], a["ys"], a["ring_offsets"],
+        b["kind"], b["xs"], b["ys"], b["ring_offsets"]))
+    return out.withColumn(
+        out_col, F.when(F.col(f"{out_col}.dist").isNotNull(),
+                        F.col(out_col)))
