@@ -29,6 +29,7 @@ from spandex_spark.operators.cluster import (  # noqa: F401
 from spandex_spark.operators.timeseries import (  # noqa: F401
     time_rollup, asof_join, sessionize, session_stats)
 from spandex_spark.operators.html import extract_text, verify_extraction  # noqa: F401
+from spandex_spark.operators.linkgraph import extract_links, host_graph, pagerank  # noqa: F401
 from spandex_spark.operators.urls import (  # noqa: F401
     url_parts, normalize_url, registrable_domain, domain_stats)
 from spandex_spark.operators.dedup import line_dedup, decontaminate  # noqa: F401

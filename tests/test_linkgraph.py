@@ -1,0 +1,110 @@
+"""Link graph + PageRank (operators/linkgraph.py): href extraction
+closed forms, host reduction, rank-sum invariant, cycle/star closed
+forms, dangling redistribution, and numpy power-iteration parity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spandex_spark.operators.linkgraph import (extract_links, host_graph,
+                                               pagerank)
+
+
+def test_extract_links_and_host_graph(spark):
+    pages = spark.createDataFrame([
+        ("http://a.com/p1",
+         '<a HREF="https://b.com/x#frag">x</a> '
+         "<a href='http://c.com/y'>y</a> "
+         '<a href="/relative/skip">r</a> '
+         '<a href="http://a.com/self">s</a>'),
+        ("http://b.com/p2", '<a href="http://a.com/z?q=1">z</a>'),
+    ], "url string, html string")
+    links = extract_links(pages).collect()
+    got = {(r["src_url"], r["dst_url"]) for r in links}
+    assert got == {
+        ("http://a.com/p1", "https://b.com/x"),
+        ("http://a.com/p1", "http://c.com/y"),
+        ("http://a.com/p1", "http://a.com/self"),
+        ("http://b.com/p2", "http://a.com/z?q=1"),
+    }
+    hosts = {(r["src"], r["dst"]): r["n_links"]
+             for r in host_graph(extract_links(pages)).collect()}
+    # a.com -> a.com self-loop dropped
+    assert hosts == {("a.com", "b.com"): 1, ("a.com", "c.com"): 1,
+                     ("b.com", "a.com"): 1}
+
+
+def test_binary_html_column(spark):
+    pages = spark.createDataFrame(
+        [("http://a.com/", bytearray(b'<a href="http://b.com/">x</a>'))],
+        "url string, html binary")
+    assert extract_links(pages).collect()[0]["dst_url"] == "http://b.com/"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_two_node_cycle_and_sum(spark):
+    r = {x["node"]: x["rank"] for x in
+         pagerank(_edges(spark, [("a", "b"), ("b", "a")]),
+                  iters=10).collect()}
+    assert abs(r["a"] - 0.5) < 1e-12 and abs(r["b"] - 0.5) < 1e-12
+
+
+def test_star_graph_closed_form(spark):
+    # hub h linked by k leaves; leaves have no in-links. With dangling
+    # redistribution from h (no out-edges), the fixpoint solves:
+    # leaf = (1-d)/n + d*h/n ; hub = (1-d)/n + d*h/n + d*k*leaf/1...
+    # verified against numpy below; here check ordering + sum only
+    edges = [(f"l{i}", "hub") for i in range(4)]
+    r = {x["node"]: x["rank"] for x in
+         pagerank(_edges(spark, edges), iters=30).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert all(r["hub"] > r[f"l{i}"] for i in range(4))
+    assert len({round(r[f"l{i}"], 12) for i in range(4)}) == 1
+
+
+def test_numpy_power_iteration_parity(spark):
+    rng = np.random.default_rng(11)
+    n, d, iters = 8, 0.85, 12
+    adj = (rng.uniform(0, 1, (n, n)) < 0.35).astype(float)
+    np.fill_diagonal(adj, 0.0)
+    pairs = [(f"n{i}", f"n{j}") for i in range(n) for j in range(n)
+             if adj[i, j]]
+    # keep every node in the graph (add one guaranteed edge per isolated)
+    present = {x for p in pairs for x in p}
+    for i in range(n):
+        if f"n{i}" not in present:
+            pairs.append((f"n{i}", f"n{(i+1) % n}"))
+            adj[i, (i + 1) % n] = 1.0
+    r = np.full(n, 1.0 / n)
+    outdeg = adj.sum(axis=1)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if outdeg[i]:
+                contrib += r[i] * adj[i] / outdeg[i]
+        dang = r[outdeg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dang / n)
+    got = {x["node"]: x["rank"] for x in
+           pagerank(_edges(spark, pairs), iters=iters).collect()}
+    for i in range(n):
+        assert abs(got[f"n{i}"] - r[i]) < 1e-9, i
+
+
+def test_dangling_keeps_sum_one(spark):
+    # b is dangling (no out-edges)
+    r = pagerank(_edges(spark, [("a", "b")]), iters=15).collect()
+    assert abs(sum(x["rank"] for x in r) - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, [("a", "b")]), damping=1.5)
+
+
+def test_weighted_edges(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0)],
+        "src string, dst string, w double")
+    r = {x["node"]: x["rank"] for x in
+         pagerank(e, weight_col="w", iters=8).collect()}
+    assert r["b"] > r["c"]
