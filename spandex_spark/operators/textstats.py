@@ -272,3 +272,39 @@ def tfidf_top_terms(df: DataFrame, *, text_col: str = "text",
             .filter(F.col("rank") <= k)
             .select(id_col, "rank", "term", "tf", "df",
                     F.round("tfidf", 9).alias("tfidf")))
+
+
+def readability(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade as ONE codegen
+    projection (the classic corpus quality signals; Gopher and CCNet
+    gate on adjacent statistics). Definitions chosen to be regex-exact
+    and SQL-replicable, documented rather than dictionary-true:
+    words = whitespace tokens; sentences = runs of [.!?] (floor 1);
+    syllables = runs of [aeiouyAEIOUY] per word (floor 1 per word — the
+    standard vowel-group approximation, no silent-e adjustment).
+
+    Appends: n_words, n_sentences, n_syllables, flesch_ease (clamped to
+    [-100, 121.22]), fk_grade. Empty/whitespace text -> NULLs."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"([.!?]+)"), 1)), F.lit(1))
+    # vowel-group runs per word, floored at 1, summed with aggregate()
+    syl = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit(r"([aeiouyAEIOUY]+)"), 1)),
+            F.lit(1)))
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = syl.cast("double") / n_words.cast("double")
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    empty = n_words == 0
+    return (df
+            .withColumn("n_words", F.when(~empty, n_words.cast("long")))
+            .withColumn("n_sentences", F.when(~empty, n_sent.cast("long")))
+            .withColumn("n_syllables", F.when(~empty, syl.cast("long")))
+            .withColumn("flesch_ease", F.when(~empty, F.greatest(
+                F.least(ease, F.lit(121.22)), F.lit(-100.0))))
+            .withColumn("fk_grade", F.when(~empty, grade)))
