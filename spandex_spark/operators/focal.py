@@ -279,3 +279,53 @@ def focal_stats(tiles: DataFrame, *, origin_x: float, origin_y: float,
 
     return halo_exchange(tiles, origin_x=origin_x, origin_y=origin_y,
                          per_tile=per_tile, out_schema=_OUT_SCHEMA, halo=h)
+
+
+# ESRI D8 codes by direction; our arrays are row-major with row 0 at
+# the SOUTH edge (y grows with the row index), so "north" is row+1
+_D8 = (
+    (1,    0, +1, 1.0),     # E
+    (2,   -1, +1, None),    # SE  (south = row-1)
+    (4,   -1,  0, 1.0),     # S
+    (8,   -1, -1, None),    # SW
+    (16,   0, -1, 1.0),     # W
+    (32,  +1, -1, None),    # NW
+    (64,  +1,  0, 1.0),     # N
+    (128, +1, +1, None),    # NE
+)
+
+
+def flow_direction(tiles: DataFrame, *, origin_x: float, origin_y: float,
+                   scale: float = 1.0) -> DataFrame:
+    """D8 flow direction (the gdaldem-family hydrology primitive; ESRI
+    codes 1=E, 2=SE, 4=S, 8=SW, 16=W, 32=NW, 64=N, 128=NE): each pixel
+    points at the steepest-DROP neighbour, drop = (z - z_n) / distance
+    with diagonal distance sqrt(resx²+resy²). Ties break to the
+    SMALLEST code (fixed E→NE scan — deterministic where ESRI inherits
+    implementation order). Flats and pits (no positive drop) code 0;
+    border/nodata-adjacent windows are NULL, the `slope` convention.
+    Same ONE-shuffle halo exchange."""
+    def k(pad, rx, ry):
+        rx, ry = rx * scale, ry * scale
+        diag = math.hypot(rx, ry)
+        z = pad[1:-1, 1:-1]
+        best_drop = np.full_like(z, 0.0)
+        best_code = np.zeros_like(z)
+        for code, dr, dc, _ in _D8:
+            zn = pad[1 + dr:pad.shape[0] - 1 + dr,
+                     1 + dc:pad.shape[1] - 1 + dc]
+            dist = diag if (dr and dc) else (rx if dc else ry)
+            drop = (z - zn) / dist
+            better = drop > best_drop + 0.0   # strict: ties keep smaller code
+            best_code = np.where(better, float(code), best_code)
+            best_drop = np.where(better, drop, best_drop)
+        # incomplete window -> NULL (any NaN neighbour poisons, like slope)
+        window_nan = np.zeros(z.shape, bool)
+        for code, dr, dc, _ in _D8:
+            zn = pad[1 + dr:pad.shape[0] - 1 + dr,
+                     1 + dc:pad.shape[1] - 1 + dc]
+            window_nan |= np.isnan(zn)
+        out = best_code.copy()
+        out[window_nan] = np.nan
+        return out
+    return _focal(tiles, origin_x=origin_x, origin_y=origin_y, kernel=k)
