@@ -95,6 +95,33 @@ def main():
         origin_y=0.0)).count()
     out["contour_assembled"] = {"sec": round(time.time() - t0, 2),
                                 "polylines": n_lines}
+
+    from spandex_spark.operators.focal import flow_direction, focal_stats
+    t0 = time.time()
+    assert flow_direction(tiles, origin_x=0.0, origin_y=0.0).count() \
+        == NT * NT
+    dt = time.time() - t0
+    out["flow_direction"] = {"sec": round(dt, 2),
+                             "px_per_sec": round(n_px / dt)}
+
+    t0 = time.time()
+    assert focal_stats(tiles, origin_x=0.0, origin_y=0.0, stat="mean",
+                       window=5).count() == NT * NT
+    dt = time.time() - t0
+    out["focal_stats_w5"] = {"sec": round(dt, 2),
+                             "px_per_sec": round(n_px / dt)}
+
+    from spandex_spark.operators.regions import region_group
+    quant = tiles.withColumn(
+        "values", F.transform("values",
+                              lambda v: F.floor(v / 20.0).cast("double")))
+    t0 = time.time()
+    n_reg = (region_group(quant, origin_x=0.0, origin_y=0.0)
+             .select(F.explode("values").alias("v"))
+             .agg(F.countDistinct("v")).collect()[0][0])
+    dt = time.time() - t0
+    out["region_group"] = {"sec": round(dt, 2), "regions": int(n_reg),
+                           "px_per_sec": round(n_px / dt)}
     print(json.dumps(out))
 
 
