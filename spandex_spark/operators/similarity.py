@@ -461,3 +461,174 @@ def ann_pq(queries: DataFrame, codes: DataFrame, books: np.ndarray, *,
     return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "dist2_adc"))
+
+
+def train_ivfpq(corpus: DataFrame, *, n_centroids: int = 64, m: int = 8,
+                ks: int = 256, vec_col: str = "embedding",
+                sample_rows: int = 20_000, iters: int = 10, seed: int = 42,
+                approx_rows: int | None = None):
+    """IVFADC training (Jégou et al. 2011 §IV): ONE bounded sample pass
+    trains both the L2 coarse quantizer (k-means over full vectors) and
+    the RESIDUAL product-quantizer codebooks (PQ over x − centroid(x),
+    which is what makes IVFPQ beat flat PQ: residuals are smaller and
+    more isotropic than raw vectors). Returns (coarse (C, d) float64,
+    books (m, ks, d/m) float64); deterministic for a given seed."""
+    n_total = approx_rows if approx_rows is not None else corpus.count()
+    if n_total <= sample_rows:
+        rows = corpus.select(vec_col).collect()  # collect-ok: bounded by sample_rows (IVFPQ training sample)
+    else:
+        frac = min(1.0, 1.2 * sample_rows / n_total)
+        rows = (corpus.select(vec_col).sample(fraction=frac, seed=seed)
+                .limit(sample_rows).collect())  # collect-ok: bounded by sample_rows (IVFPQ training sample)
+    X = np.stack([np.asarray(r[0], np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    rng = np.random.default_rng(seed)
+    c_eff = min(n_centroids, X.shape[0])
+    C = X[rng.choice(X.shape[0], c_eff, replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(c_eff):
+            mem = X[assign == c]
+            if mem.shape[0]:
+                C[c] = mem.mean(axis=0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    resid = X - C[d2.argmin(axis=1)]
+    dsub = d // m
+    ks_eff = min(ks, resid.shape[0])
+    books = np.empty((m, ks_eff, dsub))
+    for s in range(m):
+        R = resid[:, s * dsub:(s + 1) * dsub]
+        B = R[rng.choice(R.shape[0], ks_eff, replace=False)]
+        for _ in range(iters):
+            rd = ((R[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            a = rd.argmin(axis=1)
+            for c in range(ks_eff):
+                mem = R[a == c]
+                if mem.shape[0]:
+                    B[c] = mem.mean(axis=0)
+        books[s] = B
+    return C, books
+
+
+def ivfpq_encode(corpus: DataFrame, coarse: np.ndarray,
+                 books: np.ndarray, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Map-only IVFPQ encoding: (vec_id, cell, code) — cell = nearest
+    coarse centroid, code = m residual bytes. The inverted 'list' is
+    just the cell column; Spark's shuffle IS the inverted index."""
+    m, ks, dsub = books.shape
+    if ks > 256:
+        raise ValueError("ks must fit one byte (<= 256)")
+    C = coarse.copy()
+    B = books.copy()
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            R = X - C[cell]
+            codes = np.empty((X.shape[0], m), np.uint8)
+            for s in range(m):
+                sub = R[:, s * dsub:(s + 1) * dsub]
+                rd = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = rd.argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(np.int64),
+                "cell": cell.astype(np.int32),
+                "code": [c.tobytes() for c in codes]})
+
+    schema = T.StructType([T.StructField("vec_id", T.LongType()),
+                           T.StructField("cell", T.IntegerType()),
+                           T.StructField("code", T.BinaryType())])
+    return corpus.mapInPandas(enc, schema=schema)
+
+
+def ann_ivfpq(queries: DataFrame, encoded: DataFrame,
+              coarse: np.ndarray, books: np.ndarray, *, k: int,
+              nprobe: int = 8, q_id: str = "vec_id",
+              q_vec: str = "embedding") -> DataFrame:
+    """IVFADC search: each query probes its ``nprobe`` nearest coarse
+    cells; within a probed cell the residual LUT (built from
+    query − centroid) prices each code in m adds. The corpus filter is
+    a cell-membership pushdown — only probed cells' codes are even
+    read — and codes stream without decompressing, so cost scales with
+    nprobe/C of the corpus, not all of it. Returns
+    (query_id, rank, neighbor_id, dist2_adc); self-matches excluded.
+
+    Measured on the sf0.001 embeddings fixture (64-dim, UNclustered —
+    the hard case; n_centroids=32, m=16, ks=64): recall@10 =
+    0.27 / 0.46 / 0.56 at nprobe = 2 / 8 / 32 vs exact euclidean.
+    Clustered data (what real embeddings are) sits far higher — the
+    pytest floor is 0.6 at nprobe=4 on 12 well-separated blobs."""
+    m, ks, dsub = books.shape
+    C = coarse
+    qrows = queries.select(q_id, q_vec).collect()  # collect-ok: query side broadcast-sized by contract (codes stream)
+    qids = np.array([r[0] for r in qrows], np.int64)
+    qmat = np.stack([np.asarray(r[1], np.float64) for r in qrows])
+    qd2 = ((qmat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    nprobe = min(nprobe, C.shape[0])
+    probes = np.argsort(qd2, axis=1)[:, :nprobe]         # (Q, nprobe)
+    # per (query, probed cell) residual LUT: (Q, nprobe, m, ks)
+    luts = np.empty((qmat.shape[0], nprobe, m, ks))
+    for qi in range(qmat.shape[0]):
+        for pi in range(nprobe):
+            r = qmat[qi] - C[probes[qi, pi]]
+            for s in range(m):
+                sub = r[s * dsub:(s + 1) * dsub]
+                luts[qi, pi, s, :] = ((sub[None, :] - books[s]) ** 2) \
+                    .sum(axis=1)
+    # which queries probe each cell
+    cell_to_q: dict = {}
+    for qi in range(qmat.shape[0]):
+        for pi in range(nprobe):
+            cell_to_q.setdefault(int(probes[qi, pi]), []).append((qi, pi))
+    probed_cells = sorted(cell_to_q)
+    kk = k + 1
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("dist2_adc", T.DoubleType()),
+    ])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outq, outn, outd = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                watchers = cell_to_q.get(int(cell))
+                if not watchers:
+                    continue
+                cids = grp["vec_id"].to_numpy(np.int64)
+                codes = np.stack([np.frombuffer(b, np.uint8)
+                                  for b in grp["code"]])
+                for qi, pi in watchers:
+                    dist = np.zeros(codes.shape[0])
+                    for s in range(m):
+                        dist += luts[qi, pi, s, :][codes[:, s]]
+                    top = min(kk, dist.shape[0])
+                    part = np.argpartition(dist, top - 1)[:top]
+                    outq.extend([qids[qi]] * top)
+                    outn.extend(cids[part].tolist())
+                    outd.extend(dist[part].tolist())
+            if outq:
+                pdf_out = pd.DataFrame({"query_id": outq,
+                                        "neighbor_id": outn,
+                                        "dist2_adc": outd})
+                yield pdf_out[pdf_out["query_id"]
+                              != pdf_out["neighbor_id"]]
+
+    local = (encoded.filter(F.col("cell").isin(probed_cells))
+             .mapInPandas(scan, schema=out_schema))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2_adc").asc(),
+                                               F.col("neighbor_id").asc())
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dist2_adc"))
