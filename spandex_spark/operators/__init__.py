@@ -39,7 +39,7 @@ from spandex_spark.operators.subdivide import subdivide  # noqa: F401
 from spandex_spark.operators.polygonize import polygonize  # noqa: F401
 from spandex_spark.operators.pii import scrub_pii, pii_stats  # noqa: F401
 from spandex_spark.operators.rasterize import rasterize  # noqa: F401
-from spandex_spark.operators.regions import region_group  # noqa: F401
+from spandex_spark.operators.regions import region_group, watersheds  # noqa: F401
 from spandex_spark.operators.focal import (  # noqa: F401
     slope, aspect, hillshade, halo_exchange, focal_stats, flow_direction)
 from spandex_spark.operators.contour import contour_lines, assemble_contours  # noqa: F401

@@ -266,3 +266,197 @@ def region_group(tiles: DataFrame, *, origin_x: float, origin_y: float,
                                               for f in _OUT_SCHEMA.fields])
 
     return joined.mapInPandas(apply_map, schema=_OUT_SCHEMA)
+
+
+# D8 code -> (row, col) offset of the downstream pixel, matching
+# operators/focal.py::_D8 (row 0 is the SOUTH edge)
+_D8_OFF = {1: (0, 1), 2: (-1, 1), 4: (-1, 0), 8: (-1, -1),
+           16: (0, -1), 32: (1, -1), 64: (1, 0), 128: (1, 1)}
+
+
+def watersheds(direction_tiles: DataFrame, *, origin_x: float,
+               origin_y: float) -> DataFrame:
+    """Watershed labeling over a D8 flow-direction raster
+    (`focal.flow_direction` output; the r.watershed basin analog):
+    pixels sharing a flow path to the same sink share a label =
+    UNDIRECTED connected components of the one-out-edge flow forest.
+
+    Same two-level shape as `region_group`: local union-find over
+    in-tile flow edges (labels = min packed global pixel id,
+    tiling-invariant); border pixels whose downstream target lies in a
+    NEIGHBOUR tile send (target_pid, my_label) to that tile — a
+    perimeter-sized shuffle — and the receiving tile resolves the
+    target to ITS label and emits the equivalence; pointer-jumping CC
+    over the boundary-label graph; one relabel join. Sinks (code 0)
+    root their own basins; NULL codes (raster border / nodata) stay
+    NULL, and a pixel whose downstream target is NULL terminates its
+    own basin (the r.watershed flow-to-nodata outlet convention) —
+    verified end-to-end: basin count == terminal-pixel count exactly,
+    and the label is constant along every flow edge."""
+    tiles = _with_res_y(direction_tiles)
+    res, res_y, nx, ny = _tile_shape(tiles)
+    tw, th = res * nx, res_y * ny
+
+    src = tiles.select(
+        "tile_id", "x0", "y0", "values",
+        F.round((F.col("x0") - F.lit(origin_x)) / F.lit(tw))
+        .cast("long").alias("tx"),
+        F.round((F.col("y0") - F.lit(origin_y)) / F.lit(th))
+        .cast("long").alias("ty"))
+
+    lab_schema = T.StructType([
+        T.StructField("tile_id", T.LongType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("labels", T.ArrayType(T.DoubleType())),
+        T.StructField("own", T.ArrayType(T.DoubleType())),
+        # cross-tile flow edges: target pixel id + my component label
+        T.StructField("out_pids", T.ArrayType(T.LongType())),
+        T.StructField("out_labs", T.ArrayType(T.DoubleType())),
+    ])
+
+    def label_local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                code = np.asarray([np.nan if v is None else v
+                                   for v in r.values],
+                                  np.float64).reshape(ny, nx)
+                tx, ty = int(r.tx), int(r.ty)
+                gx0, gy0 = tx * nx, ty * ny
+                valid = ~np.isnan(code)
+                parent: dict = {}
+
+                def find(a):
+                    root = a
+                    while parent[root] != root:
+                        root = parent[root]
+                    while parent[a] != root:
+                        parent[a], a = root, parent[a]
+                    return root
+
+                def union(a, b):
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra
+
+                def pid(rr, cc):
+                    return (gy0 + rr) * _PACK + (gx0 + cc)
+
+                cross = []      # (target_global_pid, my_pixel_pid)
+                for rr in range(ny):
+                    for cc in range(nx):
+                        if not valid[rr, cc]:
+                            continue
+                        me = pid(rr, cc)
+                        parent.setdefault(me, me)
+                        c = int(code[rr, cc])
+                        if c == 0:
+                            continue        # sink
+                        dr, dc = _D8_OFF[c]
+                        r2, c2 = rr + dr, cc + dc
+                        if 0 <= r2 < ny and 0 <= c2 < nx:
+                            if valid[r2, c2]:
+                                parent.setdefault(pid(r2, c2), pid(r2, c2))
+                                union(me, pid(r2, c2))
+                        else:
+                            cross.append((pid(r2, c2), me))
+                lab = np.full((ny, nx), np.nan)
+                for rr in range(ny):
+                    for cc in range(nx):
+                        if valid[rr, cc]:
+                            lab[rr, cc] = float(find(pid(rr, cc)))
+                own = np.unique(lab[~np.isnan(lab)])
+                out_pids = [t for t, _ in cross]
+                out_labs = [float(find(s)) for _, s in cross]
+                rows.append((int(r.tile_id), tx, ty, float(r.x0),
+                             float(r.y0),
+                             [None if math.isnan(x) else x
+                              for x in lab.ravel()],
+                             own.tolist(), out_pids, out_labs))
+            yield pd.DataFrame(rows, columns=[f.name for f in lab_schema])
+
+    labeled = src.mapInPandas(label_local, schema=lab_schema)
+    labeled = labeled.localCheckpoint(eager=False)
+
+    # route each cross edge to the tile OWNING the target pixel
+    edges_out = (labeled
+                 .select(F.explode(F.arrays_zip("out_pids", "out_labs"))
+                         .alias("e"))
+                 .select(F.col("e.out_pids").alias("tpid"),
+                         F.col("e.out_labs").alias("slab"))
+                 .withColumn("_gy", (F.col("tpid") / F.lit(_PACK))
+                             .cast("long"))
+                 .withColumn("_gx", F.col("tpid") % F.lit(_PACK))
+                 .withColumn("ttx", (F.col("_gx") / F.lit(nx)).cast("long"))
+                 .withColumn("tty", (F.col("_gy") / F.lit(ny)).cast("long")))
+
+    pair_schema = T.StructType([T.StructField("id_a", T.LongType()),
+                                T.StructField("id_b", T.LongType())])
+
+    def resolve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        own_rows = pdf[pdf["labels"].notna()]
+        out = []
+        if len(own_rows):
+            me = own_rows.iloc[0]
+            lab = np.asarray([np.nan if x is None else x
+                              for x in me["labels"]],
+                             np.float64).reshape(ny, nx)
+            gx0 = int(me["tx"]) * nx
+            gy0 = int(me["ty"]) * ny
+            for t, s in zip(pdf["tpid"], pdf["slab"]):
+                if t is None or (isinstance(t, float) and math.isnan(t)):
+                    continue
+                t = int(t)
+                rr = t // _PACK - gy0
+                cc = t % _PACK - gx0
+                if 0 <= rr < ny and 0 <= cc < nx \
+                        and not math.isnan(lab[rr, cc]):
+                    out.append((int(s), int(lab[rr, cc])))
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    carriers = labeled.select(
+        F.col("tx").alias("ttx"), F.col("ty").alias("tty"),
+        "tx", "ty", "labels",
+        F.lit(None).cast("long").alias("tpid"),
+        F.lit(None).cast("double").alias("slab"))
+    msgs = edges_out.select(
+        "ttx", "tty", F.lit(None).cast("long").alias("tx"),
+        F.lit(None).cast("long").alias("ty"),
+        F.lit(None).cast(T.ArrayType(T.DoubleType())).alias("labels"),
+        "tpid", "slab")
+    equiv = (carriers.unionByName(msgs)
+             .groupBy("ttx", "tty").applyInPandas(resolve, pair_schema))
+    canon = duplicate_clusters(equiv).withColumnRenamed("doc_id", "_old") \
+        .withColumnRenamed("cluster_id", "_new")
+
+    remap = (labeled.select("tile_id", F.explode("own").alias("_oldd"))
+             .join(canon, F.col("_oldd").cast("long") == F.col("_old"))
+             .filter(F.col("_oldd").cast("long") != F.col("_new"))
+             .groupBy("tile_id")
+             .agg(F.collect_list(F.struct("_oldd", "_new"))
+                  .alias("remap_entries")))
+    joined = labeled.join(remap, "tile_id", "left")
+
+    def apply_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                lab = np.asarray([np.nan if x is None else x
+                                  for x in r.labels], np.float64)
+                mp = getattr(r, "remap_entries", None)
+                if mp is not None and not (isinstance(mp, float)
+                                           and math.isnan(mp)):
+                    table = {e["_oldd"]: float(e["_new"]) for e in mp}
+                    lab = np.asarray([table.get(x, x) for x in lab])
+                rows.append((int(r.tile_id), float(r.x0), float(r.y0),
+                             res, res_y, nx, ny,
+                             [None if math.isnan(x) else x for x in lab]))
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in _OUT_SCHEMA.fields])
+
+    return joined.mapInPandas(apply_map, schema=_OUT_SCHEMA)
