@@ -117,3 +117,72 @@ def test_labels_are_min_packed_pixel_ids(spark):
     with pytest.raises(ValueError):
         region_group(_tiles(spark, {(0, 0): a}, npx),
                      origin_x=0, origin_y=0, connectivity=6)
+
+
+def test_run_ccl_matches_pixel_bruteforce():
+    """The run-length union-find (the 8x-faster local kernel) must match
+    a per-pixel reference exactly — every connectivity/by_value combo,
+    random nodata, random global offsets."""
+    from spandex_spark.operators.regions import _PACK, _local_ccl
+
+    def brute(v, gx0, gy0, conn, by_value):
+        ny, nx = v.shape
+        valid = ~np.isnan(v)
+        parent = {}
+
+        def find(a):
+            r = a
+            while parent[r] != r:
+                r = parent[r]
+            while parent[a] != r:
+                parent[a], a = r, parent[a]
+            return r
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+        def pid(r, c):
+            return (gy0 + r) * _PACK + (gx0 + c)
+
+        def same(r1, c1, r2, c2):
+            if not (valid[r1, c1] and valid[r2, c2]):
+                return False
+            return (not by_value) or v[r1, c1] == v[r2, c2]
+
+        for r in range(ny):
+            for c in range(nx):
+                if not valid[r, c]:
+                    continue
+                me = pid(r, c)
+                parent.setdefault(me, me)
+                if c > 0 and same(r, c, r, c - 1):
+                    union(me, pid(r, c - 1))
+                if r > 0 and same(r, c, r - 1, c):
+                    union(me, pid(r - 1, c))
+                if conn == 8 and r > 0:
+                    if c > 0 and same(r, c, r - 1, c - 1):
+                        union(me, pid(r - 1, c - 1))
+                    if c < nx - 1 and same(r, c, r - 1, c + 1):
+                        union(me, pid(r - 1, c + 1))
+        lab = np.full((ny, nx), np.nan)
+        for r in range(ny):
+            for c in range(nx):
+                if valid[r, c]:
+                    lab[r, c] = float(find(pid(r, c)))
+        return lab
+
+    rng = np.random.default_rng(0)
+    for _ in range(120):
+        ny, nx = rng.integers(1, 10, 2)
+        v = rng.integers(0, 3, (ny, nx)).astype(float)
+        v[rng.uniform(0, 1, (ny, nx)) < 0.25] = np.nan
+        gx0, gy0 = int(rng.integers(0, 100)), int(rng.integers(0, 100))
+        for conn in (4, 8):
+            for bv in (True, False):
+                a = _local_ccl(v.copy(), gx0, gy0, conn, bv)
+                b = brute(v.copy(), gx0, gy0, conn, bv)
+                assert np.array_equal(a, b, equal_nan=True), (conn, bv, v)
