@@ -1280,3 +1280,43 @@ def oriented_envelope(xs: np.ndarray, ys: np.ndarray):
     rx = np.array([s * ux - t * uy for s, t in corners])
     ry = np.array([s * uy + t * ux for s, t in corners])
     return rx, ry, area
+
+
+def interior_point(xs: np.ndarray, ys: np.ndarray, offsets=None):
+    """Guaranteed-interior representative point of an even-odd polygon
+    (the ST_PointOnSurface kernel): scanline at a y* strictly between
+    two consecutive DISTINCT vertex ordinates bracketing the first
+    ring's vertical midpoint — such a line crosses no vertex, so the
+    even-odd x-crossings pair cleanly; return the midpoint of the
+    WIDEST inside interval. The first ring is an outer ring by the
+    engine's storage convention, so it always spans y* and the
+    crossing list is non-empty even when other parts lie entirely
+    above/below. Degenerate (zero y-extent) input falls back to the
+    first vertex. Returns (x, y)."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    rings = list(rings_of(xs, ys, offsets))
+    r0y = rings[0][1]
+    if r0y.max() == r0y.min():
+        return float(xs[0]), float(ys[0])
+    yc = 0.5 * (r0y.min() + r0y.max())
+    vys = np.unique(ys)
+    lo = vys[vys <= yc].max()
+    above = vys[vys > lo]
+    hi = above.min() if above.size else vys.max()
+    ystar = 0.5 * (lo + hi)
+    crossings = []
+    for rx, ry in rings:
+        n = rx.shape[0]
+        for i in range(n):
+            j = (i + 1) % n
+            y1, y2 = ry[i], ry[j]
+            if (y1 < ystar) != (y2 < ystar):
+                t = (ystar - y1) / (y2 - y1)
+                crossings.append(rx[i] + t * (rx[j] - rx[i]))
+    crossings.sort()
+    best, bx = -1.0, float(xs[0])
+    for a, b in zip(crossings[0::2], crossings[1::2]):
+        if b - a > best:
+            best, bx = b - a, 0.5 * (a + b)
+    return float(bx), float(ystar)
