@@ -1,0 +1,144 @@
+"""Surface interpolation — IDW grids and kernel density (heat) grids.
+
+Reference semantics: the two workhorse point→raster surfaces of the
+GIS stacks the reference's users come from: `v.surf.idw` / ArcGIS
+"IDW" (inverse-distance-weighted interpolation, Shepard 1968) and
+ArcGIS "Kernel Density" / QGIS heatmap (Silverman 1986 quartic
+kernel).  Both take a point layer and emit the engine's raster tile
+convention's underlying lattice: one row per output cell.  In the
+web-corpus graft these render geotagged-page attribute surfaces
+(e.g. quality-score terrain, page-density heat) that zonal.py and
+contour.py then consume — `contour_lines` over `kernel_density_grid`
+is the classic web-atlas hot-zone map.
+
+Spark realization — pure JVM, one shuffle:
+
+* the output lattice is generated IN-PLAN from `spark.range(nx*ny)`
+  (no driver-side list, no parquet staging);
+* cell centers join to source points through
+  operators/distance.py::within_distance_join (cell-bucketed
+  equi-join, planar metric), with the point VALUE riding inside the
+  feature-id struct — the spatialstats.py pattern, so no re-join on id;
+* per-cell weights reduce in one groupBy: IDW is
+  sum(v/d^p)/sum(1/d^p); density is the quartic
+  3/(pi h^2) (1 - (d/h)^2)^2 sum.  Exact hits (d <= eps) override IDW
+  with the mean of coincident point values (the 1/d^p singularity —
+  Shepard's own convention, also GRASS's);
+* cells with no point in range come back NULL (IDW — the surface is
+  undefined there) or 0.0 (density — an empty neighbourhood IS zero
+  density); the left join against the full lattice keeps every cell.
+
+Scale shape: cost = pair count = points x cells-in-radius; radius and
+step choose it explicitly.  Every operand is ANSI-SQL-replicable
+(powers, no exp), so a brute-force cross-join oracle reproduces both
+surfaces bit-for-bit at test scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spandex_spark.operators.distance import within_distance_join
+
+__all__ = ["idw_grid", "kernel_density_grid"]
+
+_EXACT_EPS = 1e-12
+
+
+def _lattice(spark, origin_x: float, origin_y: float, step: float,
+             nx: int, ny: int) -> DataFrame:
+    """(gx, gy, cx, cy) cell-center lattice, generated in-plan."""
+    if nx <= 0 or ny <= 0 or step <= 0:
+        raise ValueError("nx, ny, step must be positive")
+    return (spark.range(nx * ny)
+            .select((F.col("id") % nx).cast("int").alias("gx"),
+                    F.floor(F.col("id") / F.lit(nx)).cast("int")
+                    .alias("gy"))
+            .select("gx", "gy",
+                    (F.lit(origin_x) + (F.col("gx") + F.lit(0.5))
+                     * F.lit(step)).alias("cx"),
+                    (F.lit(origin_y) + (F.col("gy") + F.lit(0.5))
+                     * F.lit(step)).alias("cy")))
+
+
+def _gather(points: DataFrame, lattice: DataFrame, *, radius: float,
+            value_col, lon_col: str, lat_col: str) -> DataFrame:
+    """(gx, gy, val, dist) pairs for every point within radius of a
+    cell center; `value_col` None gathers weight-1 presence pairs."""
+    val = (F.col(value_col).cast("double") if value_col
+           else F.lit(1.0)).alias("val")
+    src = points.select(F.struct(val).alias("_pv"),
+                        F.col(lon_col).alias("lon"),
+                        F.col(lat_col).alias("lat"))
+    cells = lattice.select(
+        F.struct(F.col("gx"), F.col("gy")).alias("_cell"),
+        F.col("cx").alias("lon"), F.col("cy").alias("lat"))
+    pr = within_distance_join(
+        cells, src, radius=radius, point_id_col="_cell",
+        feature_id_col="_pv", metric="planar")
+    return pr.select(F.col("_cell.gx").alias("gx"),
+                     F.col("_cell.gy").alias("gy"),
+                     F.col("_pv.val").alias("val"),
+                     F.col("dist"))
+
+
+def idw_grid(points: DataFrame, *, value_col: str, origin_x: float,
+             origin_y: float, step: float, nx: int, ny: int,
+             radius: float, power: float = 2.0,
+             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Inverse-distance-weighted interpolation of `value_col` onto an
+    nx x ny cell-center lattice (planar coordinates/degrees — reproject
+    first for metric fidelity, operators/reproject.py).  Output:
+    (gx, gy, cx, cy, value, n_neighbors); cells with no point within
+    `radius` carry value NULL, n_neighbors 0."""
+    spark = points.sparkSession
+    lat_df = _lattice(spark, origin_x, origin_y, step, nx, ny)
+    pairs = _gather(points, lat_df, radius=radius, value_col=value_col,
+                    lon_col=lon_col, lat_col=lat_col)
+    wcol = F.lit(1.0) / F.pow(F.col("dist"), F.lit(float(power)))
+    hit = F.col("dist") <= F.lit(_EXACT_EPS)
+    per = (pairs.groupBy("gx", "gy")
+           .agg(F.count(F.lit(1)).alias("n_neighbors"),
+                F.sum(F.when(hit, 1).otherwise(0)).alias("_nhit"),
+                F.avg(F.when(hit, F.col("val"))).alias("_vhit"),
+                F.sum(F.when(~hit, F.col("val") * wcol)).alias("_num"),
+                F.sum(F.when(~hit, wcol)).alias("_den")))
+    val = F.when(F.col("_nhit") > 0, F.col("_vhit")) \
+        .otherwise(F.col("_num") / F.col("_den"))
+    return (lat_df.join(per, ["gx", "gy"], "left")
+            .select("gx", "gy", "cx", "cy", val.alias("value"),
+                    F.coalesce(F.col("n_neighbors"), F.lit(0))
+                    .alias("n_neighbors")))
+
+
+def kernel_density_grid(points: DataFrame, *, origin_x: float,
+                        origin_y: float, step: float, nx: int, ny: int,
+                        bandwidth: float, weight_col: str | None = None,
+                        lon_col: str = "lon",
+                        lat_col: str = "lat") -> DataFrame:
+    """Quartic (biweight) kernel density at each lattice cell center:
+    density = sum_j w_j * 3/(pi h^2) * (1 - (d_j/h)^2)^2 over d_j < h
+    (Silverman 1986 eq. 4.5, the ArcGIS kernel) — units: weight per
+    squared planar unit.  Output (gx, gy, cx, cy, density); empty
+    neighbourhoods are 0.0, not NULL.  The quartic kernel is chosen
+    over the Gaussian deliberately: compact support bounds the join
+    radius exactly and the polynomial is FP-reproducible in SQL."""
+    spark = points.sparkSession
+    lat_df = _lattice(spark, origin_x, origin_y, step, nx, ny)
+    pairs = _gather(points, lat_df, radius=bandwidth,
+                    value_col=weight_col, lon_col=lon_col,
+                    lat_col=lat_col)
+    h = float(bandwidth)
+    u2 = (F.col("dist") / F.lit(h)) * (F.col("dist") / F.lit(h))
+    k = F.lit(3.0 / (math.pi * h * h)) * (F.lit(1.0) - u2) \
+        * (F.lit(1.0) - u2)
+    per = (pairs.filter(F.col("dist") < F.lit(h))
+           .groupBy("gx", "gy")
+           .agg(F.sum(F.col("val") * k).alias("_dens")))
+    return (lat_df.join(per, ["gx", "gy"], "left")
+            .select("gx", "gy", "cx", "cy",
+                    F.coalesce(F.col("_dens"), F.lit(0.0))
+                    .alias("density")))
