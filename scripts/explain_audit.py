@@ -237,6 +237,34 @@ CHECKS = {
                               "(the seam FlatMapGroupsInPandas ran in the "
                               "checkpointed CC jobs, upstream of this plan)"),
     ],
+    "morans_i (global autocorrelation)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — pair join + scalar aggregates all codegen"),
+        ("BroadcastHashJoin|BroadcastNestedLoopJoin",
+         "1-row global-stats rows broadcast back in-plan"),
+    ],
+    "tile_pyramid (slippy rollup)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — tile math is floor/ln/tan codegen"),
+        ("Generate explode", "zoom-level fan-out via explode(sequence)"),
+        ("HashAggregate", "partial agg collapses the fan-out map-side"),
+    ],
+    "idw_grid (surface interpolation)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — lattice from range, weights in codegen"),
+        ("Range", "output lattice generated in-plan (no driver list)"),
+    ],
+    "bm25_rank (relevance scoring)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — tokenize/intersect/idf all codegen"),
+        ("array_intersect", "pre-explode query-term prune: non-matching "
+                            "docs emit zero exploded rows"),
+    ],
+    "lm_perplexity (CCNet scoring)": [
+        ("MapInPandas", "Arrow-batched model scoring (documented Python "
+                        "path: per-char dict lookup has no JVM expression)"),
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — map-only scoring"),
+    ],
 }
 
 
@@ -459,6 +487,27 @@ def main():
     from spandex_spark.operators.regions import region_group as _rgroup
     plans["region_group (two-level CCL)"] = _rgroup(
         _ftiles, origin_x=-10.0, origin_y=-10.0)
+
+    from spandex_spark.operators.spatialstats import morans_i as _morans
+    _valued = derived_points(
+        spark.range(4000).select(F.col("id").alias("pt_id")), "pt_id") \
+        .withColumn("v", (F.col("pt_id") % 13).cast("double"))
+    plans["morans_i (global autocorrelation)"] = _morans(
+        _valued, radius=0.4, value_col="v", id_col="pt_id")
+    from spandex_spark.operators.tiles import tile_pyramid as _tpyr
+    plans["tile_pyramid (slippy rollup)"] = _tpyr(
+        _valued, min_zoom=2, max_zoom=8, weight_col="v")
+    from spandex_spark.operators.interpolate import idw_grid as _idw
+    plans["idw_grid (surface interpolation)"] = _idw(
+        _valued, value_col="v", origin_x=-10.0, origin_y=-10.0,
+        step=1.0, nx=20, ny=20, radius=1.5)
+    from spandex_spark.operators.search import bm25_rank as _bm25
+    plans["bm25_rank (relevance scoring)"] = _bm25(
+        docs, ["data", "quality", "zone"])
+    from spandex_spark.operators.langmodel import (lm_perplexity as _lmp,
+                                                   train_char_lm as _lmt)
+    plans["lm_perplexity (CCNet scoring)"] = _lmp(
+        docs, _lmt(docs, sample_rows=50), text_col="text")
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
