@@ -165,3 +165,64 @@ def verify_extraction(pages: DataFrame, *, html_col: str = "html",
     ok = (F.sha2(F.encode(F.col("_rextract"), "UTF-8"), 256)
           == F.sha2(F.encode(F.col(text_col), "UTF-8"), 256))
     return df.select("url", ok.alias("ok"))
+
+
+def _meta_attr_expr(s, name_attr: str, name_val: str,
+                    take_attr: str = "content"):
+    """Extract `take_attr`'s value from the tag where
+    `name_attr`="`name_val`", tolerating either attribute order —
+    coalesce of the two regexp_extract orientations (the documented
+    heuristic level of this module: regex, not a parser)."""
+    fwd = F.regexp_extract(
+        s, rf'(?is)<[^>]*\b{name_attr}\s*=\s*["\']{name_val}["\']'
+           rf'[^>]*\b{take_attr}\s*=\s*["\']([^"\']*)["\']', 1)
+    rev = F.regexp_extract(
+        s, rf'(?is)<[^>]*\b{take_attr}\s*=\s*["\']([^"\']*)["\']'
+           rf'[^>]*\b{name_attr}\s*=\s*["\']{name_val}["\']', 1)
+    got = F.when(fwd != "", fwd).otherwise(rev)
+    return F.when(got != "", got)          # "" -> NULL
+
+
+def _decode_entities(col):
+    s = col
+    for ent, ch in _ENTITIES:
+        s = F.regexp_replace(s, ent, ch)
+    return s
+
+
+def extract_metadata(pages: DataFrame, *, html_col: str = "html",
+                     charset: str = "UTF-8") -> DataFrame:
+    """Append the head metadata every crawl pipeline wants BEFORE text
+    extraction: page_title, meta_description, canonical_url, base_href,
+    og_title, html_lang, meta_robots, and the derived `noindex` flag
+    (RFC 9309's on-page cousin — corpus pipelines must honor it like
+    robots.txt, operators/robots.py).
+
+    Pure JVM regexp codegen over the decoded html (zero shuffle, zero
+    Python); entity decoding for the human-text fields (title,
+    description, og_title) uses the module's named-entity chain with
+    the same numeric-reference caveat as ``extract_text(mode="jvm")``.
+    Absent fields are NULL, never ''."""
+    s = F.when(F.col(html_col).isNotNull(),
+               F.decode(F.col(html_col), charset))
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    title = F.regexp_extract(s, r"(?is)<title\b[^>]*>(.*?)</title", 1)
+    title = F.when(F.trim(title) != "", F.trim(title))
+    lang = F.regexp_extract(
+        s, r'(?is)<html\b[^>]*\blang\s*=\s*["\']([^"\']+)["\']', 1)
+    base = F.regexp_extract(
+        s, r'(?is)<base\b[^>]*\bhref\s*=\s*["\']([^"\']+)["\']', 1)
+    return (pages
+            .withColumn("page_title", _decode_entities(title))
+            .withColumn("meta_description", _decode_entities(
+                _meta_attr_expr(s, "name", "description")))
+            .withColumn("canonical_url",
+                        _meta_attr_expr(s, "rel", "canonical", "href"))
+            .withColumn("base_href", F.when(base != "", base))
+            .withColumn("og_title", _decode_entities(
+                _meta_attr_expr(s, "property", "og:title")))
+            .withColumn("html_lang", F.when(lang != "", F.lower(lang)))
+            .withColumn("meta_robots",
+                        F.lower(_meta_attr_expr(s, "name", "robots")))
+            .withColumn("noindex", F.coalesce(
+                F.col("meta_robots").contains("noindex"), F.lit(False))))
