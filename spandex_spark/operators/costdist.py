@@ -56,6 +56,8 @@ from pyspark.sql import types as T
 from spandex_spark.operators.focal import _OUT_SCHEMA, _tile_shape
 from spandex_spark.operators.zonal import _with_res_y
 
+__all__ = ["cost_distance", "isochrones"]
+
 _STATE_SCHEMA = T.StructType([
     T.StructField("tx", T.LongType()),
     T.StructField("ty", T.LongType()),
@@ -296,3 +298,25 @@ def cost_distance(cost_tiles: DataFrame, sources: DataFrame, *,
         F.lit(res_y).alias("res_y"), F.lit(nx).alias("nx"),
         F.lit(ny).alias("ny"), vals.alias("values"))
         .select([f.name for f in _OUT_SCHEMA.fields]))
+
+
+def isochrones(cost_tiles: DataFrame, sources: DataFrame, *,
+               origin_x: float, origin_y: float, levels,
+               lon_col: str = "lon", lat_col: str = "lat",
+               max_rounds: int = 256) -> DataFrame:
+    """Iso-cost contour polylines ("drive-time rings"): cost_distance
+    -> contour_lines -> assemble_contours, the classic isochrone
+    composition (ArcGIS Cost Distance + Contour; OSRM/Valhalla
+    isochrones are the network twin).  Returns assemble_contours
+    output: one polyline per (value, line_id) at each cost level.
+    Unreachable/barrier pixels are NULL in the cost surface and the
+    marching-squares kernel treats them as missing — contours stop at
+    the reachability frontier rather than fabricating a boundary."""
+    from spandex_spark.operators.contour import (assemble_contours,
+                                                 contour_lines)
+    dist = cost_distance(cost_tiles, sources, origin_x=origin_x,
+                         origin_y=origin_y, lon_col=lon_col,
+                         lat_col=lat_col, max_rounds=max_rounds)
+    segs = contour_lines(dist, levels=levels, origin_x=origin_x,
+                         origin_y=origin_y)
+    return assemble_contours(segs)

@@ -164,3 +164,21 @@ def test_negative_cost_is_barrier(spark):
     np.testing.assert_allclose(
         got, np.where(np.isinf(ref), np.nan, ref), rtol=1e-12,
         equal_nan=True)
+
+
+def test_isochrones_uniform_cost_rings(spark):
+    from spandex_spark.operators.costdist import isochrones
+    cost = np.ones((32, 32))
+    tiles = _tiles_df(spark, cost, 2, 2)
+    iso = isochrones(tiles, _pts_df(spark, [(16.5, 16.5)]),
+                     origin_x=0.0, origin_y=0.0, levels=[5.0, 10.0])
+    rows = iso.collect()
+    assert {r["value"] for r in rows} == {5.0, 10.0}
+    for r in rows:
+        # every iso vertex sits near the chamfer ring of its level:
+        # between the octagon's inradius (level) and ... level*1.083
+        # (the 8-connected chamfer metric overestimates euclid by
+        # <= sqrt(2)/(1+sqrt(2)/2) ~ 1.0824 on diagonals)
+        for x, y in zip(r["xs"], r["ys"]):
+            d = math.hypot(x - 16.5, y - 16.5)
+            assert r["value"] / 1.09 <= d <= r["value"] + 1.0, (d, r["value"])
