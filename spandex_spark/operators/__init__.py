@@ -26,7 +26,7 @@ from spandex_spark.operators.langmodel import (  # noqa: F401
     train_char_lm, lm_perplexity)
 from spandex_spark.operators.search import bm25_rank  # noqa: F401
 from spandex_spark.operators.trajectory import (  # noqa: F401
-    make_line, trip_stats, stay_points)
+    make_line, trip_stats, stay_points, od_matrix)
 from spandex_spark.operators.robots import parse_robots, robots_filter  # noqa: F401
 from spandex_spark.operators.predicates import spatial_predicate_join  # noqa: F401
 from spandex_spark.operators.bounds import bounding_circle, oriented_envelope  # noqa: F401

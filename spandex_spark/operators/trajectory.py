@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from spandex_spark.geom import EARTH_RADIUS_M
 
-__all__ = ["make_line", "trip_stats", "stay_points"]
+__all__ = ["make_line", "trip_stats", "stay_points", "od_matrix"]
 
 
 def make_line(df: DataFrame, *, group_col: str, ts_col: str = "ts",
@@ -171,3 +171,30 @@ def stay_points(df: DataFrame, *, group_col: str, radius_m: float,
 
     return (df.select(group_col, ts_col, lon_col, lat_col)
             .groupBy(group_col).applyInPandas(scan, schema=schema))
+
+
+def od_matrix(df: DataFrame, *, group_col: str, loc_col: str,
+              ts_col: str = "ts", include_self: bool = False) -> DataFrame:
+    """Origin-destination flow matrix — the urban-mobility rollup of a
+    zone-tagged event stream (tag the stream with operators/tag.py
+    first; UrbanSim's travel-model input shape): count consecutive
+    per-entity transitions loc[i] -> loc[i+1] in time order.
+
+    Output: (origin, destination, n) over all groups; NULL locations
+    (points outside every zone) break the chain — neither side of a
+    transition may be NULL.  `include_self` keeps loc -> same-loc
+    steps (dwell ticks), off by default.  One window + one groupBy,
+    pure JVM; ties on ts order by (lon-free) location value so the
+    result is partitioning-deterministic."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(ts_col), F.col(loc_col))
+    prev = F.lag(loc_col).over(w)
+    steps = (df.select(F.col(group_col), F.col(ts_col),
+                       F.col(loc_col).alias("destination"),
+                       prev.alias("origin"))
+             .filter(F.col("origin").isNotNull()
+                     & F.col("destination").isNotNull()))
+    if not include_self:
+        steps = steps.filter(F.col("origin") != F.col("destination"))
+    return (steps.groupBy("origin", "destination")
+            .agg(F.count(F.lit(1)).alias("n")))

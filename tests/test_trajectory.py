@@ -109,3 +109,23 @@ def test_trip_stats_single_exchange(spark, tracks):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1   # window + groupBy share it
     assert "ArrowEvalPython" not in final and "BatchEvalPython" not in final
+
+
+def test_od_matrix(spark):
+    rows = [
+        (1, _ts(0), "A"), (1, _ts(1), "A"), (1, _ts(2), "B"),
+        (1, _ts(3), None), (1, _ts(4), "C"),          # NULL breaks chain
+        (2, _ts(0), "B"), (2, _ts(1), "A"), (2, _ts(2), "B"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "user_id long, ts timestamp, zone string")
+    from spandex_spark.operators.trajectory import od_matrix
+    got = {(r["origin"], r["destination"]): r["n"]
+           for r in od_matrix(df, group_col="user_id",
+                              loc_col="zone").collect()}
+    assert got == {("A", "B"): 2, ("B", "A"): 1}
+    with_self = {(r["origin"], r["destination"]): r["n"]
+                 for r in od_matrix(df, group_col="user_id",
+                                    loc_col="zone",
+                                    include_self=True).collect()}
+    assert with_self[("A", "A")] == 1
