@@ -265,6 +265,48 @@ CHECKS = {
                         "path: per-char dict lookup has no JVM expression)"),
         (r"^(?![\s\S]*Exchange)", "ZERO shuffles — map-only scoring"),
     ],
+    "make_line (ST_MakeLine per group)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — collect_list/array_sort/transform codegen"),
+        ("HashAggregate|SortAggregate|ObjectHashAggregate",
+         "one group aggregate builds the track"),
+    ],
+    "trip_stats (track rollup)": [
+        (r"windowspecdefinition", "lag window computes step distances"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — JVM haversine steps"),
+    ],
+    "robots_filter (RFC 9309 gate)": [
+        ("BroadcastHashJoin", "per-host rule arrays broadcast; the page "
+                              "corpus never shuffles"),
+        ("MapInPandas", "the ONLY Python is the rule-side parser — "
+                        "rule-sized input, broadcast output; the page "
+                        "stream itself is regexp_like codegen"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython))",
+         "no per-row Python eval on the page stream"),
+    ],
+    "hexbin (cube-round density)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — cube rounding is a three-way CASE"),
+        ("HashAggregate", "one (q, r) groupBy with map-side combine"),
+    ],
+    "extract_metadata (head metadata)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"Exchange))", "zero Python, zero shuffle — regexp codegen"),
+    ],
+    "od_matrix (origin-destination flows)": [
+        (r"windowspecdefinition", "per-entity lag window in time order"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python"),
+    ],
+    "cost_distance (iterative halo rounds)": [
+        ("ExistingRDD|LogicalRDD|Scan", "the final plan READS the "
+         "checkpoint-materialized state — the per-round MapInPandas/"
+         "FlatMapGroupsInPandas exchanges ran in the checkpointed jobs "
+         "upstream (the region_group relabel convention)"),
+        (r"^(?![\s\S]*Exchange)", "no residual shuffle after the last "
+                                    "round's checkpoint"),
+    ],
 }
 
 
@@ -508,6 +550,48 @@ def main():
                                                    train_char_lm as _lmt)
     plans["lm_perplexity (CCNet scoring)"] = _lmp(
         docs, _lmt(docs, sample_rows=50), text_col="text")
+
+    from spandex_spark.operators.trajectory import (make_line as _mkl,
+                                                    od_matrix as _odm,
+                                                    trip_stats as _tst)
+    _trk = ev.select(
+        (F.col("user_id") % 50).alias("uid"), "ts",
+        ((F.col("event_id") % 360) - 180.0).cast("double").alias("lon"),
+        ((F.col("event_id") % 170) - 85.0).cast("double").alias("lat"),
+        F.col("event_type").alias("zone"))
+    plans["make_line (ST_MakeLine per group)"] = _mkl(
+        _trk, group_col="uid")
+    plans["trip_stats (track rollup)"] = _tst(_trk, group_col="uid")
+    plans["od_matrix (origin-destination flows)"] = _odm(
+        _trk, group_col="uid", loc_col="zone")
+    from spandex_spark.operators.robots import (parse_robots as _prb,
+                                                robots_filter as _rbf)
+    _rbt = spark.createDataFrame(
+        [("example.com", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string")
+    _urls = spark.range(2000).select(
+        F.concat(F.lit("http://example.com/p/"),
+                 F.col("id").cast("string")).alias("url"))
+    plans["robots_filter (RFC 9309 gate)"] = _rbf(
+        _urls, _prb(_rbt), keep_denied=True)
+    from spandex_spark.operators.hexbin import hexbin as _hxb
+    plans["hexbin (cube-round density)"] = _hxb(_valued, size=0.7)
+    from spandex_spark.operators.html import extract_metadata as _emd
+    _htmlpg = spark.range(2000).select(
+        F.concat(F.lit("http://s.example/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.encode(F.concat(
+            F.lit("<html lang='en'><title>t"), F.col("id").cast("string"),
+            F.lit("</title><body>x</body></html>")), "UTF-8")
+        .alias("html"))
+    plans["extract_metadata (head metadata)"] = _emd(_htmlpg)
+    from spandex_spark.operators.costdist import cost_distance as _cdst
+    _cost = _rspec.withColumn(
+        "values", F.array_repeat(F.lit(1.0), 50 * 50))
+    plans["cost_distance (iterative halo rounds)"] = _cdst(
+        _cost, spark.createDataFrame([(0.0, 0.0)],
+                                     "lon double, lat double"),
+        origin_x=-10.0, origin_y=-10.0)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

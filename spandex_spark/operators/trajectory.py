@@ -98,15 +98,17 @@ def trip_stats(df: DataFrame, *, group_col: str, ts_col: str = "ts",
                _haversine_m(plon, plat, F.col(lon_col),
                             F.col(lat_col))).alias("_step_m"),
         F.when(pts_.isNotNull(),
-               F.unix_micros(F.col(ts_col)) - F.unix_micros(pts_))
-        .alias("_gap_us"))
+               F.unix_micros(F.col(ts_col).cast("timestamp"))
+               - F.unix_micros(pts_.cast("timestamp")))
+        .alias("_gap_us"))   # cast: unix_micros rejects TIMESTAMP_NTZ
     out = (step.groupBy(group_col)
            .agg(F.count(F.lit(1)).alias("n_points"),
                 F.min(ts_col).alias("start_ts"),
                 F.max(ts_col).alias("end_ts"),
                 F.sum("_step_m").alias("_len"),
                 F.max("_gap_us").alias("_maxgap")))
-    dur = (F.unix_micros("end_ts") - F.unix_micros("start_ts")) / 1e6
+    dur = (F.unix_micros(F.col("end_ts").cast("timestamp"))
+           - F.unix_micros(F.col("start_ts").cast("timestamp"))) / 1e6
     return out.select(
         group_col, "n_points", "start_ts", "end_ts",
         dur.alias("duration_s"),
