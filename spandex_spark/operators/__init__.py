@@ -46,7 +46,8 @@ from spandex_spark.operators.hexbin import hexbin  # noqa: F401
 from spandex_spark.operators.costdist import cost_distance, isochrones  # noqa: F401
 from spandex_spark.operators.linkgraph import extract_links, host_graph, pagerank  # noqa: F401
 from spandex_spark.operators.urls import (  # noqa: F401
-    url_parts, normalize_url, registrable_domain, domain_stats)
+    url_parts, normalize_url, registrable_domain, domain_stats,
+    parse_sitemap)
 from spandex_spark.operators.dedup import line_dedup, decontaminate  # noqa: F401
 from spandex_spark.operators.textstats import tfidf_top_terms, readability  # noqa: F401
 from spandex_spark.operators.sampling import stratified_sample, sample_fraction  # noqa: F401
@@ -56,7 +57,8 @@ from spandex_spark.operators.pii import scrub_pii, pii_stats  # noqa: F401
 from spandex_spark.operators.rasterize import rasterize  # noqa: F401
 from spandex_spark.operators.regions import region_group, watersheds  # noqa: F401
 from spandex_spark.operators.focal import (  # noqa: F401
-    slope, aspect, hillshade, halo_exchange, focal_stats, flow_direction)
+    slope, aspect, hillshade, halo_exchange, focal_stats, flow_direction,
+    curvature)
 from spandex_spark.operators.contour import contour_lines, assemble_contours  # noqa: F401
 from spandex_spark.operators.textnorm import normalize_text, encoding_stats  # noqa: F401
 from spandex_spark.operators.genpoints import generate_points  # noqa: F401

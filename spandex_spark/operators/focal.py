@@ -329,3 +329,43 @@ def flow_direction(tiles: DataFrame, *, origin_x: float, origin_y: float,
         out[window_nan] = np.nan
         return out
     return _focal(tiles, origin_x=origin_x, origin_y=origin_y, kernel=k)
+
+
+def curvature(tiles: DataFrame, *, origin_x: float, origin_y: float,
+              kind: str = "total") -> DataFrame:
+    """Surface curvature (Zevenbergen & Thorne 1987 — the ArcGIS
+    Curvature tool's quadric fit, raw units of 1/map-unit, NOT ArcGIS's
+    x(-100) display scaling).  ``kind``: 'total' = -2(D+E) (convexity
+    of the surface), 'profile' = curvature along the slope direction
+    (acceleration of flow), 'plan' = curvature across it (flow
+    convergence/divergence).  Flat cells (zero gradient) have
+    undefined flow direction: profile/plan emit 0.0 there (the ArcGIS
+    convention), total is gradient-free and unaffected.  Same halo
+    economics and nodata rules as slope/aspect."""
+    if kind not in ("total", "profile", "plan"):
+        raise ValueError(f"kind must be total|profile|plan, got {kind!r}")
+
+    def k(pad, rx, ry):
+        z0 = pad[1:-1, 1:-1]
+        e_, w_ = pad[1:-1, 2:], pad[1:-1, :-2]
+        n_, s_ = pad[2:, 1:-1], pad[:-2, 1:-1]
+        ne_, nw_ = pad[2:, 2:], pad[2:, :-2]
+        se_, sw_ = pad[:-2, 2:], pad[:-2, :-2]
+        D = ((w_ + e_) / 2 - z0) / (rx * rx)
+        E = ((n_ + s_) / 2 - z0) / (ry * ry)
+        Fc = (-nw_ + ne_ + sw_ - se_) / (4 * rx * ry)
+        G = (-w_ + e_) / (2 * rx)
+        H = (n_ - s_) / (2 * ry)
+        if kind == "total":
+            return -2 * (D + E)
+        g2 = G * G + H * H
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if kind == "plan":
+                out = 2 * (D * H * H + E * G * G - Fc * G * H) / g2
+            else:
+                out = -2 * (D * G * G + E * H * H + Fc * G * H) / g2
+        # zero-gradient cells: defined as 0 unless the window itself
+        # is incomplete (NaN handled by the _focal nodata mask)
+        return np.where(g2 == 0, 0.0, out)
+
+    return _focal(tiles, origin_x=origin_x, origin_y=origin_y, kernel=k)

@@ -118,3 +118,37 @@ def domain_stats(pages: DataFrame, *, url_col: str = "url",
                  n_hosts.alias("n_hosts"),
                  F.sum(F.length(F.col(text_col))).alias("text_bytes"),
                  F.avg(F.length(F.col(text_col))).alias("mean_text_len")))
+
+
+def parse_sitemap(df: DataFrame, *, xml_col: str = "xml",
+                  src_col: str = "url") -> DataFrame:
+    """Sitemap XML -> URL rows (the sitemaps.org 0.9 protocol, the
+    crawl-frontier feeder next to operators/robots.py).  Handles both
+    document kinds: <urlset> (leaf pages) and <sitemapindex> (pointers
+    to child sitemaps) — `kind` says which, so a frontier loop knows
+    whether to fetch-and-reparse or enqueue pages.
+
+    Output: (src_col, kind ['urlset'|'sitemapindex'], loc, lastmod
+    [string, NULL if absent]).  Pure JVM: one regexp_extract_all over
+    <url>/<sitemap> blocks, explode, per-block regexp_extract — the
+    html.py heuristic level (regex, not an XML parser: fine for the
+    machine-generated XML sitemaps are, documented).  &amp;/&lt;/&gt;
+    entity-decode on loc per the protocol's escaping rules."""
+    xml = F.col(xml_col)
+    kind = F.when(xml.rlike("(?is)<\\s*sitemapindex"),
+                  F.lit("sitemapindex")) \
+        .when(xml.rlike("(?is)<\\s*urlset"), F.lit("urlset"))
+    blocks = F.regexp_extract_all(
+        xml, F.lit(r"(?is)(<(?:url|sitemap)\b.*?</(?:url|sitemap)\s*>)"), 1)
+    out = (df.select(F.col(src_col), kind.alias("kind"),
+                     F.explode(blocks).alias("_blk"))
+           .filter(F.col("kind").isNotNull()))
+    loc = F.regexp_extract("_blk", r"(?is)<loc>\s*(.*?)\s*</loc>", 1)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.regexp_replace(loc, ent, ch)
+    lastmod = F.regexp_extract("_blk",
+                               r"(?is)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    return (out.select(src_col, "kind", loc.alias("loc"),
+                       F.when(lastmod != "", lastmod).alias("lastmod"))
+            .filter(F.col("loc") != ""))

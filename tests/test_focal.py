@@ -130,3 +130,47 @@ def test_irregular_tiling_rejected(spark):
         " nx int, ny int, values array<double>")
     with pytest.raises(ValueError, match="regular tiling"):
         slope(bad, origin_x=0.0, origin_y=0.0)
+
+
+def test_curvature_quadratic_closed_form(spark):
+    """z = a·x² + b·y²: finite differences are EXACT on quadratics, so
+    D=a, E=b, F=0, G=2ax, H=2by at every interior cell — check the
+    Zevenbergen-Thorne outputs against those hand-derived values."""
+    import numpy as np
+    from spandex_spark.operators.focal import curvature
+    a, b, res, n = 0.03, -0.02, 1.0, 16
+    xs = (np.arange(n) + 0.5) * res
+    ys = (np.arange(n) + 0.5) * res
+    zz = a * xs[None, :] ** 2 + b * ys[:, None] ** 2
+    tiles = spark.createDataFrame(
+        [(0, 0.0, 0.0, res, n, n, [float(v) for v in zz.ravel()])],
+        "tile_id long, x0 double, y0 double, res double, nx int, "
+        "ny int, values array<double>")
+    out = {}
+    for kind in ("total", "profile", "plan"):
+        r = curvature(tiles, origin_x=0.0, origin_y=0.0,
+                      kind=kind).collect()[0]
+        out[kind] = np.array([np.nan if v is None else v
+                              for v in r["values"]]).reshape(n, n)
+    # interior cell (row 5, col 9): x = 9.5, y = 5.5
+    x, y = xs[9], ys[5]
+    G, H = 2 * a * x, 2 * b * y
+    g2 = G * G + H * H
+    assert out["total"][5, 9] == pytest.approx(-2 * (a + b), rel=1e-9)
+    assert out["plan"][5, 9] == pytest.approx(
+        2 * (a * H * H + b * G * G) / g2, rel=1e-9)
+    assert out["profile"][5, 9] == pytest.approx(
+        -2 * (a * G * G + b * H * H) / g2, rel=1e-9)
+    # borders NULL (incomplete window)
+    assert np.isnan(out["total"][0]).all()
+    # flat surface: plan/profile 0, total 0
+    flat = spark.createDataFrame(
+        [(0, 0.0, 0.0, res, n, n, [2.0] * (n * n))],
+        "tile_id long, x0 double, y0 double, res double, nx int, "
+        "ny int, values array<double>")
+    fr = curvature(flat, origin_x=0.0, origin_y=0.0,
+                   kind="plan").collect()[0]["values"]
+    inner = np.array(fr, float).reshape(n, n)[1:-1, 1:-1]
+    assert (inner == 0.0).all()
+    with pytest.raises(ValueError):
+        curvature(tiles, origin_x=0.0, origin_y=0.0, kind="bogus")
