@@ -92,3 +92,55 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+def label_propagation(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the UNDIRECTED graph — the host-clustering
+    companion to `pagerank` (mirror-site families, link farms, and
+    boilerplate networks surface as communities).
+
+    Deterministic variant: every node votes with its neighbours'
+    labels PLUS its own, takes the most frequent label, ties break to
+    the SMALLEST label — no randomized visit order (PostGIS-style
+    scan-order nondeterminism is exactly what this engine forbids),
+    and the self-vote + min-tie-break damp the classic synchronous
+    bipartite oscillation.  Convergence = a round with zero label
+    changes (1-row probe), else `max_iter` rounds (LPA has no
+    guaranteed fixed point; near-convergence after ~5 rounds is the
+    published behaviour).
+
+    Scale shape per round: one (node, label) x edges join shuffle +
+    one (node, label) count aggregate; state is node-sized;
+    localCheckpoint truncation like pagerank.  Output:
+    (node, community) where community = the converged label (the min
+    member id in the common case)."""
+    e = edges.select(F.col(src).cast("string").alias("a"),
+                     F.col(dst).cast("string").alias("b"))
+    sym = (e.union(e.select(F.col("b").alias("a"),
+                            F.col("a").alias("b")))
+           .filter(F.col("a") != F.col("b")).distinct()
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    from pyspark.sql import Window
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
+                                           F.col("label").asc())
+    for _ in range(max_iter):
+        votes = (sym.join(labels.withColumnRenamed("node", "a"), "a")
+                 .select(F.col("b").alias("node"), "label")
+                 .unionByName(labels)                # self vote
+                 .groupBy("node", "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        new = (votes.withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") == 1).drop("_rk", "cnt")
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("label", "_old"),
+                            "node")
+                   .filter(F.col("label") != F.col("_old")).count())  # collect-ok: 1-row convergence probe (pagerank/duplicate_clusters precedent)
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("community"))

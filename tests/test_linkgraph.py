@@ -108,3 +108,34 @@ def test_weighted_edges(spark):
     r = {x["node"]: x["rank"] for x in
          pagerank(e, weight_col="w", iters=8).collect()}
     assert r["b"] > r["c"]
+
+
+def test_label_propagation_planted_cliques(spark):
+    from spandex_spark.operators.linkgraph import label_propagation
+    # two 5-cliques {a0..a4}, {b0..b4} joined by one bridge a0-b0
+    edges = []
+    for g in ("a", "b"):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((f"{g}{i}", f"{g}{j}"))
+    edges.append(("a0", "b0"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["community"] for r in
+           label_propagation(df).collect()}
+    acomm = {got[f"a{i}"] for i in range(5)}
+    bcomm = {got[f"b{i}"] for i in range(5)}
+    assert len(acomm) == 1 and len(bcomm) == 1 and acomm != bcomm
+    # deterministic under partitioning
+    again = {r["node"]: r["community"] for r in
+             label_propagation(df.repartition(7)).collect()}
+    assert again == got
+
+
+def test_label_propagation_two_nodes_and_isolated_edgeless(spark):
+    from spandex_spark.operators.linkgraph import label_propagation
+    df = spark.createDataFrame([("x", "y"), ("x", "x")],
+                               "src string, dst string")
+    got = {r["node"]: r["community"] for r in
+           label_propagation(df).collect()}
+    # self-loop dropped; pair converges to one community = min id
+    assert got == {"x": "x", "y": "x"}
