@@ -43,7 +43,8 @@ from spandex_spark.operators.timeseries import (  # noqa: F401
 from spandex_spark.operators.html import (  # noqa: F401
     extract_text, verify_extraction, extract_metadata)
 from spandex_spark.operators.hexbin import hexbin  # noqa: F401
-from spandex_spark.operators.costdist import cost_distance, isochrones  # noqa: F401
+from spandex_spark.operators.costdist import (  # noqa: F401
+    cost_distance, isochrones, cost_path)
 from spandex_spark.operators.linkgraph import (  # noqa: F401
     extract_links, host_graph, pagerank, label_propagation)
 from spandex_spark.operators.urls import (  # noqa: F401

@@ -56,7 +56,7 @@ from pyspark.sql import types as T
 from spandex_spark.operators.focal import _OUT_SCHEMA, _tile_shape
 from spandex_spark.operators.zonal import _with_res_y
 
-__all__ = ["cost_distance", "isochrones"]
+__all__ = ["cost_distance", "isochrones", "cost_path"]
 
 _STATE_SCHEMA = T.StructType([
     T.StructField("tx", T.LongType()),
@@ -320,3 +320,158 @@ def isochrones(cost_tiles: DataFrame, sources: DataFrame, *,
     segs = contour_lines(dist, levels=levels, origin_x=origin_x,
                          origin_y=origin_y)
     return assemble_contours(segs)
+
+
+_PATH_SCHEMA = T.StructType([
+    T.StructField("dest_id", T.StringType()),
+    T.StructField("kind", T.StringType()),      # 'path' | 'handoff'
+    T.StructField("seq", T.LongType()),
+    T.StructField("gx", T.LongType()),
+    T.StructField("gy", T.LongType()),
+    T.StructField("cost", T.DoubleType()),
+])
+
+_WALKER_SCHEMA = T.StructType([
+    T.StructField("dest_id", T.StringType()),
+    T.StructField("tx", T.LongType()),
+    T.StructField("ty", T.LongType()),
+    T.StructField("pr", T.IntegerType()),
+    T.StructField("pc", T.IntegerType()),
+    T.StructField("seq0", T.LongType()),
+])
+
+
+def cost_path(dist_tiles: DataFrame, destinations: DataFrame, *,
+              origin_x: float, origin_y: float, dest_id_col: str,
+              lon_col: str = "lon", lat_col: str = "lat",
+              max_rounds: int = 1024) -> DataFrame:
+    """Least-cost path backtrace (GRASS r.drain / ArcGIS CostPath):
+    from each destination point, walk steepest ACCUMULATED-cost
+    descent over a `cost_distance` surface down to a source (cost 0).
+
+    Distributed shape: the padded dist surface is built ONCE (one halo
+    exchange, checkpointed — it is static); each round joins the
+    walker set (destination-sized, broadcast) to its tiles and walks
+    IN-TILE until the next step leaves the tile, emitting path pixels
+    and a handoff walker; rounds = tile crossings of the longest path,
+    not pixel count.  Ties in the descent break by fixed neighbor
+    order (N, S, W, E, NW, SW, NE, SE on the row-0-at-bottom grid) —
+    fully deterministic.  A plateau (no strictly smaller neighbor,
+    cost > 0 — only possible with zero-cost regions) ends the walk
+    where it stands, documented like GRASS's flat handling.
+
+    Output: (dest_id [string], seq [0 = the destination], gx, gy
+    [global pixel indices], lon, lat [pixel centers], cost).
+    Destinations on NULL (barrier/unreachable) pixels emit nothing.
+    """
+    tiles = _with_res_y(dist_tiles)
+    res, res_y, nx, ny = _tile_shape(tiles)
+    tw, th = res * nx, res_y * ny
+
+    # static padded-dist state, one exchange (focal.halo_exchange
+    # carries a single values channel, which is all we need here)
+    from spandex_spark.operators.focal import halo_exchange
+    pad_schema = T.StructType([
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("paddist", T.ArrayType(T.DoubleType())),
+    ])
+
+    def keep_pad(pad, meta):
+        tx = int(round((meta["x0"] - origin_x) / tw))
+        ty = int(round((meta["y0"] - origin_y) / th))
+        return [(tx, ty, [None if math.isnan(v) else float(v)
+                          for v in pad.ravel()])]
+
+    state = halo_exchange(tiles, origin_x=origin_x, origin_y=origin_y,
+                          per_tile=keep_pad, out_schema=pad_schema) \
+        .localCheckpoint(eager=True)
+
+    px = F.floor((F.col(lon_col) - F.lit(origin_x)) / F.lit(res))
+    py = F.floor((F.col(lat_col) - F.lit(origin_y)) / F.lit(res_y))
+    walkers = destinations.select(
+        F.col(dest_id_col).cast("string").alias("dest_id"),
+        F.floor(px / F.lit(nx)).cast("long").alias("tx"),
+        F.floor(py / F.lit(ny)).cast("long").alias("ty"),
+        F.pmod(py, F.lit(ny)).cast("int").alias("pr"),
+        F.pmod(px, F.lit(nx)).cast("int").alias("pc"),
+        F.lit(0).cast("long").alias("seq0"))
+
+    # fixed deterministic descent order (dy, dx)
+    nbrs = ((1, 0), (-1, 0), (0, -1), (0, 1),
+            (1, -1), (-1, -1), (1, 1), (-1, 1))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pad = np.asarray(
+                    [np.nan if v is None else v for v in r.paddist],
+                    np.float64).reshape(ny + 2, nx + 2)
+                tx, ty = int(r.tx), int(r.ty)
+                rr, cc = int(r.pr) + 1, int(r.pc) + 1   # padded coords
+                seq = int(r.seq0)
+                d = pad[rr, cc]
+                if np.isnan(d):
+                    continue                             # unreachable dest
+                while True:
+                    gx = tx * nx + cc - 1
+                    gy = ty * ny + rr - 1
+                    rows.append((r.dest_id, "path", seq, gx, gy,
+                                 float(d)))
+                    if d <= 0.0:
+                        break
+                    bd, brc = d, None
+                    for dy, dx in nbrs:
+                        nd = pad[rr + dy, cc + dx]
+                        if not np.isnan(nd) and nd < bd:
+                            bd, brc = nd, (rr + dy, cc + dx)
+                    if brc is None:
+                        break                            # plateau stop
+                    rr, cc = brc
+                    d = bd
+                    seq += 1
+                    if not (1 <= rr <= ny and 1 <= cc <= nx):
+                        # stepped into the ring: hand off to the owner
+                        gx = tx * nx + cc - 1
+                        gy = ty * ny + rr - 1
+                        rows.append((r.dest_id, "handoff", seq,
+                                     gx, gy, float(d)))
+                        break
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in _PATH_SCHEMA])
+
+    spark = dist_tiles.sparkSession
+    segments = []
+    for _ in range(max_rounds):
+        if walkers.limit(1).count() == 0:  # collect-ok: walker-emptiness probe (destination-sized state)
+            break
+        joined = state.join(F.broadcast(walkers), ["tx", "ty"])
+        out = joined.mapInPandas(walk, schema=_PATH_SCHEMA) \
+            .localCheckpoint(eager=True)
+        segments.append(out.filter(F.col("kind") == "path"))
+        walkers = (out.filter(F.col("kind") == "handoff")
+                   .select("dest_id",
+                           F.floor(F.col("gx") / F.lit(nx)).alias("tx"),
+                           F.floor(F.col("gy") / F.lit(ny)).alias("ty"),
+                           F.pmod(F.col("gy"), F.lit(ny)).cast("int")
+                           .alias("pr"),
+                           F.pmod(F.col("gx"), F.lit(nx)).cast("int")
+                           .alias("pc"),
+                           F.col("seq").alias("seq0")))
+    else:
+        raise RuntimeError(f"cost_path did not finish within "
+                           f"{max_rounds} rounds")
+
+    if not segments:
+        return spark.createDataFrame([], _PATH_SCHEMA) \
+            .select("dest_id", "seq", "gx", "gy",
+                    F.lit(None).cast("double").alias("lon"),
+                    F.lit(None).cast("double").alias("lat"), "cost")
+    path = segments[0]
+    for s in segments[1:]:
+        path = path.unionByName(s)
+    lon = F.lit(origin_x) + (F.col("gx") + F.lit(0.5)) * F.lit(res)
+    lat = F.lit(origin_y) + (F.col("gy") + F.lit(0.5)) * F.lit(res_y)
+    return path.select("dest_id", "seq", "gx", "gy",
+                       lon.alias("lon"), lat.alias("lat"), "cost")

@@ -182,3 +182,63 @@ def test_isochrones_uniform_cost_rings(spark):
         for x, y in zip(r["xs"], r["ys"]):
             d = math.hypot(x - 16.5, y - 16.5)
             assert r["value"] / 1.09 <= d <= r["value"] + 1.0, (d, r["value"])
+
+
+def _greedy_descent(dist, start_rc):
+    """Reference steepest-descent walk with the SAME tie order."""
+    nbrs = ((1, 0), (-1, 0), (0, -1), (0, 1),
+            (1, -1), (-1, -1), (1, 1), (-1, 1))
+    H, W = dist.shape
+    r, c = start_rc
+    out = [(r, c, dist[r, c])]
+    while dist[r, c] > 0:
+        bd, brc = dist[r, c], None
+        for dy, dx in nbrs:
+            r2, c2 = r + dy, c + dx
+            if 0 <= r2 < H and 0 <= c2 < W and not np.isnan(dist[r2, c2]) \
+                    and dist[r2, c2] < bd:
+                bd, brc = dist[r2, c2], (r2, c2)
+        if brc is None:
+            break
+        r, c = brc
+        out.append((r, c, bd))
+    return out
+
+
+def test_cost_path_descends_to_source(spark, varied_cost):
+    from spandex_spark.operators.costdist import cost_distance, cost_path
+    for split in (1, 3):
+        tiles = _tiles_df(spark, varied_cost, split, split)
+        dist = cost_distance(tiles, _pts_df(spark, [(5.5, 3.5)]),
+                             origin_x=0.0, origin_y=0.0)
+        dest = spark.createDataFrame([("d1", 22.5, 21.5)],
+                                     "pid string, lon double, lat double")
+        rows = sorted(cost_path(dist, dest, origin_x=0.0, origin_y=0.0,
+                                dest_id_col="pid").collect(),
+                      key=lambda r: r["seq"])
+        full = _collect_full(dist, 24, 24, split)
+        want = _greedy_descent(full, (21, 22))
+        got = [(r["gy"], r["gx"], r["cost"]) for r in rows]
+        assert [(g[0], g[1]) for g in got] == \
+            [(w[0], w[1]) for w in want], f"split={split}"
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], rel=1e-12)
+        assert rows[-1]["cost"] == 0.0          # reached the source
+        assert rows[0]["gx"] == 22 and rows[0]["gy"] == 21
+        # strict descent + 8-adjacency
+        for a, b in zip(rows, rows[1:]):
+            assert b["cost"] < a["cost"]
+            assert max(abs(b["gx"] - a["gx"]), abs(b["gy"] - a["gy"])) == 1
+
+
+def test_cost_path_unreachable_dest_empty(spark):
+    from spandex_spark.operators.costdist import cost_distance, cost_path
+    cost = np.ones((12, 12))
+    cost[:, 6] = np.nan
+    tiles = _tiles_df(spark, cost, 2, 1)
+    dist = cost_distance(tiles, _pts_df(spark, [(2.5, 6.5)]),
+                         origin_x=0.0, origin_y=0.0)
+    dest = spark.createDataFrame([("far", 10.5, 6.5)],
+                                 "pid string, lon double, lat double")
+    assert cost_path(dist, dest, origin_x=0.0, origin_y=0.0,
+                     dest_id_col="pid").count() == 0
