@@ -51,7 +51,8 @@ from spandex_spark.operators.urls import (  # noqa: F401
     url_parts, normalize_url, registrable_domain, domain_stats,
     parse_sitemap)
 from spandex_spark.operators.dedup import line_dedup, decontaminate  # noqa: F401
-from spandex_spark.operators.textstats import tfidf_top_terms, readability  # noqa: F401
+from spandex_spark.operators.textstats import (  # noqa: F401
+    tfidf_top_terms, readability, entropy_stats)
 from spandex_spark.operators.sampling import stratified_sample, sample_fraction  # noqa: F401
 from spandex_spark.operators.subdivide import subdivide  # noqa: F401
 from spandex_spark.operators.polygonize import polygonize  # noqa: F401

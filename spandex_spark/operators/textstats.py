@@ -308,3 +308,60 @@ def readability(df: DataFrame, *, text_col: str = "text") -> DataFrame:
             .withColumn("flesch_ease", F.when(~empty, F.greatest(
                 F.least(ease, F.lit(121.22)), F.lit(-100.0))))
             .withColumn("fk_grade", F.when(~empty, grade)))
+
+
+def entropy_stats(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  include_chars: bool = False) -> DataFrame:
+    """Shannon entropy of the per-document token distribution — the
+    information-density quality axis next to gopher_rules (repetition)
+    and langmodel (fluency): machine-generated spam has LOW word
+    entropy (few distinct tokens dominate), encoding garbage has HIGH
+    char entropy.  Tokens = lowercased whitespace words (the
+    textstats.py convention, SQL-oracle-replicable).
+
+    Output: (id_col, n_tokens, distinct_tokens, word_entropy [bits;
+    0.0 for a 1-token doc, NULL for an empty/NULL doc], and with
+    ``include_chars`` char_entropy over non-space characters — a
+    SECOND explode+aggregate pass, off by default).
+
+    Scale shape: explode -> ONE (id, term) count -> ONE per-id
+    aggregate computing -sum(c/n * log2(c/n)); both hash aggregates
+    with map-side combine.  log2(n) - sum(c*log2(c))/n is the
+    numerically identical one-pass form used so the oracle can
+    replicate it operand-for-operand."""
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                        r"\s+", " ")), " "),
+        lambda w: w != "")
+
+    def _entropy(unit_col: F.Column, name: str) -> DataFrame:
+        tf = (df.select(id_col, F.explode(unit_col).alias("u"))
+              .filter(F.col("u") != "")     # empty text splits to [""]
+              .groupBy(id_col, "u").agg(F.count("*").alias("c")))
+        return (tf.groupBy(id_col)
+                .agg(F.sum("c").alias("n"),
+                     F.count("*").alias("k"),
+                     F.sum(F.col("c") * F.log2("c")).alias("_clc"))
+                .select(id_col, F.col("n").alias(f"_{name}_n"),
+                        F.col("k").alias(f"_{name}_k"),
+                        (F.log2("n") - F.col("_clc") / F.col("n"))
+                        .alias(f"{name}_entropy")))
+
+    words = _entropy(toks, "word")
+    out = (df.select(id_col)
+           .join(words, id_col, "left")
+           .select(id_col,
+                   F.coalesce(F.col("_word_n"), F.lit(0))
+                   .alias("n_tokens"),
+                   F.coalesce(F.col("_word_k"), F.lit(0))
+                   .alias("distinct_tokens"),
+                   F.col("word_entropy")))
+    if include_chars:
+        chars = _entropy(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                     r"\s+", ""), "(?!^)(?!$)"),
+            "char")
+        out = (out.join(chars.select(id_col, "char_entropy"),
+                        id_col, "left"))
+    return out
