@@ -299,6 +299,24 @@ CHECKS = {
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
          "zero Python"),
     ],
+    "curvature (Zevenbergen-Thorne)": [
+        ("MapInPandas", "strip emission is map-side"),
+        ("FlatMapGroupsInPandas", "halo assembly + quadric kernel"),
+    ],
+    "parse_sitemap (frontier feeder)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — regexp_extract_all + explode codegen"),
+        ("Generate explode", "block explode"),
+    ],
+    "label_propagation (communities)": [
+        ("ExistingRDD|LogicalRDD|Scan", "final plan reads the converged "
+         "checkpoint — per-round vote join/agg ran in checkpointed jobs"),
+    ],
+    "entropy_stats (token information)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python — explode + two hash aggregates"),
+        ("HashAggregate", "map-side-combined (id, term) counts"),
+    ],
     "cost_distance (iterative halo rounds)": [
         ("ExistingRDD|LogicalRDD|Scan", "the final plan READS the "
          "checkpoint-materialized state — the per-round MapInPandas/"
@@ -588,6 +606,24 @@ def main():
     from spandex_spark.operators.costdist import cost_distance as _cdst
     _cost = _rspec.withColumn(
         "values", F.array_repeat(F.lit(1.0), 50 * 50))
+    from spandex_spark.operators.focal import curvature as _curv
+    plans["curvature (Zevenbergen-Thorne)"] = _curv(
+        _ftiles, origin_x=-10.0, origin_y=-10.0, kind="plan")
+    from spandex_spark.operators.urls import parse_sitemap as _psm
+    _sm = spark.createDataFrame(
+        [("https://e.com/s.xml",
+          "<urlset><url><loc>https://e.com/a</loc></url></urlset>")],
+        "url string, xml string")
+    plans["parse_sitemap (frontier feeder)"] = _psm(_sm)
+    from spandex_spark.operators.linkgraph import (
+        label_propagation as _lpa)
+    _lpe = spark.range(300).select(
+        F.concat(F.lit("h"), (F.col("id") % 60).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("id") * 7) % 60).cast("string"))
+        .alias("dst"))
+    plans["label_propagation (communities)"] = _lpa(_lpe, max_iter=3)
+    from spandex_spark.operators.textstats import entropy_stats as _ent
+    plans["entropy_stats (token information)"] = _ent(docs)
     plans["cost_distance (iterative halo rounds)"] = _cdst(
         _cost, spark.createDataFrame([(0.0, 0.0)],
                                      "lon double, lat double"),
