@@ -102,28 +102,34 @@ def morans_i(df: DataFrame, *, radius: float, value_col: str,
                 lon_col=lon_col, lat_col=lat_col, metric=metric,
                 include_self=False)
     st = F.broadcast(_global_stats(df, value_col))
-    # per-i degrees feed S2 = sum_i (2 deg_i)^2; the pair list collapses
-    # to one row per focal id before the final 1-row reduce
-    deg = pr.groupBy("i_id").agg(F.count(F.lit(1)).alias("deg"))
-    s2row = deg.agg(F.sum(F.pow(F.lit(2.0) * F.col("deg"),
-                                F.lit(2.0))).alias("s2"))
-    zz = pr.crossJoin(st).agg(
-        F.count(F.lit(1)).cast("double").alias("s0"),
-        F.sum((F.col("i_val") - F.col("xbar"))
-              * (F.col("j_val") - F.col("xbar"))).alias("num"))
+    # the pair list is the cost driver, so it is consumed EXACTLY ONCE:
+    # num = sum_ij z_i z_j = sum_i z_i * lag_i, and S0/S2 both derive
+    # from the same per-i degree — one (i_id) aggregate feeds a 1-row
+    # reduce (two aggregates over the pair list would re-run the join)
+    per = (pr.crossJoin(st)
+           .groupBy("i_id")
+           .agg(F.first("i_val").alias("_xi"),
+                F.first("xbar").alias("_xb"),
+                F.count(F.lit(1)).alias("deg"),
+                F.sum(F.col("j_val") - F.col("xbar")).alias("_lagz")))
+    red = per.agg(
+        F.sum("deg").cast("double").alias("s0"),
+        F.sum((F.col("_xi") - F.col("_xb")) * F.col("_lagz"))
+        .alias("num"),
+        F.sum(F.pow(F.lit(2.0) * F.col("deg"), F.lit(2.0))).alias("s2"))
     n = F.col("n").cast("double")
     den = F.col("ssq") - n * F.col("xbar") * F.col("xbar")  # sum z^2
     e_i = F.lit(-1.0) / (n - F.lit(1.0))
-    i_stat = F.when((F.col("s0") > 0) & (den > 0),
-                    (n / F.col("s0")) * F.col("num") / den)
-    s1 = F.lit(2.0) * F.col("s0")
+    s0 = F.coalesce(F.col("s0"), F.lit(0.0))
+    i_stat = F.when((s0 > 0) & (den > 0),
+                    (n / s0) * F.col("num") / den)
+    s1 = F.lit(2.0) * s0
     var = F.when(
-        (F.col("s0") > 0) & (n > 2),
-        (n * n * s1 - n * F.col("s2") + F.lit(3.0) * F.col("s0")
-         * F.col("s0")) / ((n * n - F.lit(1.0)) * F.col("s0")
-                           * F.col("s0")) - e_i * e_i)
-    out = (zz.crossJoin(F.broadcast(s2row)).crossJoin(st)
-           .select(F.col("n"), F.col("s0"),
+        (s0 > 0) & (n > 2),
+        (n * n * s1 - n * F.col("s2") + F.lit(3.0) * s0 * s0)
+        / ((n * n - F.lit(1.0)) * s0 * s0) - e_i * e_i)
+    out = (red.crossJoin(st)
+           .select(F.col("n"), s0.alias("s0"),
                    i_stat.alias("morans_i"), e_i.alias("expected_i"),
                    var.alias("variance")))
     return out.withColumn(
