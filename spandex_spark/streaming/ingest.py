@@ -203,3 +203,32 @@ def stream_read_table(spark: SparkSession, table_root: str, *,
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(os.path.join(table_root, "data", "*")))
+
+
+def stream_tile_heatmap(spark: SparkSession, input_dir: str,
+                        gazetteer: DataFrame | None = None,
+                        zoom: int = 10, window: str = "1 hour",
+                        watermark: str = "2 hours",
+                        query_name: str = "tile_heatmap"):
+    """Streaming web-map heat tiles: geotag → slippy tile_xy → windowed
+    per-tile page counts — the live version of operators/tiles.py's
+    pyramid base level (roll ancestors up from this output with
+    shiftright exactly as tile_pyramid does; streaming each level
+    separately would multiply state for no reason).
+
+    Stateless tile math (pure codegen), ONE windowed aggregation whose
+    state is bounded by the watermark x occupied tiles.  Batch/stream
+    parity: tile_xy is deterministic, so the complete-mode table equals
+    tile_pyramid's zoom level over the same files (pytested)."""
+    from spandex_spark.operators.tiles import tile_xy
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    pts = geotag(pages, gazetteer).filter(F.col("lon").isNotNull())
+    x, y = tile_xy(F.col("lon"), F.col("lat"), zoom)
+    tiled = pts.select("warc_ts", x.alias("x"), y.alias("y"))
+    agg = (tiled.withWatermark("warc_ts", watermark)
+           .groupBy(F.window("warc_ts", window).alias("w"), "x", "y")
+           .agg(F.count("*").alias("n_pages"))
+           .select(F.col("w.start").alias("window_start"),
+                   F.lit(zoom).alias("z"), "x", "y", "n_pages"))
+    return (agg.writeStream.format("memory").queryName(query_name)
+            .outputMode("complete").trigger(availableNow=True).start())

@@ -171,3 +171,25 @@ def test_stream_read_table_empty_raises(spark, tmp_path):
     from spandex_spark.streaming.ingest import stream_read_table
     with pytest.raises(FileNotFoundError):
         stream_read_table(spark, str(tmp_path / "nope"))
+
+
+def test_stream_tile_heatmap_matches_batch(spark, fixture_dir, tmp_path):
+    """Windowed streaming heat tiles == batch tile counts over the same
+    files at the same zoom."""
+    from spandex_spark.operators.tiles import tile_xy
+    from spandex_spark.streaming.ingest import stream_tile_heatmap
+    src = _stage_dir(fixture_dir, tmp_path, "in_hm")
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    q = stream_tile_heatmap(spark, src, gazetteer=gaz, zoom=8,
+                            query_name="hm_test")
+    q.awaitTermination(120)
+    got = {(r.window_start, r.x, r.y): r.n_pages
+           for r in spark.sql("select * from hm_test").collect()}
+    assert all(r.z == 8 for r in spark.sql("select * from hm_test").collect())
+    pts = geotag(spark.read.parquet(src), gaz).filter(F.col("lon").isNotNull())
+    x, y = tile_xy(F.col("lon"), F.col("lat"), 8)
+    batch = (pts.select("warc_ts", x.alias("x"), y.alias("y"))
+             .groupBy(F.window("warc_ts", "1 hour").alias("w"), "x", "y")
+             .agg(F.count("*").alias("n")))
+    want = {(r.w.start, r.x, r.y): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
