@@ -59,3 +59,42 @@ def sample_fraction(df: DataFrame, *, fraction: float, id_col: str,
         return df
     return df.filter(
         F.substring(_hash_col(id_col, seed), 1, 8) < F.lit(thr))
+
+
+def stratified_fraction_sample(df: DataFrame, *, fractions: dict,
+                               strata_col: str, id_col: str,
+                               default: float = 0.0,
+                               seed: int = 42) -> DataFrame:
+    """Per-stratum Bernoulli sampling — the corpus REBALANCING shape
+    (e.g. keep 100% of low-resource languages, 3% of English; the
+    CC-corpora language-rebalance every multilingual pretraining mix
+    applies).  `fractions` maps stratum value -> keep fraction; strata
+    not listed keep `default` (0.0 = drop, the rebalance convention —
+    explicit is better than silently keeping unlisted tails).
+
+    Same determinism contract as sample_fraction: md5(seed||id) hex
+    compare, map-only, zero shuffle, row-for-row reproducible in any
+    SQL engine — so the exact output set is oracle-checkable and
+    stable across reruns/backfills.  The per-stratum threshold rides a
+    literal CASE map (create_map), pure codegen."""
+    for k, v in fractions.items():
+        if not 0.0 <= float(v) <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError("default must be in [0, 1]")
+    def _thr(v: float) -> str:
+        # fraction 1.0 would format as 9 hex chars and BREAK the string
+        # compare ('1a..' > '100000000' char-wise); 'g' sorts above
+        # every hex digit, so it means keep-all
+        return "g" if float(v) >= 1.0 else \
+            format(int(float(v) * (16 ** 8)), "08x")
+
+    pairs = []
+    for k, v in fractions.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(_thr(v)))
+    dthr = F.lit(_thr(default))
+    thr = F.coalesce(F.create_map(*pairs)[F.col(strata_col)], dthr) \
+        if pairs else dthr
+    return df.filter(
+        F.substring(_hash_col(id_col, seed), 1, 8) < thr)

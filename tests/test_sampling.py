@@ -96,3 +96,43 @@ def test_bad_args(spark):
         stratified_sample(df, strata_col="lang", n=0, id_col="doc_id")
     with pytest.raises(ValueError):
         sample_fraction(df, fraction=1.5, id_col="doc_id")
+
+
+def test_stratified_fraction_sample(spark):
+    from spandex_spark.operators.sampling import (sample_fraction,
+                                                  stratified_fraction_sample)
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else ("fr" if i % 3 == 1 else "de"))
+         for i in range(3000)], "doc_id long, lang string")
+    out = stratified_fraction_sample(
+        df, fractions={"en": 0.1, "fr": 1.0}, strata_col="lang",
+        id_col="doc_id")
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    # fr kept verbatim, de dropped (default 0), en thinned ~10%
+    assert len(by["fr"]) == 1000 and "de" not in by
+    assert 50 < len(by["en"]) < 160
+    # row-for-row equal to sample_fraction on the en slice (same hash)
+    en_only = {r["doc_id"] for r in sample_fraction(
+        df.filter("lang = 'en'"), fraction=0.1,
+        id_col="doc_id").collect()}
+    assert by["en"] == en_only
+    # deterministic rerun + different seed differs
+    again = stratified_fraction_sample(
+        df, fractions={"en": 0.1, "fr": 1.0}, strata_col="lang",
+        id_col="doc_id").collect()
+    assert {(r["doc_id"]) for r in again} == {r["doc_id"] for r in rows}
+    other = stratified_fraction_sample(
+        df, fractions={"en": 0.1, "fr": 1.0}, strata_col="lang",
+        id_col="doc_id", seed=7)
+    assert {r["doc_id"] for r in other.filter("lang='en'").collect()} \
+        != by["en"]
+    with pytest.raises(ValueError):
+        stratified_fraction_sample(df, fractions={"en": 1.5},
+                                   strata_col="lang", id_col="doc_id")
+    # zero Python, zero shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final and "ArrowEvalPython" not in final
