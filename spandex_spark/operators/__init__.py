@@ -21,7 +21,7 @@ from spandex_spark.operators.spatialstats import (  # noqa: F401
 from spandex_spark.operators.tiles import (  # noqa: F401
     tile_xy, tile_quadkey, tile_bounds, tile_pyramid)
 from spandex_spark.operators.interpolate import (  # noqa: F401
-    idw_grid, kernel_density_grid)
+    idw_grid, kernel_density_grid, tin_grid)
 from spandex_spark.operators.langmodel import (  # noqa: F401
     train_char_lm, lm_perplexity)
 from spandex_spark.operators.search import bm25_rank  # noqa: F401

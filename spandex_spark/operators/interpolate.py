@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from spandex_spark.operators.distance import within_distance_join
 
-__all__ = ["idw_grid", "kernel_density_grid"]
+__all__ = ["idw_grid", "kernel_density_grid", "tin_grid"]
 
 _EXACT_EPS = 1e-12
 
@@ -142,3 +142,71 @@ def kernel_density_grid(points: DataFrame, *, origin_x: float,
             .select("gx", "gy", "cx", "cy",
                     F.coalesce(F.col("_dens"), F.lit(0.0))
                     .alias("density")))
+
+
+def tin_grid(points: DataFrame, *, value_col: str, origin_x: float,
+             origin_y: float, step: float, nx: int, ny: int,
+             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """TIN (Delaunay linear) interpolation onto the lattice — the
+    GRASS v.surf.tin / ArcGIS "TIN to Raster (linear)" surface: each
+    output cell takes the barycentric interpolation of the triangle
+    containing it; cells outside the convex hull are NULL.  TIN
+    reproduces any LINEAR field exactly (the defining property, and
+    the pytest oracle), where IDW plateaus around samples.
+
+    Scale contract: the SAMPLE SET is bounded/broadcastable (the
+    voronoi_polygons group contract and the nearest_line_join kernel
+    contract — survey stations, not the corpus); the triangulation
+    builds ONCE driver-side via the same Bowyer-Watson kernel
+    delaunay_triangles uses, triangles broadcast in the closure, and
+    the LATTICE is the distributed side — one map-only Arrow pass,
+    each task rasterizing triangles over its cell batch (loop per
+    triangle over its bbox cells, vectorized inside).
+
+    Output: (gx, gy, cx, cy, value)."""
+    import pandas as pd
+
+    from spandex_spark.operators.voronoi import _bowyer_watson
+    rows = points.select(F.col(lon_col).alias("x"),
+                         F.col(lat_col).alias("y"),
+                         F.col(value_col).cast("double")
+                         .alias("v")).collect()  # collect-ok: bounded sample-station layer by contract (voronoi_polygons group / nearest_line_join kernel precedent)
+    import numpy as np
+    pts = np.array([(r["x"], r["y"]) for r in rows], np.float64)
+    vals = np.array([r["v"] for r in rows], np.float64)
+    if pts.shape[0] < 3:
+        raise ValueError("tin_grid needs >= 3 sample points")
+    tris = _bowyer_watson(pts)
+    spark = points.sparkSession
+    lat_df = _lattice(spark, origin_x, origin_y, step, nx, ny)
+    # NOT lat_df.schema.add(...): .add MUTATES the DataFrame's cached
+    # schema in place and mapInPandas then requests the phantom column
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    out_schema = StructType(list(lat_df.schema.fields)
+                            + [StructField("value", DoubleType())])
+
+    def interp(batches):
+        for pdf in batches:
+            cx = pdf["cx"].to_numpy(float)
+            cy = pdf["cy"].to_numpy(float)
+            out = np.full(cx.shape[0], np.nan)
+            for (i, j, k) in tris:
+                ax, ay = pts[i]
+                bx, by = pts[j]
+                qx, qy = pts[k]
+                det = (by - qy) * (ax - qx) + (qx - bx) * (ay - qy)
+                if det == 0:
+                    continue
+                l1 = ((by - qy) * (cx - qx) + (qx - bx) * (cy - qy)) / det
+                l2 = ((qy - ay) * (cx - qx) + (ax - qx) * (cy - qy)) / det
+                l3 = 1.0 - l1 - l2
+                eps = -1e-12
+                m = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+                out[m] = (l1[m] * vals[i] + l2[m] * vals[j]
+                          + l3[m] * vals[k])
+            o = pdf.copy()
+            o["value"] = pd.array([None if np.isnan(v) else v
+                                   for v in out], dtype="float64")
+            yield o
+
+    return lat_df.mapInPandas(interp, schema=out_schema)

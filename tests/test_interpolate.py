@@ -95,3 +95,37 @@ def test_plan_stays_jvm(spark, cloud):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_tin_reproduces_linear_field_exactly(spark):
+    """TIN's defining property: barycentric interpolation over any
+    triangulation reproduces a linear field z = a + b·x + c·y exactly
+    inside the hull."""
+    from spandex_spark.operators.interpolate import tin_grid
+    rng = np.random.default_rng(17)
+    a, b, c = 3.0, 0.7, -1.3
+    x = np.concatenate([rng.uniform(0, 8, 40), [0, 8, 0, 8]])
+    y = np.concatenate([rng.uniform(0, 6, 40), [0, 0, 6, 6]])
+    z = a + b * x + c * y
+    df = spark.createDataFrame(
+        [(float(x[i]), float(y[i]), float(z[i])) for i in range(44)],
+        "lon double, lat double, v double")
+    rows = tin_grid(df, value_col="v", **GRID).collect()
+    assert len(rows) == GRID["nx"] * GRID["ny"]
+    for r in rows:
+        want = a + b * r["cx"] + c * r["cy"]
+        assert r["value"] == pytest.approx(want, rel=1e-9), \
+            (r["gx"], r["gy"])
+
+
+def test_tin_outside_hull_is_null(spark):
+    from spandex_spark.operators.interpolate import tin_grid
+    df = spark.createDataFrame(
+        [(2.0, 2.0, 1.0), (6.0, 2.0, 2.0), (4.0, 5.0, 3.0)],
+        "lon double, lat double, v double")
+    rows = {(r["gx"], r["gy"]): r["value"]
+            for r in tin_grid(df, value_col="v", **GRID).collect()}
+    assert rows[(0, 0)] is None            # corner, outside triangle
+    assert rows[(4, 2)] is not None        # near centroid, inside
+    with pytest.raises(ValueError):
+        tin_grid(df.limit(2), value_col="v", **GRID)
