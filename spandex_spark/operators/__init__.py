@@ -46,12 +46,12 @@ from spandex_spark.operators.html import (  # noqa: F401
     extract_text, verify_extraction, extract_metadata)
 from spandex_spark.operators.hexbin import hexbin  # noqa: F401
 from spandex_spark.operators.costdist import (  # noqa: F401
-    cost_distance, isochrones, cost_path)
+    cost_distance, isochrones, cost_path, proximity)
 from spandex_spark.operators.linkgraph import (  # noqa: F401
     extract_links, host_graph, pagerank, label_propagation)
 from spandex_spark.operators.urls import (  # noqa: F401
     url_parts, normalize_url, registrable_domain, domain_stats,
-    parse_sitemap)
+    parse_sitemap, frontier_batches)
 from spandex_spark.operators.dedup import line_dedup, decontaminate  # noqa: F401
 from spandex_spark.operators.textstats import (  # noqa: F401
     tfidf_top_terms, readability, entropy_stats)

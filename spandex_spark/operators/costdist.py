@@ -56,7 +56,7 @@ from pyspark.sql import types as T
 from spandex_spark.operators.focal import _OUT_SCHEMA, _tile_shape
 from spandex_spark.operators.zonal import _with_res_y
 
-__all__ = ["cost_distance", "isochrones", "cost_path"]
+__all__ = ["cost_distance", "isochrones", "cost_path", "proximity"]
 
 _STATE_SCHEMA = T.StructType([
     T.StructField("tx", T.LongType()),
@@ -475,3 +475,36 @@ def cost_path(dist_tiles: DataFrame, destinations: DataFrame, *,
     lat = F.lit(origin_y) + (F.col("gy") + F.lit(0.5)) * F.lit(res_y)
     return path.select("dest_id", "seq", "gx", "gy",
                        lon.alias("lon"), lat.alias("lat"), "cost")
+
+
+def proximity(tiles: DataFrame, *, origin_x: float, origin_y: float,
+              target_value: float | None = None,
+              max_rounds: int = 256) -> DataFrame:
+    """Proximity raster (gdal_proximity analog): distance from every
+    pixel to the nearest TARGET pixel — targets are pixels equal to
+    ``target_value`` (NaN-safe equality) or, when None, all non-NULL
+    pixels.  Pure composition: targets become cost-distance sources
+    over a uniform unit-cost surface, so the output is the 8-connected
+    CHAMFER distance (res/res_y/diagonal steps), which overestimates
+    true Euclidean by at most ~8% on diagonals (sqrt(2)/(1+sqrt(2))/2
+    geometry; gdal_proximity computes exact Euclidean — documented
+    difference, same role).  Output: _OUT_SCHEMA tiles of distances in
+    map units; target pixels are 0."""
+    tiles = _with_res_y(tiles)
+    res, res_y, nx, ny = _tile_shape(tiles)
+    # source points = centers of target pixels (sparse relative to the
+    # raster in the proximity use case)
+    pred = ("v is not null" if target_value is None
+            else f"v = {float(target_value)!r}")
+    idx = F.expr(f"filter(transform(values, (v, i) -> "
+                 f"IF({pred}, i, -1)), i -> i >= 0)")
+    srcs = (tiles.select("x0", "y0", F.explode(idx).alias("i"))
+            .select(
+        (F.col("x0") + ((F.col("i") % nx) + F.lit(0.5)) * F.lit(res))
+        .alias("lon"),
+        (F.col("y0") + (F.floor(F.col("i") / nx) + F.lit(0.5))
+         * F.lit(res_y)).alias("lat")))
+    unit = tiles.withColumn(
+        "values", F.transform("values", lambda v: F.lit(1.0)))
+    return cost_distance(unit, srcs, origin_x=origin_x,
+                         origin_y=origin_y, max_rounds=max_rounds)

@@ -152,3 +152,31 @@ def parse_sitemap(df: DataFrame, *, xml_col: str = "xml",
     return (out.select(src_col, "kind", loc.alias("loc"),
                        F.when(lastmod != "", lastmod).alias("lastmod"))
             .filter(F.col("loc") != ""))
+
+
+def frontier_batches(urls: DataFrame, *, url_col: str = "url",
+                     per_host: int = 10,
+                     priority_col: str | None = None) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: assign every URL a
+    `fetch_batch` such that no batch contains more than `per_host`
+    URLs of one host — the standard frontier shape (Mercator-style
+    host queues; a fleet fetching batch k in parallel touches each
+    host at most `per_host` times per wave, pair with
+    operators/robots.py for the allow gate).
+
+    Rank within host by `priority_col` DESCENDING when given (e.g. a
+    pagerank or bm25 score), else by URL ascending — deterministic
+    either way (URL is the tiebreak).  fetch_batch = (per-host rank)
+    div per_host, 0-based.  ONE window shuffle on host, pure JVM.
+    Output: input columns + host + fetch_batch."""
+    if per_host < 1:
+        raise ValueError("per_host must be >= 1")
+    from pyspark.sql import Window
+    host = F.lower(F.expr(f"parse_url({url_col}, 'HOST')"))
+    order = ([F.col(priority_col).desc()] if priority_col else []) \
+        + [F.col(url_col).asc()]
+    w = Window.partitionBy("host").orderBy(*order)
+    return (urls.withColumn("host", host)
+            .withColumn("fetch_batch",
+                        F.floor((F.row_number().over(w) - 1)
+                                / F.lit(per_host)).cast("int")))

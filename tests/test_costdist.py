@@ -242,3 +242,21 @@ def test_cost_path_unreachable_dest_empty(spark):
                                  "pid string, lon double, lat double")
     assert cost_path(dist, dest, origin_x=0.0, origin_y=0.0,
                      dest_id_col="pid").count() == 0
+
+
+def test_proximity_chamfer_distance(spark):
+    from spandex_spark.operators.costdist import proximity
+    vals = np.full((16, 16), np.nan)
+    vals[8, 8] = 5.0                    # single target pixel
+    tiles = _tiles_df(spark, vals, 2, 2)
+    got = _collect_full(proximity(tiles, origin_x=0.0, origin_y=0.0,
+                                  target_value=5.0), 16, 16, 2)
+    assert got[8, 8] == 0.0
+    assert got[8, 10] == pytest.approx(2.0)         # 2 orthogonal steps
+    assert got[10, 10] == pytest.approx(2 * math.hypot(1, 1))
+    # chamfer vs euclid: knight's-move cell = 1 diag + 1 orth
+    assert got[9, 10] == pytest.approx(math.hypot(1, 1) + 1.0)
+    # default target = all non-NULL
+    got2 = _collect_full(proximity(tiles, origin_x=0.0, origin_y=0.0),
+                         16, 16, 2)
+    np.testing.assert_allclose(got2, got, rtol=1e-12, equal_nan=True)

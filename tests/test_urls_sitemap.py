@@ -47,3 +47,25 @@ def test_malformed_and_plan(spark):
     frame = parse_sitemap(_df(spark, URLSET))
     plan = frame._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_frontier_batches(spark):
+    from spandex_spark.operators.urls import frontier_batches
+    rows = [(f"http://h{i % 3}.com/p{j}", float(j))
+            for i in range(3) for j in range(25)]
+    df = spark.createDataFrame(rows, "url string, score double")
+    out = frontier_batches(df, per_host=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["host"], r["fetch_batch"]), []).append(r["url"])
+    # no batch exceeds per_host for its host; batches are 0..2
+    assert all(len(v) <= 10 for v in per.values())
+    assert {b for (_h, b) in per} == {0, 1, 2}
+    # priority ordering puts high scores in batch 0
+    pri = frontier_batches(df, per_host=10, priority_col="score")
+    b0 = [r["url"] for r in pri.collect()
+          if r["fetch_batch"] == 0 and r["host"] == "h0.com"]
+    assert all(int(u.rsplit("p", 1)[1]) >= 15 for u in b0)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        frontier_batches(df, per_host=0)
