@@ -1605,6 +1605,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (linear-ramp closed form), dbscan (planted blobs), geohash
     # (published vectors), snap_to_grid, merge (table-level, pytest-only
     # by nature like O10/O11).
+    # Late-r5 additions to the same queue (all pytest-first, PLANS.md
+    # 120/120): morans_i/gi_star/lisa (brute-force SQL pair-join
+    # oracle, planar metric chosen for exactly this), tile_pyramid +
+    # quadkey (floor/ln/tan SQL oracle — asinh avoided on purpose),
+    # hexbin (cube-round CASE is SQL-replicable), idw/kde_grid
+    # (cross-join oracle), tin_grid (linear-field closed form),
+    # bm25_rank + entropy_stats (string_split oracles), sessionize-
+    # adjacent od_matrix + trip_stats (lag-window oracles),
+    # stratified_fraction_sample (md5 row-for-row), parse_sitemap +
+    # frontier_batches (regexp/window oracles), extract_metadata
+    # (regexp oracle), robots_filter (DuckDB can run the translated
+    # regexes), curvature (quadratic closed form via rasterized
+    # fixture); rows-only by nature: lm_perplexity, map_match,
+    # label_propagation, cost_distance/cost_path/proximity/isochrones,
+    # warp_tiles, stay_points, stream_tile_heatmap (streaming).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
