@@ -299,6 +299,21 @@ CHECKS = {
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
          "zero Python"),
     ],
+    "tin_grid (Delaunay linear)": [
+        ("MapInPandas", "lattice-side barycentric rasterization; the "
+                        "bounded station set triangulated driver-side"),
+        ("Range", "output lattice generated in-plan"),
+    ],
+    "stratified_fraction_sample (rebalance)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"Exchange))", "zero Python, zero shuffle — md5 compare under "
+                        "a literal CASE map"),
+    ],
+    "frontier_batches (crawl scheduling)": [
+        (r"windowspecdefinition", "row_number per host — one shuffle"),
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "zero Python"),
+    ],
     "map_match (HMM Viterbi)": [
         ("FlatMapGroupsInPandas", "per-track Viterbi; road layer rides "
                                   "the closure broadcast"),
@@ -619,6 +634,21 @@ def main():
     from spandex_spark.operators.costdist import cost_distance as _cdst
     _cost = _rspec.withColumn(
         "values", F.array_repeat(F.lit(1.0), 50 * 50))
+    from spandex_spark.operators.interpolate import tin_grid as _tin
+    plans["tin_grid (Delaunay linear)"] = _tin(
+        derived_points(spark.range(200).select(
+            F.col("id").alias("sid")), "sid").withColumn(
+            "v", (F.col("sid") % 5).cast("double")),
+        value_col="v", origin_x=-10.0, origin_y=-10.0, step=0.5,
+        nx=40, ny=40)
+    from spandex_spark.operators.sampling import (
+        stratified_fraction_sample as _sfs)
+    plans["stratified_fraction_sample (rebalance)"] = _sfs(
+        docs, fractions={"en": 0.1, "fr": 1.0}, strata_col="lang",
+        id_col="doc_id")
+    from spandex_spark.operators.urls import frontier_batches as _fbt
+    plans["frontier_batches (crawl scheduling)"] = _fbt(
+        _urls, per_host=10)
     from spandex_spark.operators.mapmatch import map_match as _mmt
     _rd = roads_df(spark)
     _mtk = ev.limit(2000).select(
