@@ -80,3 +80,46 @@ def test_all_jvm(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_great_circle_points(spark):
+    from spandex_spark.functions.geodesy import great_circle_points
+    from spandex_spark.geom import EARTH_RADIUS_M
+    import math
+    df = spark.createDataFrame([(-60.0, 10.0, 50.0, 55.0)],
+                               "lon1 double, lat1 double, "
+                               "lon2 double, lat2 double")
+    pts = df.select(great_circle_points(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"),
+        16).alias("p")).collect()[0]["p"]
+    assert len(pts) == 17
+    assert (pts[0]["lon"], pts[0]["lat"]) == pytest.approx((-60.0, 10.0))
+    assert (pts[-1]["lon"], pts[-1]["lat"]) == pytest.approx((50.0, 55.0))
+
+    def hav(a, b):
+        p1, p2 = math.radians(a[1]), math.radians(b[1])
+        dl = math.radians(b[0] - a[0])
+        h = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(h))
+
+    steps = [hav((pts[i]["lon"], pts[i]["lat"]),
+                 (pts[i + 1]["lon"], pts[i + 1]["lat"]))
+             for i in range(16)]
+    total = hav((-60.0, 10.0), (50.0, 55.0))
+    # equal arc steps, and their sum is the direct great-circle distance
+    for s in steps:
+        assert s == pytest.approx(steps[0], rel=1e-9)
+    assert sum(steps) == pytest.approx(total, rel=1e-9)
+    # the midpoint of a great circle is NOT the planar midpoint (the
+    # whole reason to densify geodesically): this route arcs far north
+    assert pts[8]["lat"] > 45.0
+    # coincident points degrade to the two endpoints
+    same = spark.createDataFrame([(5.0, 5.0)], "lon double, lat double")
+    got = same.select(great_circle_points(
+        F.col("lon"), F.col("lat"), F.col("lon"), F.col("lat"),
+        8).alias("p")).collect()[0]["p"]
+    assert len(got) == 2
+    with pytest.raises(ValueError):
+        great_circle_points(F.col("lon1"), F.col("lat1"),
+                            F.col("lon2"), F.col("lat2"), 0)
