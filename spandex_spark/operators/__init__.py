@@ -24,6 +24,8 @@ from spandex_spark.operators.interpolate import (  # noqa: F401
     idw_grid, kernel_density_grid, tin_grid)
 from spandex_spark.operators.langmodel import (  # noqa: F401
     train_char_lm, lm_perplexity)
+from spandex_spark.operators.quality_model import (  # noqa: F401
+    quality_features, train_quality_model, apply_quality_model)
 from spandex_spark.operators.search import bm25_rank  # noqa: F401
 from spandex_spark.operators.trajectory import (  # noqa: F401
     make_line, trip_stats, stay_points, od_matrix)
