@@ -299,6 +299,11 @@ CHECKS = {
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
          "zero Python"),
     ],
+    "apply_quality_model (learned filter)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"Exchange))", "zero Python, zero shuffle — the logistic "
+                        "score is one codegen dot product"),
+    ],
     "tin_grid (Delaunay linear)": [
         ("MapInPandas", "lattice-side barycentric rasterization; the "
                         "bounded station set triangulated driver-side"),
@@ -634,6 +639,11 @@ def main():
     from spandex_spark.operators.costdist import cost_distance as _cdst
     _cost = _rspec.withColumn(
         "values", F.array_repeat(F.lit(1.0), 50 * 50))
+    from spandex_spark.operators.quality_model import (
+        apply_quality_model as _aqm, train_quality_model as _tqm)
+    _lbl = docs.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    plans["apply_quality_model (learned filter)"] = _aqm(
+        docs, _tqm(_lbl, label_col="label", sample_rows=200))
     from spandex_spark.operators.interpolate import tin_grid as _tin
     plans["tin_grid (Delaunay linear)"] = _tin(
         derived_points(spark.range(200).select(
