@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["MAX_MERCATOR_LAT", "tile_xy", "tile_quadkey", "tile_bounds",
-           "tile_pyramid"]
+           "tile_pyramid", "render_mvt_tiles"]
 
 # atan(sinh(pi)) = 85.05112877980659...; floor at 1e-5 keeps the clamp
 # strictly inside the open interval so floor() below never hits n
@@ -152,3 +152,89 @@ def tile_pyramid(points: DataFrame, *, min_zoom: int, max_zoom: int,
             qk = F.concat(qk, d)
         out = out.withColumn("quadkey", qk)
     return out
+
+
+def render_mvt_tiles(points: DataFrame, *, zoom: int,
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     id_col: str | None = None,
+                     prop_cols: tuple[str, ...] = (),
+                     layer_name: str = "points",
+                     extent: int = 4096) -> DataFrame:
+    """Render a point corpus into Mapbox Vector Tiles at one zoom:
+    (z, x, y, mvt binary, n_features) — the blobs a slippy-map client
+    fetches as z/x/y.mvt.  The north star's tiling engine serves web-map
+    clients; MVT is that wire format (sources/mvt.py implements the open
+    spec from scratch, writer+reader).
+
+    Spark shape, tuned for 10^12 rows:
+    * tile id AND tile-local pixel coordinates are computed JVM-side
+      with the exact tile_xy formulas (global pixel index at
+      zoom*extent resolution, then split into tile and offset by
+      integer div/mod — one derivation, no float drift between the
+      two), so the Python stage receives pre-quantized ints;
+    * ONE shuffle, on the tile key, via applyInPandas — each tile's
+      features arrive as one Arrow batch and the UDF only PACKS bytes
+      (sources/mvt.py encode_layer), no geometry math in Python;
+    * blob size is bounded by extent quantization (dedup of coincident
+      pixels is the renderer's choice upstream), never by corpus size.
+
+    Property columns are carried as MVT layer-interned tags; NULL
+    props are omitted per feature (MVT has no null Value).  Rows with
+    NULL coordinates are dropped (no tile owns them).
+    """
+    import pandas as pd
+
+    from spandex_spark.sources import mvt as _mvt
+
+    if not 0 <= zoom <= 30:
+        raise ValueError(f"zoom {zoom} outside [0, 30]")
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    n = F.lit(float(1 << zoom))
+    ext = F.lit(float(extent))
+    lonw = F.pmod(lon + F.lit(180.0), F.lit(360.0))
+    gx = F.floor(lonw / F.lit(360.0) * n * ext).cast("long")
+    latc = F.greatest(F.lit(-MAX_MERCATOR_LAT),
+                      F.least(F.lit(MAX_MERCATOR_LAT), lat))
+    phi = F.radians(latc)
+    merc = F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi))
+    gy = (F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0)
+                  * n * ext)).cast("long")
+    gmax = F.lit((1 << zoom) * extent - 1).cast("long")
+    gx = F.least(gmax, F.greatest(F.lit(0).cast("long"), gx))
+    gy = F.least(gmax, F.greatest(F.lit(0).cast("long"), gy))
+    sel = [(gx / extent).cast("long").alias("x"),
+           (gy / extent).cast("long").alias("y"),
+           (gx % extent).cast("int").alias("px"),
+           (gy % extent).cast("int").alias("py")]
+    if id_col:
+        sel.append(F.col(id_col).cast("long").alias("_fid"))
+    for c in prop_cols:
+        sel.append(F.col(c).alias(c))
+    base = points.filter(lon.isNotNull() & lat.isNotNull()).select(*sel)
+
+    out_schema = ("z int, x long, y long, mvt binary, n_features long")
+    props = tuple(prop_cols)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = []
+        fids = pdf["_fid"].tolist() if id_col else [None] * len(pdf)
+        prop_series = {c: pdf[c].tolist() for c in props}
+        for i in range(len(pdf)):
+            p = {}
+            for c in props:
+                v = prop_series[c][i]
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                # numpy scalars -> plain python for the byte packer
+                p[c] = v.item() if hasattr(v, "item") else v
+            feats.append({
+                "id": None if fids[i] is None else int(fids[i]),
+                "type": _mvt.POINT,
+                "parts": [[(int(pdf["px"].iat[i]), int(pdf["py"].iat[i]))]],
+                "props": p})
+        blob = _mvt.encode_tile([(layer_name, feats)], extent=extent)
+        return pd.DataFrame({"z": [zoom], "x": [int(key[0])],
+                             "y": [int(key[1])], "mvt": [blob],
+                             "n_features": [len(feats)]})
+
+    return base.groupBy("x", "y").applyInPandas(build, out_schema)
