@@ -31,6 +31,7 @@ from spandex_spark.operators.trajectory import (  # noqa: F401
     make_line, trip_stats, stay_points, od_matrix)
 from spandex_spark.operators.robots import parse_robots, robots_filter  # noqa: F401
 from spandex_spark.operators.mapmatch import map_match  # noqa: F401
+from spandex_spark.operators.network import shortest_paths, service_areas  # noqa: F401
 from spandex_spark.operators.warp import warp_tiles  # noqa: F401
 from spandex_spark.operators.predicates import spatial_predicate_join  # noqa: F401
 from spandex_spark.operators.bounds import bounding_circle, oriented_envelope  # noqa: F401
