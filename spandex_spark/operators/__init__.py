@@ -22,6 +22,9 @@ from spandex_spark.operators.tiles import (  # noqa: F401
     tile_xy, tile_quadkey, tile_bounds, tile_pyramid)
 from spandex_spark.operators.interpolate import (  # noqa: F401
     idw_grid, kernel_density_grid, tin_grid)
+from spandex_spark.operators.kriging import (  # noqa: F401
+    empirical_variogram, fit_variogram, kriging_grid)
+from spandex_spark.operators.bpe import train_bpe, apply_bpe  # noqa: F401
 from spandex_spark.operators.langmodel import (  # noqa: F401
     train_char_lm, lm_perplexity)
 from spandex_spark.operators.quality_model import (  # noqa: F401
