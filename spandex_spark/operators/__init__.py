@@ -25,6 +25,7 @@ from spandex_spark.operators.interpolate import (  # noqa: F401
 from spandex_spark.operators.kriging import (  # noqa: F401
     empirical_variogram, fit_variogram, kriging_grid)
 from spandex_spark.operators.bpe import train_bpe, apply_bpe  # noqa: F401
+from spandex_spark.operators.knlm import train_kn_lm, kn_prob, kn_score  # noqa: F401
 from spandex_spark.operators.langmodel import (  # noqa: F401
     train_char_lm, lm_perplexity)
 from spandex_spark.operators.quality_model import (  # noqa: F401
