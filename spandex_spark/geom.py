@@ -648,6 +648,76 @@ def boolean_rings(polys_a: list, polys_b: list, op: str,
                                quant=quant, eps_off=eps_off)
 
 
+def arrangement_faces(polys: list, segments=None, quant: float = 1e-9,
+                      eps_off: float = None) -> list:
+    """All BOUNDED faces of the planar arrangement of ring edges plus
+    bare ``segments`` — the face-walk complement of _arrangement_region
+    (which extracts one region's boundary).  This is the kernel behind
+    ST_Split (faces of polygon ∪ cut lines) and vector polygonize
+    (GEOS Polygonizer: faces of fully-noded linework).
+
+    ``segments``: optional (ax, ay, bx, by) float arrays of bare
+    (unclosed) edges.  Machinery: the same noding + snapping as the
+    boolean kernel, then BOTH directions of every surviving sub-edge
+    enter the clockwise-most-turn walk, so every directed edge is used
+    exactly once and the cycles partition the plane: bounded faces come
+    out CCW (kept), each component's outer face comes out CW (dropped
+    by the area sign).  Dangling edges (a cut that doesn't separate —
+    GEOS calls them dangles) appear as zero-width spurs on their face's
+    ring and are removed by the spike-strip pass, matching Polygonizer,
+    which ignores dangles.  Returns a list of CCW (xs, ys) rings; holes
+    are NOT nested (every atomic face is its own simple ring).
+    """
+    ring_e = _ring_edges(_normalize_polys(polys)) if polys else \
+        (None, None, None, None)
+    parts = [e for e in [ring_e if ring_e[0] is not None else None]
+             if e is not None]
+    if segments is not None and len(segments[0]):
+        parts.append(tuple(np.asarray(a, np.float64) for a in segments))
+    if not parts:
+        return []
+    ax = np.concatenate([p[0] for p in parts])
+    ay = np.concatenate([p[1] for p in parts])
+    bx = np.concatenate([p[2] for p in parts])
+    by = np.concatenate([p[3] for p in parts])
+    nz = (ax != bx) | (ay != by)
+    ax, ay, bx, by = ax[nz], ay[nz], bx[nz], by[nz]
+    if ax.shape[0] == 0:
+        return []
+    keys, _ = _noded_subedges(ax, ay, bx, by, quant, eps_off)
+    if not keys:
+        return []
+    fa_x = np.array([k[0][0] for k in keys] + [k[1][0] for k in keys])
+    fa_y = np.array([k[0][1] for k in keys] + [k[1][1] for k in keys])
+    fb_x = np.array([k[1][0] for k in keys] + [k[0][0] for k in keys])
+    fb_y = np.array([k[1][1] for k in keys] + [k[0][1] for k in keys])
+    out = []
+    for px, py in _assemble_cycles(fa_x, fa_y, fb_x, fb_y):
+        px, py = _strip_spikes(px, py)
+        if px.shape[0] >= 3 and shoelace_area(px, py) > 0.0:
+            out.append((px, py))
+    return out
+
+
+def _strip_spikes(px: np.ndarray, py: np.ndarray):
+    """Remove zero-width spurs (…, P, Q, P, … → …, P, …) until stable —
+    the dangling-edge residue of the face walk."""
+    pts = list(zip(px.tolist(), py.tolist()))
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        n = len(pts)
+        for i in range(n):
+            if pts[(i - 1) % n] == pts[(i + 1) % n]:
+                # drop the spike tip and the duplicated return vertex
+                for j in sorted(((i, (i + 1) % n)), reverse=True):
+                    pts.pop(j)
+                changed = True
+                break
+    return (np.array([p[0] for p in pts], np.float64),
+            np.array([p[1] for p in pts], np.float64))
+
+
 def _arrangement_region(polys: list, member, quant: float = 1e-9,
                         eps_off: float = None) -> list:
     """Planar-arrangement region extraction, from scratch:
@@ -674,6 +744,37 @@ def _arrangement_region(polys: list, member, quant: float = 1e-9,
     ``eps_off`` (default 1e-7 x the bbox diagonal) may misclassify —
     inputs at that separation should be snapped first.
     """
+    ax, ay, bx, by = _ring_edges(polys)
+    if ax is None:
+        return []
+    keys, eps_off = _noded_subedges(ax, ay, bx, by, quant, eps_off)
+    if not keys:
+        return []
+    sax = np.array([k[0][0] for k in keys]); say = np.array([k[0][1] for k in keys])
+    sbx = np.array([k[1][0] for k in keys]); sby = np.array([k[1][1] for k in keys])
+
+    # -- 3. membership classification at midpoint +/- eps_off * left normal
+    mx, my = (sax + sbx) / 2.0, (say + sby) / 2.0
+    dx, dy = sbx - sax, sby - say
+    ln = np.hypot(dx, dy)
+    nx_, ny_ = -dy / ln, dx / ln
+    probe_x = np.concatenate([mx + eps_off * nx_, mx - eps_off * nx_])
+    probe_y = np.concatenate([my + eps_off * ny_, my - eps_off * ny_])
+    covered = member(probe_x, probe_y)
+    k = len(keys)
+    left_cov, right_cov = covered[:k], covered[k:]
+    keep = left_cov != right_cov
+    # orient interior-left
+    fa_x = np.where(right_cov[keep], sbx[keep], sax[keep])
+    fa_y = np.where(right_cov[keep], sby[keep], say[keep])
+    fb_x = np.where(right_cov[keep], sax[keep], sbx[keep])
+    fb_y = np.where(right_cov[keep], say[keep], sby[keep])
+    return _assemble_cycles(fa_x, fa_y, fb_x, fb_y)
+
+
+def _ring_edges(polys: list):
+    """Directed edge arrays from ring sources, zero-length edges
+    dropped; (None,)*4 when no ring has 3+ vertices."""
     ax, ay, bx, by = [], [], [], []
     for xs, ys, offs in polys:
         for rx, ry in rings_of(xs, ys, offs):
@@ -685,9 +786,18 @@ def _arrangement_region(polys: list, member, quant: float = 1e-9,
             ax.append(rx[keep]); ay.append(ry[keep])
             bx.append(rx[jj][keep]); by.append(ry[jj][keep])
     if not ax:
-        return []
-    ax = np.concatenate(ax); ay = np.concatenate(ay)
-    bx = np.concatenate(bx); by = np.concatenate(by)
+        return None, None, None, None
+    return (np.concatenate(ax), np.concatenate(ay),
+            np.concatenate(bx), np.concatenate(by))
+
+
+def _noded_subedges(ax, ay, bx, by, quant: float, eps_off: float):
+    """Arrangement parts 1–2 (see _arrangement_region): split every
+    edge at every crossing / collinear-overlap endpoint, snap to
+    ``quant``, collapse coincident duplicates.  Returns (keys,
+    eps_off): keys are ((x,y),(x,y)) sub-edges in their original
+    orientation; eps_off is resolved from the bbox diagonal when None.
+    """
     m = ax.shape[0]
     rx_, ry_ = bx - ax, by - ay
     seg_len = np.hypot(rx_, ry_)
@@ -746,30 +856,14 @@ def _arrangement_region(polys: list, member, quant: float = 1e-9,
             if a == b:
                 continue
             sub.setdefault((a, b) if a < b else (b, a), (a, b))
-    if not sub:
-        return []
-    keys = list(sub.values())
-    sax = np.array([k[0][0] for k in keys]); say = np.array([k[0][1] for k in keys])
-    sbx = np.array([k[1][0] for k in keys]); sby = np.array([k[1][1] for k in keys])
+    return list(sub.values()), eps_off
 
-    # -- 3. membership classification at midpoint +/- eps_off * left normal
-    mx, my = (sax + sbx) / 2.0, (say + sby) / 2.0
-    dx, dy = sbx - sax, sby - say
-    ln = np.hypot(dx, dy)
-    nx_, ny_ = -dy / ln, dx / ln
-    probe_x = np.concatenate([mx + eps_off * nx_, mx - eps_off * nx_])
-    probe_y = np.concatenate([my + eps_off * ny_, my - eps_off * ny_])
-    covered = member(probe_x, probe_y)
-    k = len(keys)
-    left_cov, right_cov = covered[:k], covered[k:]
-    keep = left_cov != right_cov
-    # orient interior-left
-    fa_x = np.where(right_cov[keep], sbx[keep], sax[keep])
-    fa_y = np.where(right_cov[keep], sby[keep], say[keep])
-    fb_x = np.where(right_cov[keep], sax[keep], sbx[keep])
-    fb_y = np.where(right_cov[keep], say[keep], sby[keep])
 
-    # -- 4. clockwise-most-turn ring assembly
+def _assemble_cycles(fa_x, fa_y, fb_x, fb_y) -> list:
+    """Arrangement part 4 (see _arrangement_region): clockwise-most-turn
+    cycle assembly over directed (a → b) point pairs; straight-through
+    collinear vertices stripped from each emitted ring."""
+    tol = 1e-12
     outgoing: dict = {}
     for i in range(fa_x.shape[0]):
         a = (fa_x[i], fa_y[i]); b = (fb_x[i], fb_y[i])
