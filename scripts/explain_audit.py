@@ -358,6 +358,42 @@ CHECKS = {
         (r"^(?![\s\S]*Exchange)", "no residual shuffle after the last "
                                     "round's checkpoint"),
     ],
+    "bloom_build (bitmap build)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — xxhash64 positions + shiftleft masks "
+         "in codegen"),
+        ("HashAggregate", "per-word bit_or with map-side combine"),
+    ],
+    "bloom_probe (membership join)": [
+        ("BroadcastHashJoin", "bitmap broadcast while it fits (shuffle "
+         "path available via broadcast_filter=False)"),
+        (r"min\(\(isnotnull", "k-probe AND rollup per key (Catalyst "
+         "rewrites bool_and to min over booleans)"),
+    ],
+    "kn_score (distributed LM serving)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — n-gram explode + one join per order, "
+         "interpolation folded into a codegen expression"),
+        ("HashAggregate", "per-doc log-prob rollup"),
+    ],
+    "split_by_lines (arrangement face walk)": [
+        ("FlatMapGroupsInPandas", "per-target face kernel over Arrow "
+         "groups (only actually-cut targets reach it)"),
+        ("BroadcastHashJoin", "blade cell-cover broadcast"),
+    ],
+    "kriging_grid (local OK solves)": [
+        ("FlatMapGroupsInPandas", "per-cell ordinary-kriging solve "
+         "(Arrow groups, k-nearest truncation inside)"),
+        ("Generate explode", "cell-bucketed neighbor gather"),
+    ],
+    "empirical_variogram (pair binning)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — pair join + lag binning in codegen"),
+        ("HashAggregate", "per-lag gamma aggregate"),
+    ],
 }
 
 
@@ -694,6 +730,43 @@ def main():
         _cost, spark.createDataFrame([(0.0, 0.0)],
                                      "lon double, lat double"),
         origin_x=-10.0, origin_y=-10.0)
+
+    from spandex_spark.operators.bloom import (bloom_build as _bb,
+                                               bloom_probe as _bp)
+    _burls = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("https://h.example/"),
+                              F.col("id")).alias("url"))
+    _bloom = _bb(_burls, "url", m_bits=1 << 13, k=5)
+    plans["bloom_build (bitmap build)"] = _bloom
+    plans["bloom_probe (membership join)"] = _bp(
+        _burls, "url", _bloom, id_col="id", m_bits=1 << 13, k=5)
+    from spandex_spark.operators.knlm import (kn_score as _ksc,
+                                              train_kn_lm as _tkn)
+    plans["kn_score (distributed LM serving)"] = _ksc(
+        docs, _tkn(docs.limit(50), n=2))
+    from spandex_spark.operators.split import split_by_lines as _spl
+    _sblades = spark.createDataFrame(
+        [(1, {"kind": 2, "xs": [1.0, 1.0], "ys": [-1.0, 3.0],
+              "ring_offsets": [0, 2],
+              "bbox": {"minx": 1.0, "miny": -1.0, "maxx": 1.0,
+                       "maxy": 3.0}})],
+        "lid long, geom struct<kind:tinyint, xs:array<double>,"
+        " ys:array<double>, ring_offsets:array<int>,"
+        " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+    plans["split_by_lines (arrangement face walk)"] = _spl(
+        lshape, _sblades, target_id_col="pid")
+    from spandex_spark.operators.kriging import (
+        empirical_variogram as _evg, kriging_grid as _kgr)
+    _kpts = derived_points(
+        spark.range(300).select(F.col("id").alias("sid")), "sid"
+    ).withColumn("v", (F.col("sid") % 7).cast("double"))
+    plans["kriging_grid (local OK solves)"] = _kgr(
+        _kpts, value_col="v",
+        variogram={"model": "exponential", "nugget": 0.0, "psill": 1.0,
+                   "range": 2.0},
+        origin_x=-10.0, origin_y=-10.0, step=2.0, nx=5, ny=5, radius=4.0)
+    plans["empirical_variogram (pair binning)"] = _evg(
+        _kpts, value_col="v", id_col="sid", max_dist=2.0)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

@@ -66,12 +66,26 @@ def _pair_rows(words: DataFrame, sign: int) -> DataFrame:
 
 def train_bpe(corpus: DataFrame, *, num_merges: int,
               text_col: str = "text", lowercase: bool = False,
-              min_pair_count: int = 2) -> list[tuple[str, str]]:
+              min_pair_count: int = 2,
+              batch: int = 1) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` merges; stops early when the best
     remaining pair occurs fewer than ``min_pair_count`` times.  Returns
     the merge list in rank order — bounded by num_merges, i.e. a model
     artifact, not data (hence a driver-side list, like k-means
-    centroids in ``similarity.train_ivf_centroids``)."""
+    centroids in ``similarity.train_ivf_centroids``).
+
+    ``batch`` is the driver-sync amortizer: each round's cost is
+    dominated by fixed per-job latency (the argmax collect + the delta
+    aggregate), so a 50k-merge vocab at one merge per round is
+    50k × round-latency regardless of cluster size.  With batch=B the
+    round takes the top candidates and greedily keeps those whose
+    symbols are DISJOINT from every already-kept pair in the batch —
+    non-interacting merges commute, so applying them in one pass is
+    EXACTLY the sequential result for the kept set; pairs that interact
+    wait for the next round.  batch=1 is canonical sequential BPE
+    (pytested merge-for-merge against the published algorithm); large
+    batches deviate from it only in merge ORDER globally (each round's
+    ranks are count-ordered), the standard distributed-BPE trade."""
     spark = corpus.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     chars = F.split(F.col("word"), "")
@@ -85,21 +99,42 @@ def train_bpe(corpus: DataFrame, *, num_merges: int,
               .localCheckpoint(eager=True))
 
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
+        want = min(int(batch), num_merges - len(merges))
         top = (counts.filter(F.col("n") >= min_pair_count)
                .orderBy(F.col("n").desc(), "a", "b")
-               .limit(1).collect())  # collect-ok: 1-row argmax probe, the sequential core of BPE
-        if not top:
+               .limit(4 * want).collect())  # collect-ok: top-candidates argmax probe, the sequential core of BPE
+        picked: list[tuple[str, str]] = []
+        used: set = set()
+        for r in top:
+            a, b = r["a"], r["b"]
+            if want > 1 and (a in used or b in used or a + b in used):
+                continue
+            picked.append((a, b))
+            used.update((a, b, a + b))
+            if len(picked) >= want:
+                break
+        if not picked:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        merges.extend(picked)
 
-        has_pair = F.exists(
-            _adjacent_pairs(F.col("syms")),
-            lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)))
+        pair_set = set(picked)
+
+        def _pair_cond(a: str, b: str):
+            # closure factory: a default-arg lambda would change the
+            # HOF's visible arity and break ArrayExists resolution
+            return F.exists(
+                _adjacent_pairs(F.col("syms")),
+                lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)))
+
+        conds = [_pair_cond(a, b) for a, b in picked]
+        has_pair = conds[0]
+        for c in conds[1:]:
+            has_pair = has_pair | c
         touched = words.filter(has_pair)
         untouched = words.filter(~has_pair)
-        merged = touched.withColumn("syms", _merge_pair_udf(a, b)("syms"))
+        merged = touched.withColumn("syms",
+                                    _merge_pairs_udf(pair_set)("syms"))
         deltas = _pair_rows(merged, 1).unionByName(_pair_rows(touched, -1))
         counts = (counts.unionByName(deltas)
                   .groupBy("a", "b").agg(F.sum("n").alias("n"))
@@ -113,25 +148,24 @@ def train_bpe(corpus: DataFrame, *, num_merges: int,
     return merges
 
 
-def _merge_syms(syms: list, a: str, b: str, ab: str) -> list:
-    out = []
-    i, n = 0, len(syms)
-    while i < n:
-        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-            out.append(ab)
-            i += 2
-        else:
-            out.append(syms[i])
-            i += 1
-    return out
-
-
-def _merge_pair_udf(a: str, b: str):
-    ab = a + b
-
+def _merge_pairs_udf(pairs: set):
+    """One-pass left-to-right replacement of a DISJOINT pair set (the
+    pairs share no symbol, so the scan is order-independent)."""
     @pandas_udf(T.ArrayType(T.StringType()))
     def _merge(col: pd.Series) -> pd.Series:
-        return col.map(lambda s: _merge_syms(list(s), a, b, ab))
+        def run(s):
+            syms = list(s)
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and (syms[i], syms[i + 1]) in pairs:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+        return col.map(run)
     return _merge
 
 

@@ -117,6 +117,25 @@ def test_encoder_whitespace_and_empty(spark):
     assert out[2] == [] and out[3] == []
 
 
+def test_batched_merges_valid_and_faster_schedule(spark):
+    docs = ["the cat sat on the mat", "the dog sat on the log",
+            "cats and dogs and cats", "the the the thesis theme"]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    seq = train_bpe(df, num_merges=16, min_pair_count=2)
+    bat = train_bpe(df, num_merges=16, min_pair_count=2, batch=4)
+    # the batched schedule's first pick each round is count-optimal, so
+    # the canonical first merge leads both lists; the tail may reorder
+    # (documented trade) but the encoder must still round-trip bytes
+    assert bat[0] == seq[0]
+    assert 8 <= len(bat) <= 16
+    out = apply_bpe(df, bat).collect()
+    for r in out:
+        text = docs[r["doc_id"]]
+        joined = "".join(r["pieces"]).replace(EOW, " ").strip()
+        assert joined == " ".join(text.split())
+
+
 def test_lowercase_option(spark):
     df = spark.createDataFrame([(1, "AB ab Ab aB")], "doc_id long, text string")
     got = train_bpe(df, num_merges=3, lowercase=True)
