@@ -1188,6 +1188,53 @@ LCC_ZONES = {
 }
 
 
+def lonlat_to_aeqd(lon: np.ndarray, lat: np.ndarray, lon0: float,
+                   lat0: float) -> tuple[np.ndarray, np.ndarray]:
+    """Azimuthal equidistant forward (sphere, Snyder 1987 §25
+    eq. 25-1..25-4 with k' = c/sin c): meters from the tangent point
+    (lon0, lat0), exact distance+azimuth from the center — the local
+    frame geodesic buffering projects through."""
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    l0, p0 = math.radians(lon0), math.radians(lat0)
+    dlam = lam - l0
+    cosc = (math.sin(p0) * np.sin(phi)
+            + math.cos(p0) * np.cos(phi) * np.cos(dlam))
+    c = np.arccos(np.clip(cosc, -1.0, 1.0))
+    sinc = np.sin(c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = np.where(sinc > 1e-15, c / np.where(sinc > 1e-15, sinc, 1.0),
+                     1.0)
+    x = EARTH_RADIUS_M * k * np.cos(phi) * np.sin(dlam)
+    y = EARTH_RADIUS_M * k * (math.cos(p0) * np.sin(phi)
+                              - math.sin(p0) * np.cos(phi) * np.cos(dlam))
+    return x, y
+
+
+def aeqd_to_lonlat(x: np.ndarray, y: np.ndarray, lon0: float,
+                   lat0: float) -> tuple[np.ndarray, np.ndarray]:
+    """Azimuthal equidistant inverse (sphere, Snyder §25 eq. 25-15,
+    25-16 via atan2): sub-mm round-trips with the forward for features
+    well inside a hemisphere."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    l0, p0 = math.radians(lon0), math.radians(lat0)
+    rho = np.hypot(x, y)
+    c = rho / EARTH_RADIUS_M
+    sinc, cosc = np.sin(c), np.cos(c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.arcsin(np.clip(
+            cosc * math.sin(p0)
+            + np.where(rho > 0, y * sinc * math.cos(p0)
+                       / np.where(rho > 0, rho, 1.0), 0.0), -1.0, 1.0))
+    lam = l0 + np.arctan2(
+        x * sinc, rho * math.cos(p0) * cosc - y * math.sin(p0) * sinc)
+    lon = np.degrees(lam)
+    lon = np.where(lon >= 180.0, lon - 360.0,
+                   np.where(lon < -180.0, lon + 360.0, lon))
+    return lon, np.degrees(phi)
+
+
 def _albers_q(phi, e):
     s = np.sin(phi)
     return (1.0 - e * e) * (s / (1.0 - e * e * s * s)

@@ -34,20 +34,50 @@ _DEG_M = EARTH_RADIUS_M * math.pi / 180.0
 def buffer_points(df: DataFrame, *, radius, segments: int = 16,
                   lon_col: str = "lon", lat_col: str = "lat",
                   metric: str = "planar", out_col: str = "geom") -> DataFrame:
-    """Append an n-gon buffer polygon column around each (lon, lat) row."""
-    if metric not in ("planar", "haversine"):
+    """Append an n-gon buffer polygon column around each (lon, lat) row.
+
+    Metrics: 'planar' (radius in CRS units), 'haversine' (meters, the
+    small-circle ellipse approximation: 1/cos φ lon stretch), or
+    'geodesic' (meters, EXACT: each vertex is the great-circle
+    destination point at the radius along its azimuth —
+    geodesy.project_expr, still pure codegen)."""
+    if metric not in ("planar", "haversine", "geodesic"):
         raise ValueError(f"unknown metric {metric!r}")
     if segments < 3:
         raise ValueError("segments must be >= 3")
     r = radius if isinstance(radius, Column) else F.lit(float(radius))
     lon, lat = F.col(lon_col), F.col(lat_col)
+    step = 2.0 * math.pi / segments
+    i = F.sequence(F.lit(0), F.lit(segments - 1))
+    if metric == "geodesic":
+        from spandex_spark.functions.geodesy import project_expr
+
+        # negative bearing steps: bearings grow CLOCKWISE from north, so
+        # walking them backwards keeps the ring CCW like the planar path
+        def _vx(k):
+            return project_expr(lon, lat, r,
+                                k.cast("double") * F.lit(-step))["lon"]
+
+        def _vy(k):
+            return project_expr(lon, lat, r,
+                                k.cast("double") * F.lit(-step))["lat"]
+
+        xs = F.transform(i, _vx)
+        ys = F.transform(i, _vy)
+        geom = F.struct(
+            F.lit(3).cast("tinyint").alias("kind"),
+            xs.alias("xs"), ys.alias("ys"),
+            F.array(F.lit(0), F.lit(segments)).alias("ring_offsets"),
+            F.struct(F.array_min(xs).alias("minx"),
+                     F.array_min(ys).alias("miny"),
+                     F.array_max(xs).alias("maxx"),
+                     F.array_max(ys).alias("maxy")).alias("bbox"))
+        return df.withColumn(out_col, geom)
     if metric == "haversine":
         ry = r / F.lit(_DEG_M)
         rx = ry / F.cos(F.radians(lat))
     else:
         rx = ry = r
-    step = 2.0 * math.pi / segments
-    i = F.sequence(F.lit(0), F.lit(segments - 1))
     xs = F.transform(i, lambda k: lon + rx * F.cos(k.cast("double")
                                                   * F.lit(step)))
     ys = F.transform(i, lambda k: lat + ry * F.sin(k.cast("double")
@@ -63,7 +93,7 @@ def buffer_points(df: DataFrame, *, radius, segments: int = 16,
 
 
 def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
-                    geom_col: str = "geom",
+                    geom_col: str = "geom", metric: str = "planar",
                     out_col: str = "geom_buffered") -> DataFrame:
     """ST_Buffer(polygon, r) for single-ring polygons, convex OR concave:
     each edge offsets outward by ``radius`` and each convex vertex grows a
@@ -88,13 +118,26 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
     to area = A + P·r + 5·(s/4)·(r²·sin(2π/s)/2) − r² with
     5·(s/4 + 1) + 1 vertices (the −r² is the double-counted strip
     overlap square at the reflex corner; the +1 its single envelope
-    vertex) — the buffer_lshape query."""
+    vertex) — the buffer_lshape query.
+
+    ``metric='geodesic'`` buffers in METERS on the sphere: each row
+    projects through a local azimuthal-equidistant frame tangent at the
+    ring's vertex mean (geom.lonlat_to_aeqd — exact distance+azimuth
+    from the center), buffers planar there, and inverse-projects the
+    result — the PostGIS geography ST_Buffer construction.  Accuracy
+    contract: distances from the tangent point are exact; the buffer
+    band itself distorts O((feature extent / R_earth)²), negligible for
+    parcel/city-scale features and documented for callers buffering
+    continent-sized rings."""
     from spandex_spark import geom as _geom
     from spandex_spark.operators.trim import _GEOM_TYPE
     if radius <= 0:
         raise ValueError("radius must be positive")
     if segments < 4:
         raise ValueError("segments must be >= 4")
+    if metric not in ("planar", "geodesic"):
+        raise ValueError(f"unknown metric {metric!r}")
+    geodesic = metric == "geodesic"
     step = 2.0 * math.pi / segments
 
     def _arc_points(vx, vy, a0, a1_nx, a1_ny):
@@ -171,6 +214,9 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
                 kinds.append(None); oxs.append(None); oys.append(None)
                 ooffs.append(None); bbs.append(None)
                 continue
+            if geodesic:
+                lon0, lat0 = float(rx.mean()), float(ry.mean())
+                rx, ry = _geom.lonlat_to_aeqd(rx, ry, lon0, lat0)
             if _geom.shoelace_area(rx, ry) < 0:
                 rx, ry = rx[::-1].copy(), ry[::-1].copy()
             if not _geom._is_convex_ccw(rx, ry):
@@ -181,6 +227,8 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
                     continue
                 ax = np.concatenate([m[0] for m in merged])
                 ay = np.concatenate([m[1] for m in merged])
+                if geodesic:
+                    ax, ay = _geom.aeqd_to_lonlat(ax, ay, lon0, lat0)
                 ro = np.cumsum([0] + [m[0].shape[0] for m in merged])
                 kinds.append(3 if len(merged) == 1 else 6)
                 oxs.append(ax.tolist()); oys.append(ay.tolist())
@@ -230,6 +278,8 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
                 else:
                     prev = i2
             ax, ay = ax[keep], ay[keep]
+            if geodesic:
+                ax, ay = _geom.aeqd_to_lonlat(ax, ay, lon0, lat0)
             kinds.append(3)
             oxs.append(ax.tolist()); oys.append(ay.tolist())
             ooffs.append([0, int(ax.shape[0])])
