@@ -72,7 +72,8 @@ from spandex_spark.operators.subdivide import subdivide  # noqa: F401
 from spandex_spark.operators.polygonize import polygonize  # noqa: F401
 from spandex_spark.operators.pii import scrub_pii, pii_stats  # noqa: F401
 from spandex_spark.operators.rasterize import rasterize  # noqa: F401
-from spandex_spark.operators.regions import region_group, watersheds  # noqa: F401
+from spandex_spark.operators.regions import (  # noqa: F401
+    region_group, watersheds, flow_accumulation)
 from spandex_spark.operators.focal import (  # noqa: F401
     slope, aspect, hillshade, halo_exchange, focal_stats, flow_direction,
     curvature)

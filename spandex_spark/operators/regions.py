@@ -530,3 +530,174 @@ def watersheds(direction_tiles: DataFrame, *, origin_x: float,
                                               for f in _OUT_SCHEMA.fields])
 
     return joined.mapInPandas(apply_map, schema=_OUT_SCHEMA)
+
+
+def flow_accumulation(direction_tiles: DataFrame, *, origin_x: float,
+                      origin_y: float, max_rounds: int = 200) -> DataFrame:
+    """Flow accumulation over a D8 flow-direction raster
+    (`focal.flow_direction` output) — the r.watershed accumulation /
+    ArcGIS FlowAccumulation companion to `watersheds`.  Each pixel's
+    value counts the cells draining through it INCLUDING itself
+    (GRASS's |accumulation| convention; subtract 1 for the ArcGIS one).
+
+    Distributed shape — tile-local topological sums with a
+    perimeter-sized inflow exchange (the cost_distance wavefront
+    economics): every round runs Kahn's algorithm on each tile's
+    one-out-edge flow graph seeded by the inflow contributions received
+    so far, border pixels flowing into a NEIGHBOUR tile emit
+    (target pixel, accumulated count), and the loop repeats until the
+    emitted total stops growing — rounds ≈ the number of TILE
+    boundaries the longest flow path crosses, never pixel-path length.
+    Contributions are monotone nondecreasing integers, so an unchanged
+    round total is an exact fixpoint, probed with a 1-row aggregate.
+
+    NULL (nodata) pixels stay NULL and swallow inflow (the watersheds
+    flow-to-nodata convention); pixels on a flow CYCLE (invalid D8
+    input) never topo-resolve and come out NULL.
+    """
+    tiles = _with_res_y(direction_tiles)
+    res, res_y, nx, ny = _tile_shape(tiles)
+    tw, th = res * nx, res_y * ny
+
+    src = (tiles.select(
+        "tile_id", "x0", "y0", "values",
+        F.round((F.col("x0") - F.lit(origin_x)) / F.lit(tw))
+        .cast("long").alias("tx"),
+        F.round((F.col("y0") - F.lit(origin_y)) / F.lit(th))
+        .cast("long").alias("ty"))
+        .localCheckpoint(eager=True))
+
+    acc_schema = T.StructType([
+        T.StructField("tile_id", T.LongType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("acc", T.ArrayType(T.DoubleType())),
+        T.StructField("out_tx", T.ArrayType(T.LongType())),
+        T.StructField("out_ty", T.ArrayType(T.LongType())),
+        T.StructField("out_pid", T.ArrayType(T.LongType())),
+        T.StructField("out_contrib", T.ArrayType(T.DoubleType())),
+    ])
+
+    def run_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                code = np.asarray([np.nan if v is None else v
+                                   for v in r.values],
+                                  np.float64).reshape(ny, nx)
+                tx, ty = int(r.tx), int(r.ty)
+                gx0, gy0 = tx * nx, ty * ny
+                inflow: dict = {}
+                inf = getattr(r, "inf", None)
+                if inf is not None and not (isinstance(inf, float)
+                                            and math.isnan(inf)):
+                    for e in inf:
+                        inflow[int(e["pid"])] = (inflow.get(int(e["pid"]),
+                                                            0.0)
+                                                 + float(e["contrib"]))
+                valid = ~np.isnan(code)
+                # in-tile downstream target per cell (or None)
+                tgt = {}
+                indeg = np.zeros((ny, nx), np.int32)
+                for rr in range(ny):
+                    for cc in range(nx):
+                        if not valid[rr, cc]:
+                            continue
+                        c = int(code[rr, cc])
+                        if c == 0:
+                            continue
+                        dr, dc = _D8_OFF[c]
+                        r2, c2 = rr + dr, cc + dc
+                        if 0 <= r2 < ny and 0 <= c2 < nx:
+                            if valid[r2, c2]:
+                                tgt[(rr, cc)] = (r2, c2)
+                                indeg[r2, c2] += 1
+                acc = np.full((ny, nx), np.nan)
+                queue = [(rr, cc) for rr in range(ny) for cc in range(nx)
+                         if valid[rr, cc] and indeg[rr, cc] == 0]
+                head = 0
+                while head < len(queue):
+                    rr, cc = queue[head]
+                    head += 1
+                    base = 1.0 + inflow.get((gy0 + rr) * _PACK
+                                            + (gx0 + cc), 0.0)
+                    up = acc[rr, cc]
+                    acc[rr, cc] = base if math.isnan(up) else base + up
+                    nxt = tgt.get((rr, cc))
+                    if nxt is not None:
+                        r2, c2 = nxt
+                        prev = acc[r2, c2]
+                        add = acc[rr, cc]
+                        # stage upstream sums in the target slot
+                        acc[r2, c2] = add if math.isnan(prev) else \
+                            prev + add
+                        indeg[r2, c2] -= 1
+                        if indeg[r2, c2] == 0:
+                            queue.append((r2, c2))
+                # staged-but-unresolved cells (cycles) back to NaN: a
+                # cell is DONE only if it entered the queue
+                done = np.zeros((ny, nx), bool)
+                for rr, cc in queue:
+                    done[rr, cc] = True
+                acc[~done] = np.nan
+                otx, oty, opid, octr = [], [], [], []
+                for rr in range(ny):
+                    for cc in range(nx):
+                        if not valid[rr, cc] or not done[rr, cc]:
+                            continue
+                        c = int(code[rr, cc])
+                        if c == 0 or (rr, cc) in tgt:
+                            continue
+                        dr, dc = _D8_OFF[c]
+                        r2, c2 = rr + dr, cc + dc
+                        if 0 <= r2 < ny and 0 <= c2 < nx:
+                            continue  # in-tile nodata target: swallowed
+                        g_r, g_c = gy0 + rr + dr, gx0 + cc + dc
+                        if g_r < 0 or g_c < 0:
+                            continue  # off the raster's origin corner
+                        otx.append(g_c // nx)
+                        oty.append(g_r // ny)
+                        opid.append(g_r * _PACK + g_c)
+                        octr.append(float(acc[rr, cc]))
+                rows.append((int(r.tile_id), float(r.x0), float(r.y0),
+                             acc.reshape(-1).tolist(), otx, oty, opid,
+                             octr))
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in acc_schema.fields])
+
+    inflow_agg = None
+    prev_total = -1.0
+    for _ in range(max_rounds):
+        base = src if inflow_agg is None else \
+            src.join(inflow_agg, ["tx", "ty"], "left")
+        state = (base.mapInPandas(run_tiles, schema=acc_schema)
+                 .localCheckpoint(eager=True))
+        out_edges = (state
+                     .select(F.arrays_zip(
+                         F.col("out_tx").alias("tx"),
+                         F.col("out_ty").alias("ty"),
+                         F.col("out_pid").alias("pid"),
+                         F.col("out_contrib").alias("contrib"))
+                         .alias("z"))
+                     .select(F.explode("z").alias("e"))
+                     .select(F.col("e.tx").alias("tx"),
+                             F.col("e.ty").alias("ty"),
+                             F.col("e.pid").alias("pid"),
+                             F.col("e.contrib").alias("contrib")))
+        total = out_edges.agg(F.coalesce(F.sum("contrib"), F.lit(0.0))).collect()[0][0]  # collect-ok: 1-row monotone-fixpoint probe (cost_distance precedent)
+        if total == prev_total:
+            vals = F.transform(
+                "acc", lambda v: F.when(~F.isnan(v), v))
+            return state.select(
+                "tile_id", "x0", "y0", F.lit(res).alias("res"),
+                F.lit(res_y).alias("res_y"),
+                F.lit(nx).alias("nx"), F.lit(ny).alias("ny"),
+                vals.alias("values"))
+        prev_total = total
+        inflow_agg = (out_edges.groupBy("tx", "ty")
+                      .agg(F.collect_list(F.struct("pid", "contrib"))
+                           .alias("inf"))
+                      .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"flow_accumulation did not converge within {max_rounds} rounds "
+        "(a flow path crosses more tile boundaries; raise max_rounds)")
