@@ -10,7 +10,8 @@ from spandex_spark.operators.validate import (  # noqa: F401
 from spandex_spark.operators.reproject import (  # noqa: F401
     reproject, reproject_inverse, reproject_geom)
 from spandex_spark.operators.trim import trim, erase, erase_join  # noqa: F401
-from spandex_spark.operators.split import split_by_lines, polygonize_linework  # noqa: F401
+from spandex_spark.operators.split import (  # noqa: F401
+    split_by_lines, polygonize_linework, node_lines)
 from spandex_spark.operators.simplify import (  # noqa: F401
     simplify, convex_hull, snap_to_grid, point_on_surface, segmentize)
 from spandex_spark.operators.affine import (  # noqa: F401

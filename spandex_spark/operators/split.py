@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from spandex_spark import geom as _geom
 from spandex_spark.operators.trim import _GEOM_TYPE
 
-__all__ = ["split_by_lines", "polygonize_linework"]
+__all__ = ["split_by_lines", "polygonize_linework", "node_lines"]
 
 
 def _line_segments(geoms) -> tuple:
@@ -230,3 +230,45 @@ def polygonize_linework(lines: DataFrame, *, group_cols: tuple,
         return pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return sel.groupBy(*group_cols).applyInPandas(_poly_group, out_schema)
+
+
+def node_lines(lines: DataFrame, *, group_cols: tuple,
+               geom_col: str = "geom", quant: float = 1e-9,
+               out_col: str = "geom") -> DataFrame:
+    """ST_Node per group: fully node the linework — every crossing and
+    collinear overlap becomes a vertex, coincident duplicate sub-edges
+    collapse to one (geom._noded_subedges, the boolean kernel's pass
+    1–2).  Output: group_cols + (edge_idx, out_col) with one
+    SINGLE-SEGMENT kind-2 struct per surviving sub-edge, deterministic
+    (sorted by coordinates) — the precondition normalizer for
+    polygonize_linework and topology building.  Same per-group task
+    contract as the other arrangement operators."""
+    if not group_cols:
+        raise ValueError("group_cols required (tile/region the linework)")
+    sel = lines.select(*group_cols, F.col(geom_col).alias("_lgeom"))
+    gfields = [lines.schema[c] for c in group_cols]
+    out_schema = T.StructType(
+        list(gfields) + [T.StructField("edge_idx", T.IntegerType()),
+                         T.StructField(out_col, _GEOM_TYPE)])
+
+    def _node_group(key, pdf):
+        ax, ay, bx, by = _line_segments(list(pdf["_lgeom"]))
+        nz = (ax != bx) | (ay != by)
+        ax, ay, bx, by = ax[nz], ay[nz], bx[nz], by[nz]
+        if ax.shape[0] == 0:
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        keys, _ = _geom._noded_subedges(ax, ay, bx, by, quant, None)
+        segs = sorted((a, b) if (a <= b) else (b, a) for a, b in keys)
+        rows = []
+        for i, ((x1, y1), (x2, y2)) in enumerate(segs):
+            row = dict(zip(group_cols, key))
+            row["edge_idx"] = i
+            row[out_col] = {
+                "kind": 2, "xs": [x1, x2], "ys": [y1, y2],
+                "ring_offsets": [0, 2],
+                "bbox": {"minx": min(x1, x2), "miny": min(y1, y2),
+                         "maxx": max(x1, x2), "maxy": max(y1, y2)}}
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return sel.groupBy(*group_cols).applyInPandas(_node_group, out_schema)

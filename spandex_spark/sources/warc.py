@@ -47,6 +47,7 @@ from datetime import datetime
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SCHEMA = ("url string, warc_ts timestamp, record_type string, "
            "content_type string, http_status int, payload binary, "
@@ -310,5 +311,65 @@ def write_wet(df: DataFrame, path: str, *, url_col: str = "url",
                 "conversion",
                 [("WARC-Target-URI", url), ("WARC-Date", date),
                  ("Content-Type", "text/plain")], body)))
+            n += 1
+    return n
+
+
+def write_wat(df: DataFrame, path: str, *, url_col: str = "url",
+              ts_col: str = "warc_ts", html_col: str = "html",
+              compress: bool = True) -> int:
+    """WAT export: ``metadata`` records carrying per-page JSON (the
+    Common Crawl *.warc.wat.gz sidecar — link graph + head metadata
+    without the page bytes).  Documented envelope subset:
+    ``Envelope.WARC-Header-Metadata`` (target URI, date) and
+    ``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata``
+    with ``Head.Title`` and ``Links`` ([{"url": ...}] — absolute
+    http(s) hrefs, the linkgraph.extract_links rule).
+
+    The heavy work (title/link extraction, JSON rendering) runs
+    DISTRIBUTED as codegen (regexp + to_json); only finished JSON
+    strings reach the driver for the member-per-record file write —
+    the same bounded edge-format export contract as write_warc."""
+    h = F.col(html_col)
+    html = F.when(h.isNotNull(), h.cast("string"))
+    links = F.regexp_extract_all(
+        html, F.lit(r"""(?i)href\s*=\s*["'](https?://[^"'\s>#]+)"""), 1)
+    title = F.regexp_extract(
+        html, r"(?is)<title[^>]*>\s*(.*?)\s*</title>", 1)
+    payload = F.to_json(F.struct(F.struct(
+        F.struct(F.col(url_col).alias("WARC-Target-URI"),
+                 F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                 .alias("WARC-Date")).alias("WARC-Header-Metadata"),
+        F.struct(F.struct(F.struct(
+            F.struct(title.alias("Title")).alias("Head"),
+            F.transform(links, lambda u: F.struct(u.alias("url")))
+            .alias("Links")).alias("HTML-Metadata"))
+            .alias("HTTP-Response-Metadata")).alias("Payload-Metadata"))
+        .alias("Envelope")))
+    rows = df.select(F.col(url_col), F.col(ts_col),
+                     payload.alias("_wat")).collect()  # collect-ok: bounded edge-format export (one archive file)
+    pack = gzip.compress if compress else (lambda b: b)
+    n = 0
+    with open(path, "wb") as out:
+        info = (b"software: spandex_spark.sources.warc\r\n"
+                b"format: WARC File Format 1.0\r\n"
+                b"extracted: page metadata\r\n")
+        info_date = max((r[1] for r in rows if r[1] is not None),
+                        default=None)
+        out.write(pack(_warc_record(
+            "warcinfo",
+            [("WARC-Date", info_date.strftime(_DATE_FMT) if info_date
+              else "1970-01-01T00:00:00Z"),
+             ("Content-Type", "application/warc-fields"),
+             ("WARC-Filename", os.path.basename(path))], info)))
+        for r in rows:
+            url, ts, js = r[0], r[1], r[2]
+            date = ts.strftime(_DATE_FMT) if ts is not None else \
+                "1970-01-01T00:00:00Z"
+            out.write(pack(_warc_record(
+                "metadata",
+                [("WARC-Target-URI", url), ("WARC-Date", date),
+                 ("Content-Type", "application/json")],
+                (js or "{}").encode("utf-8"))))
             n += 1
     return n

@@ -147,3 +147,29 @@ def test_polygonize_groups_isolated(spark):
     out = polygonize_linework(df, group_cols=("grp",)).collect()
     assert len(out) == 2
     assert {r["grp"] for r in out} == {1, 2}
+
+
+def test_node_lines_crossing(spark):
+    from spandex_spark.operators.split import node_lines
+    # X crossing at (1,1): two lines -> four noded sub-edges
+    lines = [_line(1, [(0, 0), (2, 2)]), _line(2, [(0, 2), (2, 0)])]
+    df = (spark.createDataFrame(lines, LINE_SCHEMA)
+          .selectExpr("1 as grp", "geom"))
+    out = node_lines(df, group_cols=("grp",)).collect()
+    assert len(out) == 4
+    segs = sorted((tuple(r["geom"]["xs"]), tuple(r["geom"]["ys"]))
+                  for r in out)
+    assert ((0.0, 1.0), (0.0, 1.0)) in segs      # SW quarter
+    assert all((1.0, 1.0) in ((g[0][0], g[1][0]), (g[0][1], g[1][1]))
+               or 1.0 in g[0] for g in segs)
+    assert sorted(r["edge_idx"] for r in out) == [0, 1, 2, 3]
+
+
+def test_node_lines_duplicates_collapse(spark):
+    from spandex_spark.operators.split import node_lines
+    lines = [_line(1, [(0, 0), (1, 0)]), _line(2, [(1, 0), (0, 0)]),
+             _line(3, [(0, 0), (1, 0)])]
+    df = (spark.createDataFrame(lines, LINE_SCHEMA)
+          .selectExpr("1 as grp", "geom"))
+    out = node_lines(df, group_cols=("grp",)).collect()
+    assert len(out) == 1  # coincident segments collapse to one

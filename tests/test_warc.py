@@ -197,3 +197,40 @@ def test_warcinfo_has_mandatory_date(spark, fixture_dir, tmp_path):
     write_warc(_pages(spark, fixture_dir, 5), p)
     info = read_warc(spark, p).filter("record_type = 'warcinfo'").collect()
     assert len(info) == 1 and info[0]["warc_ts"] is not None
+
+
+def test_wat_metadata_records(spark, tmp_path):
+    """WAT sidecar: metadata records carry the Envelope JSON with head
+    title and absolute links, parseable and matching extract_links."""
+    import json
+    import datetime
+    from spandex_spark.sources.warc import write_wat
+    html1 = (b"<html><head><title> Page One </title></head>"
+             b"<body><a href='https://a.example/x'>x</a>"
+             b"<a href=\"http://b.example/y#frag\">y</a>"
+             b"<a href='/relative'>rel</a></body></html>")
+    html2 = b"<html><body>no title no links</body></html>"
+    src = spark.createDataFrame(
+        [("https://site.example/1", datetime.datetime(2024, 3, 1), html1),
+         ("https://site.example/2", datetime.datetime(2024, 3, 2), html2)],
+        "url string, warc_ts timestamp, html binary")
+    p = str(tmp_path / "crawl.warc.wat.gz")
+    assert write_wat(src, p) == 2
+    recs = {r["url"]: r for r in
+            read_warc(spark, p).filter("record_type = 'metadata'")
+            .collect()}
+    assert set(recs) == {"https://site.example/1", "https://site.example/2"}
+    env1 = json.loads(bytes(recs["https://site.example/1"]["payload"])
+                      .decode())["Envelope"]
+    assert env1["WARC-Header-Metadata"]["WARC-Target-URI"] == \
+        "https://site.example/1"
+    hm = env1["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Head"]["Title"] == "Page One"
+    assert [e["url"] for e in hm["Links"]] == \
+        ["https://a.example/x", "http://b.example/y"]
+    env2 = json.loads(bytes(recs["https://site.example/2"]["payload"])
+                      .decode())["Envelope"]
+    hm2 = env2["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm2["Head"]["Title"] == "" and hm2["Links"] == []
+    assert recs["https://site.example/1"]["content_type"] == \
+        "application/json"
