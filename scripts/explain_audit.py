@@ -394,6 +394,24 @@ CHECKS = {
          "ZERO Python operators — pair join + lag binning in codegen"),
         ("HashAggregate", "per-lag gamma aggregate"),
     ],
+    "viewshed (ray sampling)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — rays/steps from sequence explode, "
+         "elevation via the tile-key join, occlusion in a window"),
+        ("windowspecdefinition", "running-horizon window per "
+         "(observer, ray)"),
+        ("BroadcastHashJoin", "tile payloads broadcast "
+         "(raster_sample contract)"),
+    ],
+    "flow_accumulation (tile topo rounds)": [
+        ("ExistingRDD|LogicalRDD|Scan", "the final plan READS the "
+         "checkpoint-materialized fixpoint state — the per-round "
+         "mapInPandas exchanges ran in the checkpointed jobs upstream "
+         "(cost_distance convention)"),
+        (r"^(?![\s\S]*Exchange)", "no residual shuffle after the "
+         "fixpoint round"),
+    ],
 }
 
 
@@ -767,6 +785,17 @@ def main():
         origin_x=-10.0, origin_y=-10.0, step=2.0, nx=5, ny=5, radius=4.0)
     plans["empirical_variogram (pair binning)"] = _evg(
         _kpts, value_col="v", id_col="sid", max_dist=2.0)
+    from spandex_spark.operators.viewshed import viewshed as _vsh
+    _vtiles = raster_tiles_df(spark)
+    _vobs = spark.createDataFrame([(1, -5.2, -5.3), (2, 3.1, 2.7)],
+                                  "obs_id long, lon double, lat double")
+    plans["viewshed (ray sampling)"] = _vsh(
+        _vobs, _vtiles, observer_id_col="obs_id", origin_x=-10.0,
+        origin_y=-10.0, max_dist=1.0, step=0.1, n_rays=16)
+    from spandex_spark.operators.regions import flow_accumulation as _fac
+    _d8 = _rspec.withColumn("values", F.array_repeat(F.lit(1.0), 50 * 50))
+    plans["flow_accumulation (tile topo rounds)"] = _fac(
+        _d8, origin_x=-10.0, origin_y=-10.0)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

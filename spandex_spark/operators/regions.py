@@ -578,90 +578,73 @@ def flow_accumulation(direction_tiles: DataFrame, *, origin_x: float,
         T.StructField("out_contrib", T.ArrayType(T.DoubleType())),
     ])
 
+    # D8 code -> (dr, dc) lookup arrays (code 0 = sink maps to (0, 0))
+    _dr_lut = np.zeros(129, np.int64)
+    _dc_lut = np.zeros(129, np.int64)
+    for _c, (_dr, _dc) in _D8_OFF.items():
+        _dr_lut[_c], _dc_lut[_c] = _dr, _dc
+
     def run_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fully numpy-vectorized per tile: Kahn's algorithm runs by
+        # FRONTIER LEVELS (np.add.at staged sums, bincount indegrees),
+        # so Python cost is O(longest in-tile chain), not O(pixels) —
+        # the region_group run-length lesson applied to topo sums
+        n_cells = ny * nx
+        rr_all, cc_all = np.divmod(np.arange(n_cells), nx)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 code = np.asarray([np.nan if v is None else v
-                                   for v in r.values],
-                                  np.float64).reshape(ny, nx)
+                                   for v in r.values], np.float64)
                 tx, ty = int(r.tx), int(r.ty)
                 gx0, gy0 = tx * nx, ty * ny
-                inflow: dict = {}
+                valid = ~np.isnan(code)
+                ci = np.where(valid, code, 0.0).astype(np.int64)
+                ci = np.clip(ci, 0, 128)
+                dr = _dr_lut[ci]
+                dc = _dc_lut[ci]
+                flows = valid & (ci != 0)
+                r2 = rr_all + dr
+                c2 = cc_all + dc
+                in_tile = (flows & (r2 >= 0) & (r2 < ny)
+                           & (c2 >= 0) & (c2 < nx))
+                t_idx = np.where(in_tile, r2 * nx + c2, 0)
+                has_tgt = in_tile & valid[t_idx]
+                indeg = np.bincount(t_idx[has_tgt], minlength=n_cells)
+                base = np.ones(n_cells)
                 inf = getattr(r, "inf", None)
                 if inf is not None and not (isinstance(inf, float)
                                             and math.isnan(inf)):
-                    for e in inf:
-                        inflow[int(e["pid"])] = (inflow.get(int(e["pid"]),
-                                                            0.0)
-                                                 + float(e["contrib"]))
-                valid = ~np.isnan(code)
-                # in-tile downstream target per cell (or None)
-                tgt = {}
-                indeg = np.zeros((ny, nx), np.int32)
-                for rr in range(ny):
-                    for cc in range(nx):
-                        if not valid[rr, cc]:
-                            continue
-                        c = int(code[rr, cc])
-                        if c == 0:
-                            continue
-                        dr, dc = _D8_OFF[c]
-                        r2, c2 = rr + dr, cc + dc
-                        if 0 <= r2 < ny and 0 <= c2 < nx:
-                            if valid[r2, c2]:
-                                tgt[(rr, cc)] = (r2, c2)
-                                indeg[r2, c2] += 1
-                acc = np.full((ny, nx), np.nan)
-                queue = [(rr, cc) for rr in range(ny) for cc in range(nx)
-                         if valid[rr, cc] and indeg[rr, cc] == 0]
-                head = 0
-                while head < len(queue):
-                    rr, cc = queue[head]
-                    head += 1
-                    base = 1.0 + inflow.get((gy0 + rr) * _PACK
-                                            + (gx0 + cc), 0.0)
-                    up = acc[rr, cc]
-                    acc[rr, cc] = base if math.isnan(up) else base + up
-                    nxt = tgt.get((rr, cc))
-                    if nxt is not None:
-                        r2, c2 = nxt
-                        prev = acc[r2, c2]
-                        add = acc[rr, cc]
-                        # stage upstream sums in the target slot
-                        acc[r2, c2] = add if math.isnan(prev) else \
-                            prev + add
-                        indeg[r2, c2] -= 1
-                        if indeg[r2, c2] == 0:
-                            queue.append((r2, c2))
-                # staged-but-unresolved cells (cycles) back to NaN: a
-                # cell is DONE only if it entered the queue
-                done = np.zeros((ny, nx), bool)
-                for rr, cc in queue:
-                    done[rr, cc] = True
-                acc[~done] = np.nan
-                otx, oty, opid, octr = [], [], [], []
-                for rr in range(ny):
-                    for cc in range(nx):
-                        if not valid[rr, cc] or not done[rr, cc]:
-                            continue
-                        c = int(code[rr, cc])
-                        if c == 0 or (rr, cc) in tgt:
-                            continue
-                        dr, dc = _D8_OFF[c]
-                        r2, c2 = rr + dr, cc + dc
-                        if 0 <= r2 < ny and 0 <= c2 < nx:
-                            continue  # in-tile nodata target: swallowed
-                        g_r, g_c = gy0 + rr + dr, gx0 + cc + dc
-                        if g_r < 0 or g_c < 0:
-                            continue  # off the raster's origin corner
-                        otx.append(g_c // nx)
-                        oty.append(g_r // ny)
-                        opid.append(g_r * _PACK + g_c)
-                        octr.append(float(acc[rr, cc]))
+                    pids = np.array([int(e["pid"]) for e in inf], np.int64)
+                    ctrs = np.array([float(e["contrib"]) for e in inf])
+                    li = (pids // _PACK - gy0) * nx + (pids % _PACK - gx0)
+                    ok = (li >= 0) & (li < n_cells)
+                    np.add.at(base, li[ok], ctrs[ok])
+                acc = np.zeros(n_cells)
+                done = np.zeros(n_cells, bool)
+                frontier = np.where(valid & (indeg == 0))[0]
+                while frontier.size:
+                    acc[frontier] += base[frontier]
+                    done[frontier] = True
+                    f = frontier[has_tgt[frontier]]
+                    np.add.at(acc, t_idx[f], acc[f])
+                    np.subtract.at(indeg, t_idx[f],
+                                   np.ones(f.size, np.int64))
+                    cand = np.unique(t_idx[f])
+                    frontier = cand[indeg[cand] == 0]
+                # cross-tile / off-tile emissions from DONE border cells
+                em = done & flows & ~in_tile
+                g_r = gy0 + r2[em]
+                g_c = gx0 + c2[em]
+                keep = (g_r >= 0) & (g_c >= 0)
+                g_r, g_c = g_r[keep], g_c[keep]
+                octr = acc[em][keep]
+                out_vals = np.where(done, acc, np.nan)
                 rows.append((int(r.tile_id), float(r.x0), float(r.y0),
-                             acc.reshape(-1).tolist(), otx, oty, opid,
-                             octr))
+                             out_vals.tolist(),
+                             (g_c // nx).tolist(), (g_r // ny).tolist(),
+                             (g_r * _PACK + g_c).tolist(),
+                             octr.tolist()))
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in acc_schema.fields])
 
