@@ -76,6 +76,7 @@ from spandex_spark.operators.pii import scrub_pii, pii_stats  # noqa: F401
 from spandex_spark.operators.rasterize import rasterize  # noqa: F401
 from spandex_spark.operators.regions import (  # noqa: F401
     region_group, watersheds, flow_accumulation)
+from spandex_spark.operators.hydrology import fill_sinks  # noqa: F401
 from spandex_spark.operators.focal import (  # noqa: F401
     slope, aspect, hillshade, halo_exchange, focal_stats, flow_direction,
     curvature)
