@@ -404,6 +404,20 @@ CHECKS = {
         ("BroadcastHashJoin", "tile payloads broadcast "
          "(raster_sample contract)"),
     ],
+    "fill_sinks (block-Jacobi minimax)": [
+        ("ExistingRDD|LogicalRDD|Scan", "the final plan READS the "
+         "checkpoint-materialized fixpoint state (cost_distance "
+         "convention)"),
+        (r"^(?![\s\S]*Exchange)", "no residual shuffle after the "
+         "fixpoint round"),
+    ],
+    "simplify_topology (shared-arc fabric)": [
+        ("FlatMapGroupsInPandas", "per-fabric arc kernel over Arrow "
+         "groups"),
+        (r"^(?![\s\S]*(?:BroadcastHashJoin|SortMergeJoin))",
+         "ONE groupBy, no joins — arcs shared via the group, not a "
+         "shuffle"),
+    ],
     "flow_accumulation (tile topo rounds)": [
         ("ExistingRDD|LogicalRDD|Scan", "the final plan READS the "
          "checkpoint-materialized fixpoint state — the per-round "
@@ -796,6 +810,25 @@ def main():
     _d8 = _rspec.withColumn("values", F.array_repeat(F.lit(1.0), 50 * 50))
     plans["flow_accumulation (tile topo rounds)"] = _fac(
         _d8, origin_x=-10.0, origin_y=-10.0)
+    from spandex_spark.operators.hydrology import fill_sinks as _fsk
+    plans["fill_sinks (block-Jacobi minimax)"] = _fsk(
+        _ftiles, origin_x=-10.0, origin_y=-10.0)
+    from spandex_spark.operators.toposimplify import (
+        simplify_topology as _stp)
+    _fabric = spark.createDataFrame(
+        [(1, 1, {"kind": 3, "xs": [0.0, 1.0, 1.0, 0.0],
+                 "ys": [0.0, 0.0, 1.0, 1.0], "ring_offsets": [0, 4],
+                 "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 1.0,
+                          "maxy": 1.0}}),
+         (1, 2, {"kind": 3, "xs": [1.0, 2.0, 2.0, 1.0],
+                 "ys": [0.0, 0.0, 1.0, 1.0], "ring_offsets": [0, 4],
+                 "bbox": {"minx": 1.0, "miny": 0.0, "maxx": 2.0,
+                          "maxy": 1.0}})],
+        "grp int, pid long, geom struct<kind:tinyint, xs:array<double>,"
+        " ys:array<double>, ring_offsets:array<int>,"
+        " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+    plans["simplify_topology (shared-arc fabric)"] = _stp(
+        _fabric, tolerance=0.1, group_cols=("grp",), id_col="pid")
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

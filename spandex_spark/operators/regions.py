@@ -533,7 +533,8 @@ def watersheds(direction_tiles: DataFrame, *, origin_x: float,
 
 
 def flow_accumulation(direction_tiles: DataFrame, *, origin_x: float,
-                      origin_y: float, max_rounds: int = 200) -> DataFrame:
+                      origin_y: float, max_rounds: int = 200,
+                      incremental: bool = False) -> DataFrame:
     """Flow accumulation over a D8 flow-direction raster
     (`focal.flow_direction` output) — the r.watershed accumulation /
     ArcGIS FlowAccumulation companion to `watersheds`.  Each pixel's
@@ -554,6 +555,17 @@ def flow_accumulation(direction_tiles: DataFrame, *, origin_x: float,
     NULL (nodata) pixels stay NULL and swallow inflow (the watersheds
     flow-to-nodata convention); pixels on a flow CYCLE (invalid D8
     input) never topo-resolve and come out NULL.
+
+    ``incremental=True`` recomputes ONLY tiles whose inflow rows
+    changed since the last round (exceptAll change detection; a tile's
+    output is a pure function of its codes + inflow, and contributions
+    are exact integers, so skipping is result-identical — pytested).
+    Measured trade on the sandbox (BENCH/BASELINE.md): the three extra
+    perimeter-sized shuffles per round COST more than they save at 64
+    tiles (120 s vs 100 s on the all-east worst case), so the default
+    is False; flip it when the tile count is large and the changed set
+    shrinks fast (dendritic drainage over 10^4+ tiles, where kernel
+    work dominates round orchestration).
     """
     tiles = _with_res_y(direction_tiles)
     res, res_y, nx, ny = _tile_shape(tiles)
@@ -569,6 +581,8 @@ def flow_accumulation(direction_tiles: DataFrame, *, origin_x: float,
 
     acc_schema = T.StructType([
         T.StructField("tile_id", T.LongType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
         T.StructField("x0", T.DoubleType()),
         T.StructField("y0", T.DoubleType()),
         T.StructField("acc", T.ArrayType(T.DoubleType())),
@@ -640,7 +654,8 @@ def flow_accumulation(direction_tiles: DataFrame, *, origin_x: float,
                 g_r, g_c = g_r[keep], g_c[keep]
                 octr = acc[em][keep]
                 out_vals = np.where(done, acc, np.nan)
-                rows.append((int(r.tile_id), float(r.x0), float(r.y0),
+                rows.append((int(r.tile_id), tx, ty,
+                             float(r.x0), float(r.y0),
                              out_vals.tolist(),
                              (g_c // nx).tolist(), (g_r // ny).tolist(),
                              (g_r * _PACK + g_c).tolist(),
@@ -648,39 +663,84 @@ def flow_accumulation(direction_tiles: DataFrame, *, origin_x: float,
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in acc_schema.fields])
 
-    inflow_agg = None
+    def _edges_of(state):
+        return (state
+                .select(F.arrays_zip(
+                    F.col("out_tx").alias("tx"),
+                    F.col("out_ty").alias("ty"),
+                    F.col("out_pid").alias("pid"),
+                    F.col("out_contrib").alias("contrib")).alias("z"))
+                .select(F.explode("z").alias("e"))
+                .select(F.col("e.tx").alias("tx"),
+                        F.col("e.ty").alias("ty"),
+                        F.col("e.pid").alias("pid"),
+                        F.col("e.contrib").alias("contrib")))
+
+    def _finish(state):
+        vals = F.transform("acc", lambda v: F.when(~F.isnan(v), v))
+        return state.select(
+            "tile_id", "x0", "y0", F.lit(res).alias("res"),
+            F.lit(res_y).alias("res_y"),
+            F.lit(nx).alias("nx"), F.lit(ny).alias("ny"),
+            vals.alias("values"))
+
     prev_total = -1.0
+    if not incremental:
+        # simple Jacobi: every tile recomputes each round — ONE join +
+        # one map per round; measured faster than the change-detection
+        # path below until tile counts are large (docstring trade)
+        inflow_agg = None
+        for _ in range(max_rounds):
+            base = src if inflow_agg is None else \
+                src.join(inflow_agg, ["tx", "ty"], "left")
+            state = (base.mapInPandas(run_tiles, schema=acc_schema)
+                     .localCheckpoint(eager=True))
+            out_edges = _edges_of(state)
+            total = out_edges.agg(F.coalesce(F.sum("contrib"), F.lit(0.0))).collect()[0][0]  # collect-ok: 1-row monotone-fixpoint probe (cost_distance precedent)
+            if total == prev_total:
+                return _finish(state)
+            prev_total = total
+            inflow_agg = (out_edges.groupBy("tx", "ty")
+                          .agg(F.collect_list(F.struct("pid", "contrib"))
+                               .alias("inf"))
+                          .localCheckpoint(eager=True))
+        raise RuntimeError(
+            f"flow_accumulation did not converge within {max_rounds} "
+            "rounds (a flow path crosses more tile boundaries; raise "
+            "max_rounds)")
+
+    # incremental rounds: a tile's output is a pure function of
+    # (codes, inflow rows) and contributions are exact integers, so
+    # exceptAll change detection is exact and skipping unchanged tiles
+    # is result-identical (pytested against the simple path)
+    nparts = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    state = (src.mapInPandas(run_tiles, schema=acc_schema)
+             .localCheckpoint(eager=True))
+    prev_rows = None
     for _ in range(max_rounds):
-        base = src if inflow_agg is None else \
-            src.join(inflow_agg, ["tx", "ty"], "left")
-        state = (base.mapInPandas(run_tiles, schema=acc_schema)
-                 .localCheckpoint(eager=True))
-        out_edges = (state
-                     .select(F.arrays_zip(
-                         F.col("out_tx").alias("tx"),
-                         F.col("out_ty").alias("ty"),
-                         F.col("out_pid").alias("pid"),
-                         F.col("out_contrib").alias("contrib"))
-                         .alias("z"))
-                     .select(F.explode("z").alias("e"))
-                     .select(F.col("e.tx").alias("tx"),
-                             F.col("e.ty").alias("ty"),
-                             F.col("e.pid").alias("pid"),
-                             F.col("e.contrib").alias("contrib")))
+        out_edges = _edges_of(state).localCheckpoint(eager=True)
         total = out_edges.agg(F.coalesce(F.sum("contrib"), F.lit(0.0))).collect()[0][0]  # collect-ok: 1-row monotone-fixpoint probe (cost_distance precedent)
         if total == prev_total:
-            vals = F.transform(
-                "acc", lambda v: F.when(~F.isnan(v), v))
-            return state.select(
-                "tile_id", "x0", "y0", F.lit(res).alias("res"),
-                F.lit(res_y).alias("res_y"),
-                F.lit(nx).alias("nx"), F.lit(ny).alias("ny"),
-                vals.alias("values"))
+            return _finish(state)
         prev_total = total
-        inflow_agg = (out_edges.groupBy("tx", "ty")
+        if prev_rows is None:
+            changed = out_edges.select("tx", "ty").distinct()
+        else:
+            diff = (out_edges.exceptAll(prev_rows)
+                    .unionByName(prev_rows.exceptAll(out_edges)))
+            changed = diff.select("tx", "ty").distinct()
+        prev_rows = out_edges
+        inflow_agg = (out_edges.join(changed, ["tx", "ty"], "semi")
+                      .groupBy("tx", "ty")
                       .agg(F.collect_list(F.struct("pid", "contrib"))
-                           .alias("inf"))
-                      .localCheckpoint(eager=True))
+                           .alias("inf")))
+        redo = (src.join(changed, ["tx", "ty"], "semi")
+                .join(inflow_agg, ["tx", "ty"], "left")
+                .mapInPandas(run_tiles, schema=acc_schema))
+        state = (state.join(changed, ["tx", "ty"], "left_anti")
+                 .unionByName(redo)
+                 .coalesce(nparts)
+                 .localCheckpoint(eager=True))
     raise RuntimeError(
         f"flow_accumulation did not converge within {max_rounds} rounds "
         "(a flow path crosses more tile boundaries; raise max_rounds)")

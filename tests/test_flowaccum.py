@@ -113,3 +113,17 @@ def test_end_to_end_with_flow_direction(spark):
         for c in range(1, n - 1):
             assert acc[r, c] == c, (r, c)   # col index = prefix after
             # the NULL border column swallowed nothing (starts at c=1)
+
+
+def test_incremental_equals_full(spark):
+    # incremental change-detection rounds are result-identical
+    n = NT * NPX
+    codes = np.full((n, n), 1.0)
+    codes[2, 3] = 0.0            # a sink mid-stream
+    codes[5, 1] = np.nan         # nodata
+    tiles = _code_tiles(spark, codes)
+    a = _full(flow_accumulation(tiles, origin_x=0.0, origin_y=0.0,
+                                incremental=False))
+    b = _full(flow_accumulation(tiles, origin_x=0.0, origin_y=0.0,
+                                incremental=True))
+    assert np.array_equal(a, b, equal_nan=True)
