@@ -3,7 +3,7 @@ from spandex_spark.operators.overlay import proportion_overlap, intersection_joi
 from spandex_spark.operators.knn import knn_join  # noqa: F401
 from spandex_spark.operators.zonal import (  # noqa: F401
     zonal_stats, clip_raster, downsample, raster_sample, resample_tiles,
-    map_algebra, zonal_histogram, zonal_majority)
+    map_algebra, zonal_histogram, zonal_majority, raster_profile)
 from spandex_spark.operators.scaling import scale_to_targets  # noqa: F401
 from spandex_spark.operators.validate import (  # noqa: F401
     invalid_geometry_check, duplicate_stacked_geometry_check, make_valid)
@@ -30,7 +30,7 @@ from spandex_spark.operators.kriging import (  # noqa: F401
 from spandex_spark.operators.bpe import train_bpe, apply_bpe  # noqa: F401
 from spandex_spark.operators.knlm import train_kn_lm, kn_prob, kn_score  # noqa: F401
 from spandex_spark.operators.langmodel import (  # noqa: F401
-    train_char_lm, lm_perplexity)
+    train_char_lm, lm_perplexity, perplexity_buckets)
 from spandex_spark.operators.quality_model import (  # noqa: F401
     quality_features, train_quality_model, apply_quality_model)
 from spandex_spark.operators.search import bm25_rank  # noqa: F401

@@ -129,3 +129,30 @@ def lm_perplexity(df: DataFrame, model: dict, *, text_col: str = "text",
             yield out
 
     return df.mapInPandas(score, schema=schema)
+
+
+def perplexity_buckets(df: DataFrame, *, ppl_col: str = "perplexity",
+                       lang_col: str = "lang",
+                       cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+                       labels: tuple = ("head", "middle", "tail"),
+                       out_col: str = "ppl_bucket") -> DataFrame:
+    """CCNet's head/middle/tail artifact (Wenzek et al. 2020 §4.3):
+    per-LANGUAGE perplexity buckets — the cleanest (lowest-perplexity)
+    third of each language is the "head" that LM pretraining keeps
+    first.  Exact per-language percent_rank window over the non-null
+    scores (CCNet derives cutoffs from a sample; exact ranks are the
+    deterministic equivalent at any scale and SQL-oracle-able).  NULL
+    scores get a NULL bucket and do not disturb the quantiles.  One
+    window shuffle on lang_col."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    from pyspark.sql import Window
+    scored = df.filter(F.col(ppl_col).isNotNull())
+    w = Window.partitionBy(lang_col).orderBy(ppl_col)
+    pr = F.percent_rank().over(w)
+    bucket = F.lit(labels[-1])
+    for c, lab in zip(reversed(cuts), reversed(labels[:-1])):
+        bucket = F.when(pr < float(c), F.lit(lab)).otherwise(bucket)
+    nulls = (df.filter(F.col(ppl_col).isNull())
+             .withColumn(out_col, F.lit(None).cast("string")))
+    return scored.withColumn(out_col, bucket).unionByName(nulls)

@@ -43,8 +43,12 @@ def shortest_paths(edges: DataFrame, sources: DataFrame, *,
     both ways.  ``sources``: one ``node_col`` row per seed (each seeds
     at distance 0 and labels its tree).  ``max_cost`` prunes the
     frontier (pgr_drivingDistance semantics — service-area queries stop
-    expanding at the budget).  Returns (node, dist, origin) for every
-    REACHED node; unreachable nodes are absent, as in pgr_dijkstra.
+    expanding at the budget).  Returns (node, dist, origin, parent)
+    for every REACHED node — (parent, node) rows ARE the shortest-path
+    forest's edge list (parent NULL at sources), so routes reconstruct
+    by walking parents and the tree itself is a distributed output,
+    not a driver artifact.  Unreachable nodes are absent, as in
+    pgr_dijkstra.
 
     Negative weights are rejected by contract (documented, not scanned:
     a full-pass min() pre-check would cost one extra job at 10^12
@@ -62,11 +66,13 @@ def shortest_paths(edges: DataFrame, sources: DataFrame, *,
         "spark.sql.shuffle.partitions")
     e = e.repartition(int(nparts), "_s").persist()
 
+    ntype = sources.schema[node_col].dataType
     state = (sources
              .select(F.col(node_col).alias("node"))
              .distinct()
              .select("node", F.lit(0.0).alias("dist"),
-                     F.col("node").alias("origin"))
+                     F.col("node").alias("origin"),
+                     F.lit(None).cast(ntype).alias("parent"))
              .localCheckpoint(eager=True))
     frontier = state
 
@@ -75,15 +81,20 @@ def shortest_paths(edges: DataFrame, sources: DataFrame, *,
             cand = (frontier.join(e, frontier.node == e._s)
                     .select(F.col("_d").alias("node"),
                             (F.col("dist") + F.col("_w")).alias("dist"),
-                            F.col("origin")))
+                            F.col("origin"),
+                            frontier.node.alias("parent")))
             if max_cost is not None:
                 cand = cand.filter(F.col("dist") <= float(max_cost))
             # fold candidates into state; keep the per-node best label
+            # (parent inside the min struct: equal (dist, origin) ties
+            # break to the smallest parent — deterministic trees)
             merged = (state.unionByName(cand)
                       .groupBy("node")
-                      .agg(F.min(F.struct("dist", "origin")).alias("b"))
+                      .agg(F.min(F.struct("dist", "origin", "parent"))
+                           .alias("b"))
                       .select("node", F.col("b.dist").alias("dist"),
-                              F.col("b.origin").alias("origin"))
+                              F.col("b.origin").alias("origin"),
+                              F.col("b.parent").alias("parent"))
                       .localCheckpoint(eager=True))
             # the new frontier = nodes whose label improved this round
             frontier = (merged.join(
@@ -92,7 +103,7 @@ def shortest_paths(edges: DataFrame, sources: DataFrame, *,
                 "node", "left")
                 .filter(F.col("_old").isNull()
                         | (F.col("dist") < F.col("_old")))
-                .select("node", "dist", "origin")
+                .select("node", "dist", "origin", "parent")
                 .localCheckpoint(eager=True))
             state = merged
             if frontier.limit(1).count() == 0:  # collect-ok: frontier-emptiness probe (cost_distance precedent)

@@ -581,3 +581,79 @@ def zonal_majority(tiles: DataFrame, zones: DataFrame, *,
                  .alias("minority"),
                  F.min("n_pixels").alias("minority_n"),
                  F.count("*").alias("variety")))
+
+
+def raster_profile(lines: DataFrame, tiles: DataFrame, *,
+                   line_id_col: str, step: float,
+                   origin_x: float, origin_y: float,
+                   geom_col: str = "geom",
+                   broadcast_tiles: bool = True) -> DataFrame:
+    """Raster profile along linestrings — the "elevation profile" tool
+    (GRASS r.profile / ArcGIS Stack Profile): sample stations every
+    ``step`` CRS units of ARC LENGTH along each kind-2 line (both
+    endpoints always included), each station reading the raster through
+    the :func:`raster_sample` tile-key join.  Output: (line_id, s,
+    dist, lon, lat, v) — v NULL off-raster.
+
+    Station generation is one Arrow pass per line (cumulative segment
+    lengths need a scan — the documented Python boundary); everything
+    after is the codegen sample join.  Multi-part lines return no rows
+    (the line_interpolate single-part contract; ST_LineMerge upstream).
+    """
+    if step <= 0:
+        raise ValueError("step must be positive")
+
+    _ST_TYPE = T.ArrayType(T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("d", T.DoubleType())]))
+
+    @pandas_udf(_ST_TYPE)
+    def _stations(kind: pd.Series, xs: pd.Series, ys: pd.Series,
+                  offs: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(xs)):
+            k = kind.iloc[i]
+            o = offs.iloc[i]
+            if (k is None or pd.isna(k) or int(k) != 2
+                    or (o is not None and len(o) > 2)):
+                out.append([])
+                continue
+            rx = np.asarray(xs.iloc[i], np.float64)
+            ry = np.asarray(ys.iloc[i], np.float64)
+            if rx.shape[0] < 2:
+                out.append([])
+                continue
+            seg = np.hypot(np.diff(rx), np.diff(ry))
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            total = cum[-1]
+            ds = np.arange(0.0, total, step)
+            if total > 0 and (ds.size == 0 or ds[-1] < total):
+                ds = np.append(ds, total)
+            j = np.clip(np.searchsorted(cum, ds, side="right") - 1,
+                        0, max(seg.shape[0] - 1, 0))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = np.where(seg[j] > 0, (ds - cum[j]) / seg[j], 0.0)
+            sx = rx[j] + t * (rx[j + 1] - rx[j])
+            sy = ry[j] + t * (ry[j + 1] - ry[j])
+            out.append([{"x": float(a), "y": float(b), "d": float(d)}
+                        for a, b, d in zip(sx, sy, ds)])
+        return pd.Series(out)
+
+    g = F.col(geom_col)
+    st = (lines
+          .select(F.col(line_id_col).alias("_lid"),
+                  F.posexplode(_stations(
+                      g["kind"], g["xs"], g["ys"], g["ring_offsets"]))
+                  .alias("s", "_p")))
+    pt = F.struct("_lid", "s", F.col("_p.d").alias("dist"),
+                  F.col("_p.x").alias("lon"), F.col("_p.y").alias("lat"))
+    sampled = raster_sample(
+        st.select(pt.alias("p")), tiles, point_id_col="p",
+        origin_x=origin_x, origin_y=origin_y,
+        lon_col="p.lon", lat_col="p.lat", out_col="v",
+        broadcast_tiles=broadcast_tiles)
+    return sampled.select(
+        F.col("p._lid").alias(line_id_col), F.col("p.s").alias("s"),
+        F.col("p.dist").alias("dist"), F.col("p.lon").alias("lon"),
+        F.col("p.lat").alias("lat"), "v")

@@ -123,3 +123,28 @@ def test_max_rounds_guard(spark):
                               "src long, dst long, weight double")
     with pytest.raises(RuntimeError, match="did not converge"):
         shortest_paths(e, _sources(spark, [0]), max_rounds=5)
+
+
+def test_parent_pointers_form_consistent_sp_forest(spark):
+    rng = random.Random(11)
+    edges = set()
+    while len(edges) < 200:
+        u, v = rng.randrange(40), rng.randrange(40)
+        if u != v:
+            edges.add((u, v))
+    rows = [(u, v, round(rng.uniform(0.5, 4.0), 3)) for u, v in edges]
+    w = {(u, v): wt for u, v, wt in rows}
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    out = {r["node"]: r for r in
+           shortest_paths(e, _sources(spark, [0, 5])).collect()}
+    for v, r in out.items():
+        if r["dist"] == 0.0:
+            assert r["parent"] is None and r["origin"] == v
+            continue
+        p = r["parent"]
+        assert p in out, (v, p)
+        # the tree edge exists and is tight: dist = dist(parent) + w
+        assert (p, v) in w
+        assert r["dist"] == pytest.approx(out[p]["dist"] + w[(p, v)],
+                                          abs=1e-9)
+        assert r["origin"] == out[p]["origin"]  # same tree
