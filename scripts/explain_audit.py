@@ -418,6 +418,19 @@ CHECKS = {
          "ONE groupBy, no joins — arcs shared via the group, not a "
          "shuffle"),
     ],
+    "raster_profile (line stations)": [
+        ("ArrowEvalPython", "arc-length station kernel (the one "
+         "documented Python pass)"),
+        ("BroadcastHashJoin", "elevation via the raster_sample "
+         "tile-key join"),
+        ("Generate posexplode", "stations explode JVM-side"),
+    ],
+    "perplexity_buckets (CCNet head/middle/tail)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — one percent_rank window"),
+        ("windowspecdefinition", "per-language rank window"),
+    ],
     "flow_accumulation (tile topo rounds)": [
         ("ExistingRDD|LogicalRDD|Scan", "the final plan READS the "
          "checkpoint-materialized fixpoint state — the per-round "
@@ -829,6 +842,23 @@ def main():
         " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
     plans["simplify_topology (shared-arc fabric)"] = _stp(
         _fabric, tolerance=0.1, group_cols=("grp",), id_col="pid")
+    from spandex_spark.operators.zonal import raster_profile as _rpf
+    _pline = spark.createDataFrame(
+        [(1, {"kind": 2, "xs": [-9.0, 5.0], "ys": [-5.0, -5.0],
+              "ring_offsets": [0, 2],
+              "bbox": {"minx": -9.0, "miny": -5.0, "maxx": 5.0,
+                       "maxy": -5.0}})],
+        "lid long, geom struct<kind:tinyint, xs:array<double>,"
+        " ys:array<double>, ring_offsets:array<int>,"
+        " bbox:struct<minx:double,miny:double,maxx:double,maxy:double>>")
+    plans["raster_profile (line stations)"] = _rpf(
+        _pline, raster_tiles_df(spark), line_id_col="lid", step=0.5,
+        origin_x=-10.0, origin_y=-10.0)
+    from spandex_spark.operators.langmodel import (
+        perplexity_buckets as _ppb)
+    plans["perplexity_buckets (CCNet head/middle/tail)"] = _ppb(
+        docs.withColumn("perplexity",
+                        (F.col("doc_id") % 97).cast("double")))
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
