@@ -1620,6 +1620,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixture); rows-only by nature: lm_perplexity, map_match,
     # label_propagation, cost_distance/cost_path/proximity/isochrones,
     # warp_tiles, stay_points, stream_tile_heatmap (streaming).
+    # Closing-session additions to the queue (all pytest-first; see
+    # SURVEY.md 11.11-11.12): SQL-oracle-able candidates —
+    # perplexity_buckets (percent_rank window), surt keys / read_cdxj
+    # (string-function oracle), raster_profile + split_by_lines area
+    # sums (constructed closed forms), empirical_variogram (pair-join
+    # formula); rows-only by nature — bloom (xxhash64 has no DuckDB
+    # twin), shortest_paths/service_areas, train_bpe/apply_bpe,
+    # train_kn_lm/kn_score (model-table joins), kriging_grid,
+    # viewshed, fill_sinks, flow_accumulation, simplify_topology,
+    # node_lines/polygonize_linework, write_wat (file-format edge).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
