@@ -14,16 +14,17 @@ tiles — each round ships one-pixel fill strips to the 8 neighbors
 (perimeter-sized exchange, the halo economics of focal.py), each tile
 relaxes ``f ← max(dem, min₈(f))`` to LOCAL convergence with vectorized
 numpy sweeps (Python cost = sweep count = longest in-tile drainage
-chain, the flow_accumulation lesson), and the loop stops when the
-global finite-fill sum stops falling — values start at +inf and
-decrease monotonically to the unique fixpoint, so an unchanged 1-row
-sum probe is an exact stop.  Rounds ≈ tile boundaries crossed by the
-longest drainage path.
+chain, the flow_accumulation lesson), and the loop stops when NO
+tile's fill moved — values start at +inf and decrease monotonically to
+the unique fixpoint, and an all-tiles-unchanged round means the next
+round's messages are identical, so the per-tile changed-flag probe is
+an exact stop (a float-sum probe would be summation-order
+nondeterministic and was avoided by design).  Rounds ≈ tile boundaries
+crossed by the longest drainage path.
 """
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spandex_spark.operators.focal import _OUT_SCHEMA, _tile_shape
+from spandex_spark.operators.focal import _tile_shape
 from spandex_spark.operators.zonal import _with_res_y
 
 __all__ = ["fill_sinks"]
