@@ -82,7 +82,15 @@ def bloom_probe(df: DataFrame, col: str, bloom: DataFrame, *,
 
     ``broadcast_filter=True`` (default) broadcasts the bitmap — right
     while m/8 fits an executor (≤ a few hundred MiB); pass False at
-    frontier scale to shuffle-join on word_idx instead."""
+    frontier scale to shuffle-join on word_idx instead.
+
+    A SHARDED filter (built with ``extra_group_cols``) probes as the
+    UNION of its shards: duplicate word_idx rows bit_or-merge before
+    the join, so no false negatives ever — at a union-level false
+    positive rate.  (Joining each shard's duplicate rows directly
+    would instead demand the bits in EVERY shard and readmit seen
+    keys — found in review.)  For per-shard probing, filter the bloom
+    frame to one shard first."""
     probes = (df
               .select(id_col, col,
                       F.explode(_positions(col, m_bits, k, seed))
@@ -91,7 +99,8 @@ def bloom_probe(df: DataFrame, col: str, bloom: DataFrame, *,
                       F.shiftright("_pos", 6).alias("word_idx"),
                       F.expr("shiftleft(1L, CAST(pmod(_pos, 64) AS INT))")
                       .alias("_mask")))
-    filt = bloom.select("word_idx", "bits")
+    filt = (bloom.select("word_idx", "bits")
+            .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")))
     if broadcast_filter:
         filt = F.broadcast(filt)
     hit = (F.col("bits").isNotNull()

@@ -215,7 +215,17 @@ def buffer_polygons(df: DataFrame, *, radius: float, segments: int = 16,
                 ooffs.append(None); bbs.append(None)
                 continue
             if geodesic:
-                lon0, lat0 = float(rx.mean()), float(ry.mean())
+                # tangent longitude via first-vertex unwrapping: a raw
+                # mean of lons puts an antimeridian-straddling ring's
+                # tangent ~180 deg away, at the projection's antipodal
+                # singularity (found in review)
+                rel = (rx - rx[0] + 180.0) % 360.0 - 180.0
+                lon0 = float(rx[0] + rel.mean())
+                if lon0 >= 180.0:
+                    lon0 -= 360.0
+                elif lon0 < -180.0:
+                    lon0 += 360.0
+                lat0 = float(ry.mean())
                 rx, ry = _geom.lonlat_to_aeqd(rx, ry, lon0, lat0)
             if _geom.shoelace_area(rx, ry) < 0:
                 rx, ry = rx[::-1].copy(), ry[::-1].copy()

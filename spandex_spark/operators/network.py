@@ -96,13 +96,20 @@ def shortest_paths(edges: DataFrame, sources: DataFrame, *,
                               F.col("b.origin").alias("origin"),
                               F.col("b.parent").alias("parent"))
                       .localCheckpoint(eager=True))
-            # the new frontier = nodes whose label improved this round
+            # the new frontier = nodes whose LABEL STRUCT improved this
+            # round — comparing dist alone would strand an equal-dist
+            # origin/parent re-label without propagating it, leaving
+            # children labeled by the losing tree (found in review:
+            # tie at X resolved to origin A, but X never re-expanded,
+            # so downstream C kept origin B)
             frontier = (merged.join(
                 state.select(F.col("node").alias("node"),
-                             F.col("dist").alias("_old")),
+                             F.struct("dist", "origin", "parent")
+                             .alias("_old")),
                 "node", "left")
                 .filter(F.col("_old").isNull()
-                        | (F.col("dist") < F.col("_old")))
+                        | (F.struct("dist", "origin", "parent")
+                           < F.col("_old")))
                 .select("node", "dist", "origin", "parent")
                 .localCheckpoint(eager=True))
             state = merged

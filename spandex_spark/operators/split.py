@@ -70,9 +70,12 @@ def _probe_inside(cx: np.ndarray, cy: np.ndarray, eps: float):
 
 def _attach_holes(cycles: list, keep_mask: list, eps: float):
     """Face assembly from CCW cycles: every kept cycle becomes a
-    polygon; every cycle (kept or not) nests as a CW hole of its
-    SMALLEST-area kept container — even-odd composition exactly as the
-    boolean kernel emits it.  Returns a list of ring lists."""
+    polygon; a cycle nests as a CW hole of its DIRECT (smallest-area
+    containing) cycle, and only when that direct container is kept —
+    attaching across an UN-kept intermediate would double-cover an
+    island nested inside a hole (the container's even-odd region
+    already excludes the hole, island included; found in review).
+    Returns a list of ring lists."""
     areas = [_geom.shoelace_area(cx, cy) for cx, cy in cycles]
     order = sorted(range(len(cycles)), key=lambda i: areas[i])
     polys = {i: [(cycles[i][0], cycles[i][1])]
@@ -80,7 +83,7 @@ def _attach_holes(cycles: list, keep_mask: list, eps: float):
     for i in order:
         px, py = _probe_inside(*cycles[i], eps)
         best = None
-        for j in polys:
+        for j in range(len(cycles)):
             if j == i or areas[j] <= areas[i]:
                 continue
             inside = _geom.points_in_rings(
@@ -89,7 +92,7 @@ def _attach_holes(cycles: list, keep_mask: list, eps: float):
                 np.array([0, cycles[j][0].shape[0]]))[0]
             if inside and (best is None or areas[j] < areas[best]):
                 best = j
-        if best is not None:
+        if best is not None and best in polys:
             polys[best].append((cycles[i][0][::-1], cycles[i][1][::-1]))
     return [polys[i] for i in sorted(polys)]
 
@@ -174,9 +177,12 @@ def split_by_lines(targets: DataFrame, blades: DataFrame, *,
         tid = pdf["_tid"].iloc[0]
         faces = _split_one(pdf["_tgeom"].iloc[0], list(pdf["_bgeom"]),
                            quant)
+        # columns= is load-bearing: an empty face list must yield an
+        # EMPTY 3-column frame, not a 0-column one (Arrow schema crash)
         return pd.DataFrame(
             [{target_id_col: tid, "face_idx": i, out_col: f}
-             for i, f in enumerate(faces)])
+             for i, f in enumerate(faces)],
+            columns=[target_id_col, "face_idx", out_col])
 
     cut = pairs.groupBy("_tid").applyInPandas(_split_group, out_schema)
     untouched = (tgt.join(pairs.select("_tid").distinct(), "_tid",

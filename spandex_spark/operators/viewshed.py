@@ -86,7 +86,13 @@ def viewshed(observers: DataFrame, tiles: DataFrame, *,
     w = (Window.partitionBy("p._oid", "p.ray").orderBy("p.s")
          .rowsBetween(Window.unboundedPreceding, -1))
     horizon = F.max(ang).over(w)
-    visible = F.when(F.col("_elev").isNull(), F.lit(None).cast("boolean")) \
+    # an off-raster OBSERVER (unknown base elevation) yields NULL for
+    # every sample — without the _oelev guard every angle is NULL, the
+    # horizon stays NULL, and the isNull() arm would claim full
+    # visibility (found in review)
+    visible = F.when(F.col("p._oelev").isNull()
+                     | F.col("_elev").isNull(),
+                     F.lit(None).cast("boolean")) \
         .otherwise(horizon.isNull() | (ang > horizon))
     return (sampled
             .select(F.col("p._oid").alias(observer_id_col),

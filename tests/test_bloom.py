@@ -88,3 +88,16 @@ def test_sharded_build(spark):
     odd = _urls(spark, 0, 200).filter(F.col("id") % 2 == 1)
     res = bloom_probe(odd, "url", b0, id_col="id", m_bits=m, k=k)
     assert res.filter(~F.col("maybe_seen")).count() > 80
+
+
+def test_sharded_filter_probes_as_union(spark):
+    # review regression: probing a multi-shard filter must bit_or-merge
+    # shards (union semantics) - never readmit a seen key
+    m, k = bloom_params(400, 0.01)
+    df = (_urls(spark, 0, 400)
+          .withColumn("shard", (F.col("id") % 4).cast("int")))
+    bloom = bloom_build(df, "url", m_bits=m, k=k,
+                        extra_group_cols=("shard",)).drop("shard")
+    res = bloom_probe(_urls(spark, 0, 400), "url", bloom,
+                      id_col="id", m_bits=m, k=k)
+    assert res.filter(~F.col("maybe_seen")).count() == 0

@@ -122,3 +122,28 @@ def test_planar_paths_unchanged(spark):
     with pytest.raises(ValueError):
         buffer_polygons(spark.createDataFrame([], GEOM_SCHEMA),
                         radius=1.0, metric="nope")
+
+
+def test_antimeridian_ring_buffers_sanely(spark):
+    # review regression: a parcel straddling lon=180 must buffer in a
+    # LOCAL tangent frame, not one centered near lon 0
+    xs = [179.995, -179.995, -179.995, 179.995]
+    ys = [10.0, 10.0, 10.01, 10.01]
+    df = spark.createDataFrame(
+        [(1, {"kind": 3, "xs": xs, "ys": ys, "ring_offsets": [0, 4],
+              "bbox": {"minx": -179.995, "miny": 10.0, "maxx": 179.995,
+                       "maxy": 10.01}})], GEOM_SCHEMA)
+    g = buffer_polygons(df, radius=200.0, segments=16,
+                        metric="geodesic", out_col="g").collect()[0]["g"]
+    assert g is not None
+    deg_m = math.pi / 180.0 * G.EARTH_RADIUS_M
+    w = 0.01 * deg_m * math.cos(math.radians(10.005))
+    h = 0.01 * deg_m
+    r, s = 200.0, 16
+    want = (w * h + 2 * (w + h) * r
+            + 0.5 * s * r * r * math.sin(2 * math.pi / s))
+    got = abs(G.rings_area(
+        *G.lonlat_to_aeqd(np.array(g["xs"]), np.array(g["ys"]),
+                          179.999, 10.005),
+        np.array(g["ring_offsets"])))
+    assert got == pytest.approx(want, rel=5e-3)

@@ -148,3 +148,17 @@ def test_parent_pointers_form_consistent_sp_forest(spark):
         assert r["dist"] == pytest.approx(out[p]["dist"] + w[(p, v)],
                                           abs=1e-9)
         assert r["origin"] == out[p]["origin"]  # same tree
+
+
+def test_equal_dist_relabel_propagates(spark):
+    # review regression: tie at X resolves to origin A via P, and the
+    # relabel must PROPAGATE to downstream C even though X's dist
+    # never improved after its first label
+    e = spark.createDataFrame(
+        [(0, 10, 3.0), (10, 20, 2.0), (5, 20, 5.0), (20, 30, 1.0)],
+        "src long, dst long, weight double")  # A=0, P=10, X=20, B=5, C=30
+    out = {r["node"]: r for r in
+           shortest_paths(e, _sources(spark, [0, 5])).collect()}
+    assert out[20]["dist"] == 5.0
+    assert out[20]["origin"] == 0 and out[20]["parent"] == 10
+    assert out[30]["origin"] == 0 and out[30]["parent"] == 20

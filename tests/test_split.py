@@ -173,3 +173,33 @@ def test_node_lines_duplicates_collapse(spark):
           .selectExpr("1 as grp", "geom"))
     out = node_lines(df, group_cols=("grp",)).collect()
     assert len(out) == 1  # coincident segments collapse to one
+
+
+def test_island_inside_hole_not_double_covered(spark):
+    # review regression: [outer, hole, island] with an uncut blade -
+    # the island must NOT also become a hole of the outer face
+    geom = _poly(1,
+                 [0, 8, 8, 0,  2, 2, 6, 6,  3, 5, 5, 3],
+                 [0, 0, 8, 8,  2, 6, 6, 2,  3, 3, 5, 5],
+                 offsets=[0, 4, 8, 12])
+    polys = spark.createDataFrame([geom], GEOM_SCHEMA)
+    blades = spark.createDataFrame(
+        [_line(1, [(3.5, 3.5), (4.5, 4.5)])], LINE_SCHEMA)  # dangle
+    out = split_by_lines(polys, blades, target_id_col="pid").collect()
+    total = sum(_area(r["geom"]) for r in out)
+    # region area = (64 - 16) + 4 = 52; double-covering the island
+    # would report 56
+    assert total == pytest.approx(52.0, abs=1e-9)
+    areas = sorted(round(_area(r["geom"]), 9) for r in out)
+    assert areas == [4.0, 48.0]
+
+
+def test_degenerate_target_yields_no_rows_not_crash(spark):
+    # review regression: a zero-area target overlapping a blade used to
+    # build a 0-column DataFrame and crash the Arrow serializer
+    flat = _poly(1, [0, 2, 2, 0], [0, 0, 0, 0])  # zero-area sliver
+    polys = spark.createDataFrame([flat], GEOM_SCHEMA)
+    blades = spark.createDataFrame(
+        [_line(1, [(1, -1), (1, 1)])], LINE_SCHEMA)
+    out = split_by_lines(polys, blades, target_id_col="pid").collect()
+    assert out == []  # no faces, no crash

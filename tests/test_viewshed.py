@@ -90,3 +90,12 @@ def test_param_validation(spark):
         viewshed(_obs(spark, 1, 1), _flat_tiles(spark),
                  observer_id_col="obs_id", origin_x=0.0, origin_y=0.0,
                  max_dist=0.5, step=1.0)
+
+
+def test_off_raster_observer_all_null(spark):
+    # review regression: unknown observer elevation must yield NULL
+    # visibility, not blanket TRUE
+    out = viewshed(_obs(spark, 100.0, 100.0), _flat_tiles(spark),
+                   observer_id_col="obs_id", origin_x=0.0, origin_y=0.0,
+                   max_dist=5.0, step=1.0, n_rays=4, observer_height=2.0)
+    assert all(r["visible"] is None for r in out.collect())
