@@ -49,6 +49,46 @@ FROM docs2 ORDER BY doc_id
 # line_dedup oracle: split to lines with ordinality, rank first
 # occurrence per line content (len >= min_chars), reassemble kept
 # lines in position order
+PPL_BUCKETS_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST((doc_id * 37) % 101 AS DOUBLE) AS perplexity
+  FROM documents)
+SELECT doc_id, lang, perplexity,
+       CASE WHEN pr < 1.0/3.0 THEN 'head'
+            WHEN pr < 2.0/3.0 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM (SELECT *, percent_rank() OVER (PARTITION BY lang
+                                     ORDER BY perplexity) AS pr
+      FROM scored)
+ORDER BY doc_id
+"""
+
+SURT_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://WWW.Host' || CAST(doc_id % 7 AS VARCHAR)
+         || '.Example.org/Path' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '?q=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END
+         AS url
+  FROM documents)
+SELECT doc_id,
+       array_to_string(list_reverse(string_split(
+           regexp_replace(lower(regexp_extract(url,
+               '^[a-z]+://([^/?#]+)', 1)), '^www\.', ''), '.')), ',')
+       || ')'
+       || lower(CASE WHEN url LIKE '%?%'
+                THEN regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                     || '?' || regexp_extract(url, '\?([^#]*)', 1)
+                ELSE CASE WHEN regexp_extract(url,
+                         '^[a-z]+://[^/?#]+([^?#]*)', 1) = ''
+                     THEN '/' ELSE regexp_extract(url,
+                         '^[a-z]+://[^/?#]+([^?#]*)', 1) END END)
+       AS surt
+FROM urls ORDER BY doc_id
+"""
+
 LINE_DEDUP_SQL = r"""
 WITH documents2 AS (
   SELECT doc_id,
@@ -127,8 +167,32 @@ def main():
     ok2 = compare("line_dedup",
                   line_dedup(dup_in).select("doc_id", "text")
                   .orderBy("doc_id"), LINE_DEDUP_SQL)
+    # closing-session candidates (SURVEY.md 11.11-11.12)
+    from spandex_spark.operators.langmodel import perplexity_buckets
+    from spandex_spark.sources.cdx import surt_key
+    ppl_in = docs.select(
+        "doc_id", "lang",
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("perplexity"))
+    ok3 = compare("perplexity_buckets",
+                  perplexity_buckets(ppl_in)
+                  .select("doc_id", "lang", "perplexity", "ppl_bucket")
+                  .orderBy("doc_id"), PPL_BUCKETS_SQL)
+    surt_in = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://WWW.Host"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".Example.org/Path"),
+                 F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.concat(F.lit("?q="),
+                                 (F.col("doc_id") % 5).cast("string")))
+                 .otherwise(F.lit(""))).alias("url"))
+    ok4 = compare("surt_key",
+                  surt_in.select("doc_id",
+                                 surt_key(F.col("url")).alias("surt"))
+                  .orderBy("doc_id"), SURT_SQL)
     spark.stop()
-    sys.exit(0 if (ok1 and ok2) else 1)
+    sys.exit(0 if (ok1 and ok2 and ok3 and ok4) else 1)
 
 
 if __name__ == "__main__":
