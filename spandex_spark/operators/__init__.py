@@ -19,6 +19,7 @@ from spandex_spark.operators.affine import (  # noqa: F401
     affine_transform, translate, scale_geom, rotate)
 from spandex_spark.operators.dissolve import dissolve_by, union_by  # noqa: F401
 from spandex_spark.operators.distance import within_distance_join  # noqa: F401
+from spandex_spark.operators.adaptive import adaptive_cells  # noqa: F401
 from spandex_spark.operators.spatialstats import (  # noqa: F401
     morans_i, local_morans_i, getis_ord_gi_star)
 from spandex_spark.operators.tiles import (  # noqa: F401
