@@ -418,6 +418,14 @@ CHECKS = {
          "ONE groupBy, no joins — arcs shared via the group, not a "
          "shuffle"),
     ],
+    "adaptive_cells (density-balanced keys)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — codegen cell keys, count aggregate, "
+         "broadcast overfull list"),
+        ("ExistingRDD|LogicalRDD|Scan", "final plan reads the "
+         "checkpoint-materialized rounds (iterative convention)"),
+    ],
     "raster_profile (line stations)": [
         ("ArrowEvalPython", "arc-length station kernel (the one "
          "documented Python pass)"),
@@ -859,6 +867,9 @@ def main():
     plans["perplexity_buckets (CCNet head/middle/tail)"] = _ppb(
         docs.withColumn("perplexity",
                         (F.col("doc_id") % 97).cast("double")))
+    from spandex_spark.operators.adaptive import adaptive_cells as _adc
+    plans["adaptive_cells (density-balanced keys)"] = _adc(
+        pts, max_per_cell=40, base_level=3, max_level=12)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
