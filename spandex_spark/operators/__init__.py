@@ -15,6 +15,7 @@ from spandex_spark.operators.split import (  # noqa: F401
 from spandex_spark.operators.simplify import (  # noqa: F401
     simplify, convex_hull, snap_to_grid, point_on_surface, segmentize)
 from spandex_spark.operators.toposimplify import simplify_topology  # noqa: F401
+from spandex_spark.operators.snap import snap_to_layer  # noqa: F401
 from spandex_spark.operators.affine import (  # noqa: F401
     affine_transform, translate, scale_geom, rotate)
 from spandex_spark.operators.dissolve import dissolve_by, union_by  # noqa: F401
