@@ -426,6 +426,11 @@ CHECKS = {
         ("ExistingRDD|LogicalRDD|Scan", "final plan reads the "
          "checkpoint-materialized rounds (iterative convention)"),
     ],
+    "snap_to_layer (conflation join)": [
+        ("FlatMapGroupsInPandas", "per-target snap kernel over Arrow "
+         "groups (only targets near the reference reach it)"),
+        ("BroadcastHashJoin", "reference cell-cover broadcast"),
+    ],
     "raster_profile (line stations)": [
         ("ArrowEvalPython", "arc-length station kernel (the one "
          "documented Python pass)"),
@@ -870,6 +875,10 @@ def main():
     from spandex_spark.operators.adaptive import adaptive_cells as _adc
     plans["adaptive_cells (density-balanced keys)"] = _adc(
         pts, max_per_cell=40, base_level=3, max_level=12)
+    from spandex_spark.operators.snap import snap_to_layer as _snp
+    plans["snap_to_layer (conflation join)"] = _snp(
+        parcels_df(spark), zones_df(spark), tolerance=0.01,
+        target_id_col="parcel_id")
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
