@@ -657,3 +657,93 @@ def raster_profile(lines: DataFrame, tiles: DataFrame, *,
         F.col("p._lid").alias(line_id_col), F.col("p.s").alias("s"),
         F.col("p.dist").alias("dist"), F.col("p.lon").alias("lon"),
         F.col("p.lat").alias("lat"), "v")
+
+
+def raster_pyramid(tiles: DataFrame, *, levels: int,
+                   origin_x: float, origin_y: float) -> DataFrame:
+    """Overview pyramid (COG/GDAL BuildOverviews analog): each level
+    halves the resolution by 2x2 mean-pooling AND merges 2x2 tile
+    blocks into one tile, so tile pixel dimensions stay constant while
+    the tile COUNT quarters per level — the layout every tile server
+    and overview reader expects.  Output: the input tile schema plus a
+    ``level`` column (0 = the input itself), merged tile_id =
+    ty·2^20 + tx at that level's tile grid.
+
+    Nodata: pooling is the mean of the non-NULL quadrant pixels
+    (GDAL's AVERAGE resampling); an all-NULL 2x2 block stays NULL, and
+    missing neighbor tiles at a raster edge contribute NULL quadrants.
+
+    Scale shape: level k is ONE groupBy on the parent tile key over
+    level k-1's tiles (a shuffle that shrinks 4x per level); per-tile
+    work is a numpy reshape-mean.  ``nx, ny`` must be even.
+    """
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    # function-local import: focal imports zonal._with_res_y at module
+    # level, so the reverse import must stay deferred
+    from spandex_spark.operators.focal import _tile_shape
+    tiles = _with_res_y(tiles)
+    res, res_y, nx, ny = _tile_shape(tiles)
+    if nx % 2 or ny % 2:
+        raise ValueError("raster_pyramid needs even tile dims")
+
+    out = tiles.select("tile_id", "x0", "y0", "res", "res_y",
+                       "nx", "ny", "values",
+                       F.lit(0).alias("level"))
+    cur = out
+    for lvl in range(1, levels + 1):
+        r, ry_ = res * (2 ** (lvl - 1)), res_y * (2 ** (lvl - 1))
+        tw, th = r * nx, ry_ * ny
+        keyed = cur.filter(F.col("level") == lvl - 1).select(
+            "values",
+            F.floor(F.round((F.col("x0") - F.lit(origin_x)) / F.lit(tw))
+                    / 2).cast("long").alias("ptx"),
+            F.floor(F.round((F.col("y0") - F.lit(origin_y)) / F.lit(th))
+                    / 2).cast("long").alias("pty"),
+            (F.round((F.col("x0") - F.lit(origin_x)) / F.lit(tw))
+             % 2).cast("int").alias("qx"),
+            (F.round((F.col("y0") - F.lit(origin_y)) / F.lit(th))
+             % 2).cast("int").alias("qy"))
+
+        merge_schema = T.StructType([
+            T.StructField("tile_id", T.LongType()),
+            T.StructField("x0", T.DoubleType()),
+            T.StructField("y0", T.DoubleType()),
+            T.StructField("res", T.DoubleType()),
+            T.StructField("res_y", T.DoubleType()),
+            T.StructField("nx", T.IntegerType()),
+            T.StructField("ny", T.IntegerType()),
+            T.StructField("values", T.ArrayType(T.DoubleType())),
+            T.StructField("level", T.IntegerType()),
+        ])
+
+        def _make_merge(_r, _ry, _tw, _th, _lvl):
+          # factory: default args would change the visible arity and
+          # fail applyInPandas' (key, data) signature check
+          def _merge(key, pdf):
+            ptx, pty = int(key[0]), int(key[1])
+            block = np.full((2 * ny, 2 * nx), np.nan)
+            for row in pdf.itertuples(index=False):
+                v = np.asarray([np.nan if x is None else x
+                                for x in row.values],
+                               np.float64).reshape(ny, nx)
+                r0 = int(row.qy) * ny
+                c0 = int(row.qx) * nx
+                block[r0:r0 + ny, c0:c0 + nx] = v
+            p = block.reshape(ny, 2, nx, 2).transpose(0, 2, 1, 3) \
+                .reshape(ny, nx, 4)
+            with np.errstate(invalid="ignore"):
+                pooled = np.nanmean(p, axis=2)
+            vals = [None if np.isnan(x) else float(x)
+                    for x in pooled.ravel()]
+            return pd.DataFrame(
+                [(pty * (1 << 20) + ptx,
+                  origin_x + ptx * 2 * _tw, origin_y + pty * 2 * _th,
+                  _r * 2, _ry * 2, nx, ny, vals, _lvl)],
+                columns=[f.name for f in merge_schema.fields])
+          return _merge
+
+        cur = keyed.groupBy("ptx", "pty").applyInPandas(
+            _make_merge(r, ry_, tw, th, lvl), merge_schema)
+        out = out.unionByName(cur)
+    return out

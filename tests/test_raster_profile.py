@@ -87,3 +87,47 @@ def test_perplexity_buckets_per_language(spark):
     assert out["x"] is None
     with pytest.raises(ValueError):
         perplexity_buckets(df, cuts=(0.5,), labels=("a", "b", "c"))
+
+
+def test_raster_pyramid_levels_and_means(spark):
+    from spandex_spark.operators.zonal import raster_pyramid
+    # 2x2 tile grid of 4x4 tiles; v = global column index
+    rows = []
+    n = 4
+    for ty in range(2):
+        for tx in range(2):
+            vals = [float(tx * n + c) for r in range(n) for c in range(n)]
+            rows.append((ty * 10 + tx, tx * 4.0, ty * 4.0, 1.0, n, n,
+                         vals))
+    tiles = spark.createDataFrame(rows, TILE)
+    out = raster_pyramid(tiles, levels=2, origin_x=0.0, origin_y=0.0)
+    by_level = {}
+    for r in out.collect():
+        by_level.setdefault(r["level"], []).append(r)
+    assert sorted(by_level) == [0, 1, 2]
+    assert len(by_level[0]) == 4 and len(by_level[1]) == 1 \
+        and len(by_level[2]) == 1
+    l1 = by_level[1][0]
+    assert (l1["res"], l1["nx"], l1["ny"]) == (2.0, 4, 4)
+    assert (l1["x0"], l1["y0"]) == (0.0, 0.0)
+    # level-1 pixel (row 0, col c) = mean of global cols 2c, 2c+1
+    want = [(2 * c + 0.5) for c in range(4)]
+    assert l1["values"][:4] == pytest.approx(want)
+    l2 = by_level[2][0]
+    assert (l2["res"], l2["nx"], l2["ny"]) == (4.0, 4, 4)
+    # level 2 covers 16x16 input pixels with only 8x8 present: the
+    # right half (missing tiles) is NULL
+    v2 = l2["values"]
+    assert all(v is None for i, v in enumerate(v2)
+               if i % 4 >= 2 or i // 4 >= 2)
+    assert v2[0] == pytest.approx(1.5)  # mean of global cols 0..3
+
+
+def test_raster_pyramid_nodata_average(spark):
+    from spandex_spark.operators.zonal import raster_pyramid
+    vals = [1.0, None, None, None] + [None] * 12  # one 2x2 block: only 1.0
+    tiles = spark.createDataFrame([(1, 0.0, 0.0, 1.0, 4, 4, vals)], TILE)
+    out = raster_pyramid(tiles, levels=1, origin_x=0.0, origin_y=0.0)
+    l1 = [r for r in out.collect() if r["level"] == 1][0]
+    assert l1["values"][0] == pytest.approx(1.0)  # mean of non-null
+    assert l1["values"][1] is None                # all-null block
