@@ -431,6 +431,11 @@ CHECKS = {
          "groups (only targets near the reference reach it)"),
         ("BroadcastHashJoin", "reference cell-cover broadcast"),
     ],
+    "raster_pyramid (overview levels)": [
+        ("FlatMapGroupsInPandas", "per-parent-tile 2x2 merge+pool "
+         "kernel"),
+        ("Union", "levels union into one frame (level column)"),
+    ],
     "raster_profile (line stations)": [
         ("ArrowEvalPython", "arc-length station kernel (the one "
          "documented Python pass)"),
@@ -879,6 +884,10 @@ def main():
     plans["snap_to_layer (conflation join)"] = _snp(
         parcels_df(spark), zones_df(spark), tolerance=0.01,
         target_id_col="parcel_id")
+    from spandex_spark.operators.zonal import raster_pyramid as _rpy
+    plans["raster_pyramid (overview levels)"] = _rpy(
+        raster_tiles_df(spark), levels=2, origin_x=-10.0,
+        origin_y=-10.0)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
