@@ -910,6 +910,75 @@ def _q_zonal_geotiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_zonal_geotiff(spark, sf_dir, compression="packbits")
 
 
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/IP/SSN/phone → placeholders) over documents.
+
+    The fixture docs carry no PII, so the query CONSTRUCTS it in-query
+    (email + IP suffix per doc_id) identically in Spark and in the
+    DuckDB oracle — otherwise the oracle would pass as a trivial
+    identity.  DuckDB runs the IDENTICAL regex chain (Java∩RE2 subset,
+    per-pattern semantics pre-validated in tests/test_pii.py)."""
+    from spandex_spark.operators.pii import scrub_pii
+    docs = _t(spark, sf_dir, "documents")
+    pii_in = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" reach user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com or 10.0.0."),
+                         (F.col("doc_id") % 256).cast("string")))
+    return scrub_pii(pii_in).select("doc_id", "text")
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (first occurrence wins, CCNet/RefinedWeb
+    style): a shared boilerplate line is injected into every doc and the
+    doc's own text is doubled, so the operator must drop the duplicate
+    lines everywhere but their first (doc_id, pos) occurrence.  Oracle:
+    DuckDB string_split + row_number over line content + string_agg."""
+    from spandex_spark.operators.dedup import line_dedup
+    docs = _t(spark, sf_dir, "documents")
+    dup_in = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\n"),
+                         F.lit("SHARED BOILERPLATE "), F.col("lang"),
+                         F.lit("\n"), F.col("text")))
+    return line_dedup(dup_in).select("doc_id", "text")
+
+
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity tertiles (head/middle/tail).
+
+    Perplexity is a deterministic in-query function of doc_id so the
+    bucket boundaries are reproducible; oracle is DuckDB percent_rank
+    over the same scored frame."""
+    from spandex_spark.operators.langmodel import perplexity_buckets
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang",
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("perplexity"))
+    return (perplexity_buckets(scored)
+            .select("doc_id", "lang", "perplexity", "ppl_bucket"))
+
+
+def _q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical URL keys (Sort-friendly URI Reordering Transform,
+    the CDX index sort key): scheme dropped, host lowercased, www.
+    stripped, labels reversed comma-joined, ')' + lowercased path+query.
+    Pure codegen string expressions; oracle reproduces each step with
+    DuckDB string functions."""
+    from spandex_spark.sources.cdx import surt_key
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://WWW.Host"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".Example.org/Path"),
+                 F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.concat(F.lit("?q="),
+                                 (F.col("doc_id") % 5).cast("string")))
+                 .otherwise(F.lit(""))).alias("url"))
+    return urls.select("doc_id", surt_key(F.col("url")).alias("surt"))
+
+
 def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5: EPSG:4326 → 3857 analytic reprojection."""
     from spandex_spark.operators import reproject
@@ -1583,9 +1652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds unverified.
     # r5 head: the 31 queries that were outside the r4 window (all were
     # r3-green; after r5 they are freshly verified again), then the 17
-    # r5-new queries.  The 50 r4-verified queries rotate to the tail;
-    # the first 2 (bpe_piece_count, fingerprint) still land inside the
-    # 50-entry window.
+    # r5-new queries, then 2 late-r5 queue promotions (scrub_pii,
+    # line_dedup) in the final 2 window slots — 31+17+2 = exactly 50.
+    # The 50 r4-verified queries rotate to the tail (bpe_piece_count and
+    # fingerprint fall just outside the window, 1 round stale).
     # r6 OBLIGATION: the 48 r4-verified entries BELOW the r5 window
     # (ann_topk .. geotag) must lead the r6 dict — they will then be
     # exactly 2 rounds since last check, the policy's hard ceiling.
@@ -1681,7 +1751,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
         "zonal_geotiff_aniso": _q_zonal_geotiff_aniso,
         "zonal_geotiff_packbits": _q_zonal_geotiff_packbits,
-        # r4-verified, rotating toward the tail; first ~15 stay in-window
+        # late-r5 additions from the pre-validated queue: all four below
+        # hash-matched their oracles under the exact driver compare in
+        # scripts/r6_oracle_candidates.py this session.  The 31-query
+        # rotation obligation + 17 r5-new entries leave exactly 2 free
+        # window slots (49-50): scrub_pii and line_dedup take them,
+        # displacing bpe_piece_count/fingerprint to 1-round stale
+        # (r4-green, inside the ≤2-round ceiling).  perplexity_buckets
+        # and surt_key land at positions 51-52 — outside the driver
+        # window, evidenced by the pre-validator run instead.
+        "scrub_pii": _q_scrub_pii,
+        "line_dedup": _q_line_dedup,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "surt_key": _q_surt_key,
+        # r4-verified, rotating toward the tail
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
@@ -2785,4 +2868,93 @@ def oracle_sql() -> dict[str, str]:
     d["nearest_road_cells"] = d["nearest_road"]
     d["nearest_road_shapefile"] = d["nearest_road"]
     d["asof_join_bucketed"] = d["asof_join"]
+    # late-r5 queue promotions — these four SQL strings are the exact
+    # ones hash-pre-validated in scripts/r6_oracle_candidates.py
+    from spandex_spark.operators.pii import PII_RULES
+    _phone = dict((n, p) for n, p, _ in PII_RULES)["phone"]
+    d["scrub_pii"] = r"""
+        WITH docs2 AS (
+          SELECT doc_id,
+                 text || ' reach user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 10.0.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b',
+                     '<IP>', 'g'),
+                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                 'PHONE_PATTERN', '<PHONE>', 'g') AS text
+        FROM docs2
+    """.replace("PHONE_PATTERN", _phone.replace("'", "''"))
+    d["line_dedup"] = r"""
+        WITH documents2 AS (
+          SELECT doc_id,
+                 text || chr(10) || 'SHARED BOILERPLATE ' || lang
+                      || chr(10) || text AS text
+          FROM documents),
+        lines AS (
+          SELECT doc_id, u.line, u.pos
+          FROM documents2,
+               LATERAL (SELECT UNNEST(string_split(text, chr(10))) AS line,
+                               generate_subscripts(string_split(text, chr(10)), 1) AS pos) u
+          WHERE text IS NOT NULL
+        ), ranked AS (
+          SELECT doc_id, line, pos,
+                 CASE WHEN length(line) < 1 THEN 1
+                      ELSE row_number() OVER (PARTITION BY
+                             CASE WHEN length(line) >= 1 THEN line END
+                           ORDER BY doc_id, pos) END AS rk
+          FROM lines
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce((SELECT string_agg(line, chr(10) ORDER BY pos)
+                                   FROM ranked r
+                                   WHERE r.doc_id = d.doc_id AND r.rk = 1), '')
+               END AS text
+        FROM documents2 d
+    """
+    d["perplexity_buckets"] = """
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST((doc_id * 37) % 101 AS DOUBLE) AS perplexity
+          FROM documents)
+        SELECT doc_id, lang, perplexity,
+               CASE WHEN pr < 1.0/3.0 THEN 'head'
+                    WHEN pr < 2.0/3.0 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM (SELECT *, percent_rank() OVER (PARTITION BY lang
+                                             ORDER BY perplexity) AS pr
+              FROM scored)
+    """
+    d["surt_key"] = r"""
+        WITH urls AS (
+          SELECT doc_id,
+                 'https://WWW.Host' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.Example.org/Path' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '?q=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END
+                 AS url
+          FROM documents)
+        SELECT doc_id,
+               array_to_string(list_reverse(string_split(
+                   regexp_replace(lower(regexp_extract(url,
+                       '^[a-z]+://([^/?#]+)', 1)), '^www\.', ''), '.')), ',')
+               || ')'
+               || lower(CASE WHEN url LIKE '%?%'
+                        THEN regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                             || '?' || regexp_extract(url, '\?([^#]*)', 1)
+                        ELSE CASE WHEN regexp_extract(url,
+                                 '^[a-z]+://[^/?#]+([^?#]*)', 1) = ''
+                             THEN '/' ELSE regexp_extract(url,
+                                 '^[a-z]+://[^/?#]+([^?#]*)', 1) END END)
+               AS surt
+        FROM urls
+    """
     return d
