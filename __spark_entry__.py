@@ -979,6 +979,29 @@ def _q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.select("doc_id", surt_key(F.col("url")).alias("surt"))
 
 
+def _q_geoip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style 1-D interval join: pseudo-IPv4 (Knuth multiplicative
+    hash of doc_id, uint32 domain) LEFT-joined to 200 location blocks
+    that cover exactly half the address space (width 1e7 every 2e7), so
+    the result mixes hits and NULL-location misses.  Scale path: the
+    binned equi-join of operators/rangejoin.py (the 1-D analog of the
+    two-phase cell join); oracle is the literal BETWEEN theta join."""
+    from spandex_spark.operators.rangejoin import interval_join
+    docs = _t(spark, sf_dir, "documents")
+    facts = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("long").alias("ip"))
+    ivs = spark.range(200).select(
+        F.col("id").alias("loc_id"),
+        (F.col("id") * F.lit(20_000_000)).alias("lo"),
+        (F.col("id") * F.lit(20_000_000) + F.lit(9_999_999)).alias("hi"))
+    out = interval_join(facts, ivs, value_col="ip", lo_col="lo",
+                        hi_col="hi", how="left", fact_id_col="doc_id",
+                        bin_size=10_000_000.0)
+    return out.select("doc_id", "ip", "loc_id")
+
+
 def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5: EPSG:4326 → 3857 analytic reprojection."""
     from spandex_spark.operators import reproject
@@ -1764,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
         "surt_key": _q_surt_key,
+        "geoip_join": _q_geoip_join,
         # r4-verified, rotating toward the tail
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
@@ -2956,5 +2980,18 @@ def oracle_sql() -> dict[str, str]:
                                  '^[a-z]+://[^/?#]+([^?#]*)', 1) END END)
                AS surt
         FROM urls
+    """
+    d["geoip_join"] = """
+        WITH facts AS (
+          SELECT doc_id,
+                 CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS ip
+          FROM documents),
+        ivs AS (
+          SELECT j AS loc_id,
+                 j * 20000000 AS lo,
+                 j * 20000000 + 9999999 AS hi
+          FROM range(200) t(j))
+        SELECT f.doc_id, f.ip, i.loc_id
+        FROM facts f LEFT JOIN ivs i ON f.ip BETWEEN i.lo AND i.hi
     """
     return d

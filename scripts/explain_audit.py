@@ -436,6 +436,17 @@ CHECKS = {
          "kernel"),
         ("Union", "levels union into one frame (level column)"),
     ],
+    "interval_join (binned 1-D range join)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas))",
+         "ZERO Python operators — bins from floor/sequence column "
+         "arithmetic, BETWEEN refine in codegen"),
+        ("Generate explode", "interval→bin explode is JVM-side"),
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "the narrow branch is a real equi-join on the bin key"),
+        (r"^(?![\s\S]*CartesianProduct)",
+         "no cartesian anywhere — wide outliers ride "
+         "BroadcastNestedLoopJoin, never a cross product"),
+    ],
     "raster_profile (line stations)": [
         ("ArrowEvalPython", "arc-length station kernel (the one "
          "documented Python pass)"),
@@ -888,6 +899,17 @@ def main():
     plans["raster_pyramid (overview levels)"] = _rpy(
         raster_tiles_df(spark), levels=2, origin_x=-10.0,
         origin_y=-10.0)
+    from spandex_spark.operators.rangejoin import interval_join as _ivj
+    _facts = spark.range(20000).select(
+        F.col("id").alias("fid"),
+        ((F.col("id") * 7919) % 1000000).cast("double").alias("v"))
+    _ivs = spark.range(800).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 1250.0).alias("lo"),
+        (F.col("id") * 1250.0 + 1249.0).alias("hi"))
+    plans["interval_join (binned 1-D range join)"] = _ivj(
+        _facts, _ivs, value_col="v", lo_col="lo", hi_col="hi",
+        bin_size=1250.0)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
