@@ -1774,15 +1774,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_geotiff_multiband": _q_zonal_geotiff_multiband,
         "zonal_geotiff_aniso": _q_zonal_geotiff_aniso,
         "zonal_geotiff_packbits": _q_zonal_geotiff_packbits,
-        # late-r5 additions from the pre-validated queue: all four below
-        # hash-matched their oracles under the exact driver compare in
-        # scripts/r6_oracle_candidates.py this session.  The 31-query
-        # rotation obligation + 17 r5-new entries leave exactly 2 free
-        # window slots (49-50): scrub_pii and line_dedup take them,
-        # displacing bpe_piece_count/fingerprint to 1-round stale
-        # (r4-green, inside the ≤2-round ceiling).  perplexity_buckets
-        # and surt_key land at positions 51-52 — outside the driver
-        # window, evidenced by the pre-validator run instead.
+        # late-r5 additions: the first FOUR below hash-matched their
+        # oracles under the exact driver compare in
+        # scripts/r6_oracle_candidates.py this session; geoip_join (new
+        # operator, not in that pre-validator) was hash-validated via
+        # scripts/check_parity.py instead.  The 31-query rotation
+        # obligation + 17 r5-new entries leave exactly 2 free window
+        # slots (49-50): scrub_pii and line_dedup take them, displacing
+        # bpe_piece_count/fingerprint to 1-round stale (r4-green, inside
+        # the ≤2-round ceiling).  perplexity_buckets, surt_key and
+        # geoip_join land at positions 51-53 — outside the driver
+        # window, evidenced by the local parity runs instead.
         "scrub_pii": _q_scrub_pii,
         "line_dedup": _q_line_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
@@ -2892,8 +2894,9 @@ def oracle_sql() -> dict[str, str]:
     d["nearest_road_cells"] = d["nearest_road"]
     d["nearest_road_shapefile"] = d["nearest_road"]
     d["asof_join_bucketed"] = d["asof_join"]
-    # late-r5 queue promotions — these four SQL strings are the exact
-    # ones hash-pre-validated in scripts/r6_oracle_candidates.py
+    # late-r5 queue promotions — the first four SQL strings are the
+    # exact ones hash-pre-validated in scripts/r6_oracle_candidates.py;
+    # geoip_join's oracle was hash-validated via scripts/check_parity.py
     from spandex_spark.operators.pii import PII_RULES
     _phone = dict((n, p) for n, p, _ in PII_RULES)["phone"]
     d["scrub_pii"] = r"""

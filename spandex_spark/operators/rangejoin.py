@@ -85,20 +85,24 @@ def interval_join(facts: DataFrame, intervals: DataFrame, *,
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    if how == "left" and fact_id_col is None:
-        raise ValueError("how='left' requires fact_id_col (a non-null "
-                         "unique fact key for miss recovery)")
     overlap = set(facts.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)};"
                          " rename before joining")
+    if "_bin" in facts.columns or "_bin" in intervals.columns:
+        raise ValueError("'_bin' is reserved by interval_join; rename it")
 
     v = F.col(value_col)
     between = v.between(F.col(lo_col), F.col(hi_col))
 
     if broadcast_intervals:
+        # plain BroadcastNestedLoopJoin either way — no miss-recovery
+        # key needed on this path
         joined = facts.join(F.broadcast(intervals), on=between, how=how)
         return joined
+    if how == "left" and fact_id_col is None:
+        raise ValueError("how='left' requires fact_id_col (a non-null "
+                         "unique fact key for miss recovery)")
 
     if bin_size is None:
         bin_size = _median_width(intervals, lo_col, hi_col)
@@ -122,7 +126,12 @@ def interval_join(facts: DataFrame, intervals: DataFrame, *,
     if how == "inner":
         return matched
     # left: anti-join on the unique fact key recovers facts no interval
-    # covered, NULL-padded to the interval schema.
+    # covered, NULL-padded to the interval schema.  `matched` feeds both
+    # the union and the anti-join's right side — persist so the
+    # explode+shuffle+refine subtree materializes once instead of
+    # executing twice (a diamond DAG gets no ReusedExchange across the
+    # differing projections).
+    matched = matched.persist()
     misses = facts.join(matched.select(fact_id_col), on=[fact_id_col],
                         how="left_anti")
     for c, t in intervals.dtypes:

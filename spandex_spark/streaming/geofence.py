@@ -141,19 +141,22 @@ def zone_transitions_batch(tagged: DataFrame, *, entity_col: str = "user_id",
     Duplicate-ts rows within an entity follow the same drop rule as the
     stream (only ONE row per (entity, ts) is observed) — which of the
     duplicates wins is input-order-dependent in both paths, so feed
-    unique timestamps per entity when that matters."""
+    unique timestamps per entity when that matters.  NULL handling also
+    mirrors the stream kernel: NULL-ts rows drop, and a NULL-zone first
+    sighting emits nothing (the entity was never inside a fence)."""
     from pyspark.sql import Window
     src = (tagged.select(F.col(entity_col).alias("entity"),
                          F.col(ts_col).alias("ts"),
                          F.col(zone_col).cast("long").alias("zone_id"))
+           .filter(F.col("ts").isNotNull())
            .withColumn("_rn", F.row_number().over(
                Window.partitionBy("entity", "ts").orderBy("ts")))
            .filter(F.col("_rn") == 1).drop("_rn"))
     w = Window.partitionBy("entity").orderBy("ts")
     lagz = F.lag("zone_id").over(w)
     lagseen = F.lag(F.lit(1)).over(w)
-    changed = F.when(lagseen.isNull(), F.lit(True)).otherwise(
-        ~(F.col("zone_id").eqNullSafe(lagz)))
+    changed = F.when(lagseen.isNull(), F.col("zone_id").isNotNull()) \
+        .otherwise(~(F.col("zone_id").eqNullSafe(lagz)))
     return (src.withColumn("from_zone", lagz)
             .withColumn("_chg", changed)
             .filter(F.col("_chg"))

@@ -47,6 +47,7 @@ def test_cross_batch_transitions_and_late_drop(spark, tmp_path):
         ("u1", "2026-01-01T00:01:00", 5),     # no change
         ("u2", "2026-01-01T00:00:30", 7),
     ])
+    time.sleep(1.1)   # distinct modTime: file-source order is modTime-based
     _write(str(src), "b.parquet", [
         ("u1", "2026-01-01T00:02:00", 9),     # cross-batch 5 -> 9
         ("u1", "2026-01-01T00:00:30", 1),     # LATE (before state ts): drop
@@ -75,7 +76,9 @@ def test_batch_twin_parity_random_walk(spark, tmp_path):
     rng.shuffle(rows)
     third = len(rows) // 3
     _write(str(src), "a.parquet", rows[:third])
+    time.sleep(1.1)
     _write(str(src), "b.parquet", rows[third:2 * third])
+    time.sleep(1.1)
     _write(str(src), "c.parquet", rows[2 * third:])
     got = _tuples(_run_stream(spark, src, "gf2"))
     import datetime
@@ -90,7 +93,9 @@ def test_batch_twin_parity_random_walk(spark, tmp_path):
     src2.mkdir()
     rows_sorted = sorted(rows, key=lambda r: r[1])
     _write(str(src2), "a.parquet", rows_sorted[:third])
+    time.sleep(1.1)
     _write(str(src2), "b.parquet", rows_sorted[third:2 * third])
+    time.sleep(1.1)
     _write(str(src2), "c.parquet", rows_sorted[2 * third:])
     got_sorted = _tuples(_run_stream(spark, src2, "gf3"))
     assert got_sorted == expect
