@@ -89,3 +89,4 @@ from spandex_spark.operators.genpoints import generate_points  # noqa: F401
 from spandex_spark.operators.voronoi import (  # noqa: F401
     alpha_shape, delaunay_edges, delaunay_triangles, voronoi_polygons)
 from spandex_spark.operators.rangejoin import interval_join  # noqa: F401
+from spandex_spark.operators.buffer import erode_polygons  # noqa: F401
