@@ -45,7 +45,8 @@ from spandex_spark.operators.network import shortest_paths, service_areas  # noq
 from spandex_spark.operators.warp import warp_tiles  # noqa: F401
 from spandex_spark.operators.viewshed import viewshed, viewshed_counts  # noqa: F401
 from spandex_spark.operators.predicates import spatial_predicate_join  # noqa: F401
-from spandex_spark.operators.bounds import bounding_circle, oriented_envelope  # noqa: F401
+from spandex_spark.operators.bounds import (  # noqa: F401
+    bounding_circle, oriented_envelope, max_inscribed_circle)
 from spandex_spark.operators.geomdist import (  # noqa: F401
     frechet_distance, hausdorff_distance, closest_point)
 from spandex_spark.operators.buffer import buffer_points, buffer_polygons  # noqa: F401
