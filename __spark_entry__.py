@@ -1723,6 +1723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # train_kn_lm/kn_score (model-table joins), kriging_grid,
     # viewshed, fill_sinks, flow_accumulation, simplify_topology,
     # node_lines/polygonize_linework, write_wat (file-format edge).
+    # Final-continuation additions (see SURVEY.md 11.13): geoip_join is
+    # already oracled at position 53; pytest-first with SQL-oracle-able
+    # closed forms awaiting slots — erode_polygons (rect (w-2r)(h-2r) /
+    # donut fan closed forms), max_inscribed_circle (4-2*sqrt(2) corner
+    # forms); rows-only by nature — zone_transitions (streaming
+    # stateful; its batch twin zone_transitions_batch IS lag-window
+    # SQL-oracle-able if a slot opens).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
