@@ -1730,6 +1730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # forms); rows-only by nature — zone_transitions (streaming
     # stateful; its batch twin zone_transitions_batch IS lag-window
     # SQL-oracle-able if a slot opens).
+    # Post-final wave (SURVEY.md 11.14), rows-only by nature —
+    # substring_dedup (ExactSubstr span surgery; window hashes are
+    # xxhash64-defined, no DuckDB twin — planted-passage closed forms
+    # pytested like the minhash family).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

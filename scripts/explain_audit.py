@@ -470,6 +470,15 @@ CHECKS = {
          "ZERO Python operators — one percent_rank window"),
         ("windowspecdefinition", "per-language rank window"),
     ],
+    "substring_dedup (ExactSubstr span surgery)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — rolling window hashes and the "
+         "filter(tokens, ...) rebuild are all codegen"),
+        ("Generate posexplode", "window-hash explode is JVM-side"),
+        ("partial_min|partial_count|partialmerge",
+         "map-side combine on the per-hash canonical-occurrence agg"),
+    ],
     "flow_accumulation (tile topo rounds)": [
         ("ExistingRDD|LogicalRDD|Scan", "the final plan READS the "
          "checkpoint-materialized fixpoint state — the per-round "
@@ -931,6 +940,16 @@ def main():
     plans["interval_join (binned 1-D range join)"] = _ivj(
         _facts, _ivs, value_col="v", lo_col="lo", hi_col="hi",
         bin_size=1250.0)
+    from spandex_spark.operators.dedup import substring_dedup as _ssd
+    _sdocs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda i: F.format_string("w%d", i)), " "),
+            F.format_string(" tail%d", F.col("id"))).alias("text"))
+    plans["substring_dedup (ExactSubstr span surgery)"] = _ssd(
+        _sdocs, k=50)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

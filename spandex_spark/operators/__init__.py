@@ -67,7 +67,8 @@ from spandex_spark.operators.linkgraph import (  # noqa: F401
 from spandex_spark.operators.urls import (  # noqa: F401
     url_parts, normalize_url, registrable_domain, domain_stats,
     parse_sitemap, frontier_batches)
-from spandex_spark.operators.dedup import line_dedup, decontaminate  # noqa: F401
+from spandex_spark.operators.dedup import (  # noqa: F401
+    line_dedup, decontaminate, substring_dedup)
 from spandex_spark.operators.bloom import (  # noqa: F401
     bloom_params, bloom_build, bloom_probe, bloom_unseen)
 from spandex_spark.operators.textstats import (  # noqa: F401

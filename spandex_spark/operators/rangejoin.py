@@ -49,7 +49,7 @@ def _median_width(intervals: DataFrame, lo_col: str, hi_col: str) -> float:
     # pick the bin size; never touches the fact side
     row = intervals.select(
         F.expr(f"percentile_approx({hi_col} - {lo_col}, 0.5)").alias("m"),
-    ).collect()[0]
+    ).collect()[0]  # collect-ok: single aggregated row (median width probe)
     m = row["m"]
     if m is None or float(m) <= 0.0:
         return 1.0
