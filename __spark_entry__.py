@@ -1733,7 +1733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Post-final wave (SURVEY.md 11.14), rows-only by nature —
     # substring_dedup (ExactSubstr span surgery; window hashes are
     # xxhash64-defined, no DuckDB twin — planted-passage closed forms
-    # pytested like the minhash family).
+    # pytested like the minhash family); anchor_stats IS
+    # SQL-oracle-able (regexp + count + row_number have DuckDB twins)
+    # and is a strong future-window candidate; hits is rows-only
+    # (iterative) like pagerank.
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

@@ -479,6 +479,16 @@ CHECKS = {
         ("partial_min|partial_count|partialmerge",
          "map-side combine on the per-hash canonical-occurrence agg"),
     ],
+    "anchor_stats (per-target anchor profile)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — regexp extraction, counts, and the "
+         "top-k window are all codegen"),
+        ("partial_count|partialmerge",
+         "map-side combine on the (dst, anchor) count BEFORE the "
+         "top-k window — hot targets collapse early"),
+        ("windowspecdefinition", "row_number top-k per target"),
+    ],
     "flow_accumulation (tile topo rounds)": [
         ("ExistingRDD|LogicalRDD|Scan", "the final plan READS the "
          "checkpoint-materialized fixpoint state — the per-round "
@@ -950,6 +960,16 @@ def main():
             F.format_string(" tail%d", F.col("id"))).alias("text"))
     plans["substring_dedup (ExactSubstr span surgery)"] = _ssd(
         _sdocs, k=50)
+    from spandex_spark.operators.linkgraph import (
+        extract_anchors as _xa, anchor_stats as _ast)
+    _apages = spark.range(200).select(
+        F.format_string("http://s%d.com/p", F.col("id") % 40).alias("url"),
+        F.format_string(
+            "<a href='http://t%d.com/'>label %d</a>"
+            "<a href='http://hub.com/'>home</a>",
+            F.col("id") % 10, F.col("id") % 3).alias("html"))
+    plans["anchor_stats (per-target anchor profile)"] = _ast(
+        _xa(_apages), k=3)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

@@ -63,7 +63,8 @@ from spandex_spark.operators.hexbin import hexbin  # noqa: F401
 from spandex_spark.operators.costdist import (  # noqa: F401
     cost_distance, isochrones, cost_path, proximity)
 from spandex_spark.operators.linkgraph import (  # noqa: F401
-    extract_links, host_graph, pagerank, label_propagation)
+    extract_links, host_graph, pagerank, label_propagation,
+    extract_anchors, anchor_stats, hits)
 from spandex_spark.operators.urls import (  # noqa: F401
     url_parts, normalize_url, registrable_domain, domain_stats,
     parse_sitemap, frontier_batches)

@@ -144,3 +144,128 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("community"))
+
+
+def extract_anchors(pages: DataFrame, *, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """(src_url, dst_url, anchor) per absolute http(s) ``<a>`` element —
+    the anchor-text companion to `extract_links` (anchor text is the
+    classic weak-label signal for the target page: retrieval training
+    pairs, title synthesis, and spam detection all consume exactly this
+    table).  Pure JVM: one regexp_extract_all pulls whole ``<a ...>…
+    </a>`` elements, then higher-order `transform` lambdas re-extract
+    the href and the tag-stripped, whitespace-collapsed inner text —
+    map-only, zero Python, zero shuffle.
+
+    Same contracts as `extract_links`: absolute links only, fragments
+    stripped, binary html decoded as UTF-8.  Anchors whose inner text
+    is empty after tag-stripping (image links) come out as '' — keep
+    them; `anchor_stats` callers filter if they want text-only."""
+    h = F.col(html_col)
+    html = F.when(h.isNotNull(), h.cast("string"))
+    elems = F.regexp_extract_all(
+        html,
+        F.lit(r"""(?is)(<a\s[^>]*href\s*=\s*["']https?://[^"'\s>]+["'][^>]*>.*?</a>)"""),
+        1)
+    href = lambda e: F.regexp_extract(  # noqa: E731
+        e, r"""(?i)href\s*=\s*["'](https?://[^"'\s>#]+)""", 1)
+    text = lambda e: F.trim(F.regexp_replace(F.regexp_replace(  # noqa: E731
+        F.regexp_extract(e, r"(?is)>(.*)</a>$", 1),
+        r"(?s)<[^>]*>", " "), r"\s+", " "))
+    return (pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.transform(
+            elems, lambda e: F.struct(href(e).alias("dst_url"),
+                                      text(e).alias("anchor"))
+        )).alias("_a"))
+        .select("src_url", "_a.dst_url", "_a.anchor")
+        .where(F.col("dst_url") != ""))
+
+
+def anchor_stats(anchors: DataFrame, *, k: int = 5,
+                 dst_col: str = "dst_url", src_col: str = "src_url",
+                 anchor_col: str = "anchor") -> DataFrame:
+    """Per-target anchor profile: (dst_url, n_refs, n_src_hosts,
+    top_anchors) where top_anchors is the k most frequent non-empty
+    anchor strings (count desc, text asc — deterministic tie break).
+
+    Scale shape: the anchor-text fan-in for popular targets is the
+    classic hot key (a homepage can receive 10^8 anchors), so the
+    per-anchor count happens FIRST on (dst, anchor) — map-side combine
+    collapses repeated strings before anything wide moves — and only
+    then does a row_number window keep k rows per target, so the final
+    per-target aggregate collects at most k strings, never the raw
+    fan-in.  Distinct source hosts via approx HLL (exact opt-in would
+    be one more exchange; same trade as urls.domain_stats)."""
+    from pyspark.sql import Window
+    d, s, a = F.col(dst_col), F.col(src_col), F.col(anchor_col)
+    base = anchors.select(d.alias("dst_url"),
+                          F.lower(F.parse_url(s, F.lit("HOST")))
+                          .alias("_host"), a.alias("anchor"))
+    totals = base.groupBy("dst_url").agg(
+        F.count("*").alias("n_refs"),
+        F.approx_count_distinct("_host").alias("n_src_hosts"))
+    counts = (base.where(F.col("anchor") != "")
+              .groupBy("dst_url", "anchor")
+              .agg(F.count("*").alias("_n")))
+    w = Window.partitionBy("dst_url").orderBy(F.col("_n").desc(),
+                                              F.col("anchor").asc())
+    top = (counts.withColumn("_rk", F.row_number().over(w))
+           .where(F.col("_rk") <= k)
+           .groupBy("dst_url")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("_rk", "anchor"))).alias("_t"))
+           .select("dst_url", F.transform(
+               F.col("_t"), lambda t: t["anchor"]).alias("top_anchors")))
+    return (totals.join(top, "dst_url", "left")
+            .select("dst_url", "n_refs", "n_src_hosts",
+                    F.coalesce(F.col("top_anchors"),
+                               F.array().cast("array<string>"))
+                    .alias("top_anchors")))
+
+
+def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+         iters: int = 20) -> DataFrame:
+    """Kleinberg HITS hubs-and-authorities by power iteration — the
+    PageRank sibling (JACM 1999): auth(v) = Σ hub(u) over in-edges,
+    then L2-normalize; hub(u) = Σ auth(v) over out-edges, then
+    L2-normalize.  Converges to the principal singular vectors of the
+    adjacency matrix; deterministic (uniform init, no sampling).
+
+    Scale shape per round: two edge-sized (node, score) join+agg
+    shuffles and two 1-row norm scalars (pagerank's dangling-mass
+    precedent); state is node-sized; localCheckpoint truncation keeps
+    the plan constant across rounds.  Output: (node, hub, auth) —
+    nodes with no out-edges get hub 0, no in-edges auth 0."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    scores = nodes.select("node", F.lit(1.0).alias("hub"),
+                          F.lit(1.0).alias("auth"))
+    for _ in range(iters):
+        auth = (scores.join(e, scores["node"] == e["src"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("auth")))
+        an = auth.agg(F.sqrt(F.sum(F.col("auth") * F.col("auth")))
+                      ).collect()[0][0]  # collect-ok: 1-row L2 norm scalar per iteration
+        an = float(an) if an else 1.0
+        auth = auth.select("node", (F.col("auth") / F.lit(an)).alias("auth"))
+        scores = (nodes.join(auth, "node", "left")
+                  .select("node",
+                          F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"))
+                  .localCheckpoint(eager=True))
+        hub = (scores.join(e, scores["node"] == e["dst"])
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.sum("auth").alias("hub")))
+        hn = hub.agg(F.sqrt(F.sum(F.col("hub") * F.col("hub")))
+                     ).collect()[0][0]  # collect-ok: 1-row L2 norm scalar per iteration
+        hn = float(hn) if hn else 1.0
+        hub = hub.select("node", (F.col("hub") / F.lit(hn)).alias("hub"))
+        scores = (scores.join(hub, "node", "left")
+                  .select("node", "auth",
+                          F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"))
+                  .localCheckpoint(eager=True))
+    return scores.select("node", "hub", "auth")
