@@ -1736,7 +1736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytested like the minhash family); anchor_stats IS
     # SQL-oracle-able (regexp + count + row_number have DuckDB twins)
     # and is a strong future-window candidate; hits is rows-only
-    # (iterative) like pagerank.
+    # (iterative) like pagerank; pack_chunks is SQL-oracle-able too
+    # (md5 bucket + nested windows + generate_series replicate the
+    # whole slice table); pack_ffd is rows-only (greedy FFD state).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

@@ -479,6 +479,16 @@ CHECKS = {
         ("partial_min|partial_count|partialmerge",
          "map-side combine on the per-hash canonical-occurrence agg"),
     ],
+    "pack_chunks (concat-and-chunk sequence packing)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — md5 bucket, per-bucket cumsum "
+         "window, sequence() span explode, all codegen"),
+        ("windowspecdefinition.*_bkt",
+         "prefix sum is PARTITIONED by bucket — parallel, never a "
+         "single global sort"),
+        ("Generate explode", "pack spans explode JVM-side"),
+    ],
     "anchor_stats (per-target anchor profile)": [
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
          r"FlatMapGroupsInPandas))",
@@ -970,6 +980,12 @@ def main():
             F.col("id") % 10, F.col("id") % 3).alias("html"))
     plans["anchor_stats (per-target anchor profile)"] = _ast(
         _xa(_apages), k=3)
+    from spandex_spark.operators.packing import pack_chunks as _pck
+    _pdocs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).alias("n_tokens"))
+    plans["pack_chunks (concat-and-chunk sequence packing)"] = _pck(
+        _pdocs, context_len=2048, buckets=8)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
