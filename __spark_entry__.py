@@ -1738,7 +1738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and is a strong future-window candidate; hits is rows-only
     # (iterative) like pagerank; pack_chunks is SQL-oracle-able too
     # (md5 bucket + nested windows + generate_series replicate the
-    # whole slice table); pack_ffd is rows-only (greedy FFD state).
+    # whole slice table); pack_ffd is rows-only (greedy FFD state);
+    # dsir_weights is oracle-able in engines with a hex-parse (the
+    # md5-bucket + log-ratio math is plain SQL); dsir_sample noisy=False
+    # is a plain ORDER BY ... LIMIT twin.
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

@@ -479,6 +479,16 @@ CHECKS = {
         ("partial_min|partial_count|partialmerge",
          "map-side combine on the per-hash canonical-occurrence agg"),
     ],
+    "dsir_weights (hashed n-gram importance)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — md5 gram buckets, log-ratio table, "
+         "weight sum all codegen"),
+        ("BroadcastHashJoin", "the bucket-sized log-ratio table "
+         "broadcasts onto the gram stream"),
+        ("partial_count|partialmerge",
+         "bucket counts collapse map-side before anything moves"),
+    ],
     "pack_chunks (concat-and-chunk sequence packing)": [
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
          r"FlatMapGroupsInPandas))",
@@ -986,6 +996,16 @@ def main():
         (F.col("id") % 97 + 1).alias("n_tokens"))
     plans["pack_chunks (concat-and-chunk sequence packing)"] = _pck(
         _pdocs, context_len=2048, buckets=8)
+    from spandex_spark.operators.dsir import dsir_weights as _dsw
+    _draw = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("sample text number %d about topic %d",
+                        F.col("id"), F.col("id") % 7).alias("text"))
+    _dtgt = spark.range(50).select(
+        F.format_string("sample text about topic %d",
+                        F.col("id") % 3).alias("text"))
+    plans["dsir_weights (hashed n-gram importance)"] = _dsw(
+        _draw, _dtgt, ngram=2, buckets=500)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
