@@ -1741,7 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whole slice table); pack_ffd is rows-only (greedy FFD state);
     # dsir_weights is oracle-able in engines with a hex-parse (the
     # md5-bucket + log-ratio math is plain SQL); dsir_sample noisy=False
-    # is a plain ORDER BY ... LIMIT twin.
+    # is a plain ORDER BY ... LIMIT twin; mine_bitext is rows-only
+    # (ANN-kernel-defined) like ann_lsh.
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

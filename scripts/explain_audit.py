@@ -479,6 +479,14 @@ CHECKS = {
         ("partial_min|partial_count|partialmerge",
          "map-side combine on the per-hash canonical-occurrence agg"),
     ],
+    "mine_bitext (margin-scored pair mining)": [
+        ("MapInPandas", "the two ANN retrieval scans (the documented "
+         "Python kernels; everything after is DataFrame algebra)"),
+        ("windowspecdefinition", "best-margin-per-source selection"),
+        (r"^(?![\s\S]*CartesianProduct)",
+         "no cross product — candidates come from top-k retrieval, "
+         "scored via joins on pair keys"),
+    ],
     "dsir_weights (hashed n-gram importance)": [
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
          r"FlatMapGroupsInPandas))",
@@ -1006,6 +1014,19 @@ def main():
                         F.col("id") % 3).alias("text"))
     plans["dsir_weights (hashed n-gram importance)"] = _dsw(
         _draw, _dtgt, ngram=2, buckets=500)
+    from spandex_spark.operators.bitext import mine_bitext as _mbx
+    _bsrc = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda j: F.sin(F.col("id") * j * 0.7))
+        .alias("embedding"))
+    _btgt = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda j: F.cos(F.col("id") * j * 0.3))
+        .alias("embedding"))
+    plans["mine_bitext (margin-scored pair mining)"] = _mbx(
+        _bsrc, _btgt, k=3)
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "
