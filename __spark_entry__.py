@@ -1742,7 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dsir_weights is oracle-able in engines with a hex-parse (the
     # md5-bucket + log-ratio math is plain SQL); dsir_sample noisy=False
     # is a plain ORDER BY ... LIMIT twin; mine_bitext is rows-only
-    # (ANN-kernel-defined) like ann_lsh.
+    # (ANN-kernel-defined) like ann_lsh; train_unigram/apply_unigram
+    # are model-table ops, rows-only like train_bpe/apply_bpe.
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

@@ -479,6 +479,13 @@ CHECKS = {
         ("partial_min|partial_count|partialmerge",
          "map-side combine on the per-hash canonical-occurrence agg"),
     ],
+    "apply_unigram (Viterbi subword encoder)": [
+        ("ArrowEvalPython", "the Viterbi encode kernel (the one "
+         "documented Python pass, model in closure — apply_bpe "
+         "convention)"),
+        (r"^(?![\s\S]*Exchange)", "ZERO shuffles — encoding is "
+         "map-only"),
+    ],
     "mine_bitext (margin-scored pair mining)": [
         ("MapInPandas", "the two ANN retrieval scans (the documented "
          "Python kernels; everything after is DataFrame algebra)"),
@@ -1027,6 +1034,14 @@ def main():
         .alias("embedding"))
     plans["mine_bitext (margin-scored pair mining)"] = _mbx(
         _bsrc, _btgt, k=3)
+    from spandex_spark.operators.unigram import apply_unigram as _apu
+    _utexts = spark.range(300).select(
+        F.format_string("sample text %d repeated tokens", F.col("id"))
+        .alias("text"))
+    plans["apply_unigram (Viterbi subword encoder)"] = _apu(
+        _utexts, [("sam", -2.0), ("ple", -2.2), ("te", -1.9),
+                  ("xt", -2.4)] + [(c, -4.0) for c in
+                                   "abcdefghijklmnopqrstuvwxyz0123456789"])
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by "

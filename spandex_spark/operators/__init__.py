@@ -31,6 +31,8 @@ from spandex_spark.operators.interpolate import (  # noqa: F401
 from spandex_spark.operators.kriging import (  # noqa: F401
     empirical_variogram, fit_variogram, kriging_grid)
 from spandex_spark.operators.bpe import train_bpe, apply_bpe  # noqa: F401
+from spandex_spark.operators.unigram import (  # noqa: F401
+    train_unigram, apply_unigram)
 from spandex_spark.operators.knlm import train_kn_lm, kn_prob, kn_score  # noqa: F401
 from spandex_spark.operators.langmodel import (  # noqa: F401
     train_char_lm, lm_perplexity, perplexity_buckets)
