@@ -1743,7 +1743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # md5-bucket + log-ratio math is plain SQL); dsir_sample noisy=False
     # is a plain ORDER BY ... LIMIT twin; mine_bitext is rows-only
     # (ANN-kernel-defined) like ann_lsh; train_unigram/apply_unigram
-    # are model-table ops, rows-only like train_bpe/apply_bpe.
+    # are model-table ops, rows-only like train_bpe/apply_bpe;
+    # emerging_hotspots IS SQL-oracle-able (binning, grid-offset
+    # joins, MK pair join are plain SQL) — strong future-window
+    # candidate; temperature_resample is oracle-able in engines with
+    # a hex parse (the md5-rate math is deterministic).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

@@ -479,6 +479,25 @@ CHECKS = {
         ("partial_min|partial_count|partialmerge",
          "map-side combine on the per-hash canonical-occurrence agg"),
     ],
+    "emerging_hotspots (space-time cube Gi* + MK)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — binning, zero-fill, grid Gi*, and "
+         "the Mann-Kendall pair join are all codegen"),
+        ("Generate explode", "neighbor offsets explode JVM-side"),
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "grid neighborhoods via equi-join on (cell, slice) keys — "
+         "never a distance join over raw events"),
+    ],
+    "temperature_resample (mC4 source mixing)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — literal rate map + md5 Bernoulli + "
+         "sequence explode"),
+        (r"^(?![\s\S]*Exchange)",
+         "no data-sized shuffle — resampling is map-only (the count "
+         "map collected once upstream)"),
+    ],
     "apply_unigram (Viterbi subword encoder)": [
         ("ArrowEvalPython", "the Viterbi encode kernel (the one "
          "documented Python pass, model in closure — apply_bpe "
@@ -1038,6 +1057,22 @@ def main():
     _utexts = spark.range(300).select(
         F.format_string("sample text %d repeated tokens", F.col("id"))
         .alias("text"))
+    from spandex_spark.operators.hotspots import emerging_hotspots as _ehs
+    _hev = spark.range(40000).select(
+        ((F.col("id") % 9) + 0.5).alias("lon"),
+        (((F.col("id") / 9) % 9).cast("long") + 0.5).alias("lat"),
+        (F.col("id") % 8).alias("t"))
+    plans["emerging_hotspots (space-time cube Gi* + MK)"] = _ehs(
+        _hev, cell_size=1.0, slice_col="t")
+    from spandex_spark.operators.sampling import temperature_resample \
+        as _trs
+    _tdf = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("sw")
+        .alias("source"))
+    plans["temperature_resample (mC4 source mixing)"] = _trs(
+        _tdf, source_col="source", id_col="doc_id", alpha=0.3,
+        target_total=10000)
     plans["apply_unigram (Viterbi subword encoder)"] = _apu(
         _utexts, [("sam", -2.0), ("ple", -2.2), ("te", -1.9),
                   ("xt", -2.4)] + [(c, -4.0) for c in

@@ -77,12 +77,14 @@ from spandex_spark.operators.bloom import (  # noqa: F401
 from spandex_spark.operators.textstats import (  # noqa: F401
     tfidf_top_terms, readability, entropy_stats)
 from spandex_spark.operators.sampling import (  # noqa: F401
-    stratified_sample, sample_fraction, stratified_fraction_sample)
+    stratified_sample, sample_fraction, stratified_fraction_sample,
+    temperature_resample)
 from spandex_spark.operators.packing import (  # noqa: F401
     pack_chunks, pack_ffd)
 from spandex_spark.operators.dsir import (  # noqa: F401
     dsir_weights, dsir_sample)
 from spandex_spark.operators.bitext import mine_bitext  # noqa: F401
+from spandex_spark.operators.hotspots import emerging_hotspots  # noqa: F401
 from spandex_spark.operators.subdivide import subdivide  # noqa: F401
 from spandex_spark.operators.polygonize import polygonize  # noqa: F401
 from spandex_spark.operators.pii import scrub_pii, pii_stats  # noqa: F401

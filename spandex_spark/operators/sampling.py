@@ -98,3 +98,65 @@ def stratified_fraction_sample(df: DataFrame, *, fractions: dict,
         if pairs else dthr
     return df.filter(
         F.substring(_hash_col(id_col, seed), 1, 8) < thr)
+
+
+def temperature_resample(df: DataFrame, *, source_col: str, id_col: str,
+                         alpha: float, target_total: int,
+                         seed: int = 42,
+                         max_upsample: float = 8.0) -> DataFrame:
+    """Temperature-based source mixing (the mC4 / XLM-R / multilingual-
+    pretraining rebalance): resample so source i's share of the output
+    is q_i ∝ (n_i / N)^alpha — alpha=1 keeps natural proportions,
+    alpha=0 equalizes sources, the published operating points sit at
+    0.3–0.7 (XLM-R uses 0.3).  Heads (big sources) downsample; tails
+    UPSAMPLE by row duplication (floor copies + a deterministic
+    md5 Bernoulli for the fractional copy), capped at ``max_upsample``
+    copies per row (the standard guard against a 10-row source being
+    asked for 10^6 duplicates).  Output adds a ``copy`` index
+    (0-based) so downstream shuffles spread duplicates.
+
+    Determinism contract of this module: per-source rates derive from
+    exact counts, the fractional copy from md5(seed||id) — the exact
+    output multiset is reproducible in any engine.  Scale shape: one
+    count aggregate (source-table-sized, driver-side as a literal map
+    — the model-artifact convention), then ONE map-side explode; no
+    data-sized shuffle at all."""
+    if alpha < 0.0:
+        raise ValueError("alpha must be >= 0")
+    if target_total < 1:
+        raise ValueError("target_total must be >= 1")
+    if max_upsample < 1.0:
+        raise ValueError("max_upsample must be >= 1")
+    counts = {r["s"]: r["n"] for r in
+              df.groupBy(F.col(source_col).alias("s"))
+              .agg(F.count("*").alias("n"))
+              .collect()}  # collect-ok: source-table-sized count map (model artifact)
+    if not counts:
+        return df.withColumn("copy", F.lit(0)).limit(0)
+    tot = sum(counts.values())
+    qs = {s: (n / tot) ** alpha for s, n in counts.items()}
+    z = sum(qs.values())
+    rates = {s: min(float(max_upsample),
+                    target_total * (q / z) / counts[s])
+             for s, q in qs.items()}
+    pairs = []
+    for s, r in sorted(rates.items()):
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(float(r)))
+    rate = F.create_map(*pairs)[F.col(source_col)]
+    whole = F.floor(rate).cast("int")
+    frac = rate - whole
+    # fractional copy: the sample_fraction determinism contract, but
+    # comparing the NUMERIC value of the md5 hex prefix (portable in
+    # any engine with a hex parse)
+    hnum = F.conv(F.substring(_hash_col(id_col, seed), 1, 8),
+                  16, 10).cast("double")
+    extra = F.when(hnum < frac * F.lit(float(16 ** 8)), 1).otherwise(0)
+    # guard BEFORE the explode: Spark's sequence(0, -1) yields a
+    # DESCENDING [0, -1] range, not an empty one — unguarded, dropped
+    # rows would come back with two phantom copies
+    return (df.withColumn("_nc", whole + extra)
+            .where(F.col("_nc") > 0)
+            .withColumn("copy", F.explode(
+                F.sequence(F.lit(0), F.col("_nc") - 1)))
+            .drop("_nc"))
