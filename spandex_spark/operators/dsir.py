@@ -78,8 +78,13 @@ def _bucket(gram_col, buckets: int, seed: int):
 
 def _bucket_counts(corpus: DataFrame, text_col: str, ngram: int,
                    buckets: int, seed: int) -> DataFrame:
-    g = (corpus.select(F.explode(_grams(_tokens(text_col), ngram))
-                       .alias("_g"))
+    # tokens MATERIALIZED as a column before the gram transforms read
+    # them: inlined, every slice() in the gram lambdas re-evaluates the
+    # whole regexp+split — O(n²) string work per doc (the
+    # substring_dedup pathology; bench-measured 145 docs/s before,
+    # see BENCH/BASELINE.md)
+    g = (corpus.select(_tokens(text_col).alias("_tk"))
+         .select(F.explode(_grams(F.col("_tk"), ngram)).alias("_g"))
          .select(_bucket(F.col("_g"), buckets, seed).alias("_b")))
     return g.groupBy("_b").agg(F.count("*").alias("_cnt"))
 
@@ -110,8 +115,9 @@ def dsir_weights(raw: DataFrame, target: DataFrame, *,
                - F.log((F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(alpha))
                        / F.lit(r_tot + alpha * buckets))).alias("_lam")))
     grams = (raw.select(F.col(id_col).alias("_id"),
-                        F.explode(_grams(_tokens(text_col), ngram))
-                        .alias("_g"))
+                        _tokens(text_col).alias("_tk"))
+             .select("_id",
+                     F.explode(_grams(F.col("_tk"), ngram)).alias("_g"))
              .select("_id", _bucket(F.col("_g"), buckets, seed).alias("_b")))
     w = (grams.join(F.broadcast(lam), "_b", "left")
          .groupBy("_id")

@@ -51,13 +51,24 @@ def host_graph(links: DataFrame, *, src_col: str = "src_url",
 
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 20,
-             weight_col: str | None = None) -> DataFrame:
+             weight_col: str | None = None,
+             teleport: DataFrame | None = None) -> DataFrame:
     """PageRank by power iteration. Follows the standard formulation:
-    rank = (1-d)/n + d * (in-contributions + dangling_mass/n), with
+    rank = (1-d)·t + d * (in-contributions + dangling_mass·t), with
     each node's contribution split over its out-edges (proportional to
     ``weight_col`` when given, else uniformly). Ranks sum to 1 at
     every iterate (pytested invariant). Deterministic — no sampling,
-    no order dependence. Output: (node, rank)."""
+    no order dependence. Output: (node, rank).
+
+    ``teleport`` personalizes the restart vector t: a (node, weight)
+    DataFrame (weights need not be normalized; non-listed nodes get
+    t=0).  Uniform t (the default) is classic PageRank; a trusted
+    seed set is TrustRank (Gyöngyi et al. 2004, the link-spam
+    demotion classic — spam farms inflate uniform-teleport rank but
+    cannot reach mass that only restarts at trusted hosts); a single
+    node is personalized PageRank.  The teleport vector is node-sized
+    state, joined in-plan each round, same shape as the rank vector
+    itself."""
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     w = (F.col(weight_col).cast("double") if weight_col
@@ -70,8 +81,21 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              .union(e.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()  # node-sized (hosts), the teleport scalar
+    if teleport is None:
+        tvec = nodes.withColumn("t", F.lit(1.0 / n))
+    else:
+        tw = (teleport.select(F.col("node"),
+                              F.col("weight").cast("double").alias("_tw"))
+              .groupBy("node").agg(F.sum("_tw").alias("_tw")))
+        tot = tw.agg(F.sum("_tw")).collect()[0][0]  # collect-ok: 1-row teleport normalizer
+        if not tot or tot <= 0:
+            raise ValueError("teleport weights must sum to > 0")
+        tvec = (nodes.join(tw, "node", "left")
+                .select("node", (F.coalesce(F.col("_tw"), F.lit(0.0))
+                                 / F.lit(float(tot))).alias("t")))
+    tvec = tvec.localCheckpoint(eager=True)
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = tvec.select("node", F.col("t").alias("rank"))
     for _ in range(iters):
         contrib = (ranks.join(outw, ranks["node"] == outw["src"], "inner")
                    .join(e, "src")
@@ -79,15 +103,16 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                            (F.col("rank") * F.col("w")
                             / F.col("outw")).alias("c")))
         in_mass = contrib.groupBy("node").agg(F.sum("c").alias("c"))
-        # dangling nodes (no out-edges) donate their rank uniformly
+        # dangling nodes (no out-edges) donate their rank via t
         dangling = (ranks.join(outw, ranks["node"] == outw["src"],
                                "left_anti")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                     .collect()[0][0])  # collect-ok: 1-row dangling-mass scalar per iteration
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (nodes.join(in_mass, "node", "left")
+        ranks = (tvec.join(in_mass, "node", "left")
                  .select("node",
-                         (F.lit(base) + F.lit(damping)
+                         (F.col("t") * F.lit(1.0 - damping
+                                             + damping * dangling)
+                          + F.lit(damping)
                           * F.coalesce(F.col("c"), F.lit(0.0)))
                          .alias("rank"))
                  .localCheckpoint(eager=True))

@@ -5,6 +5,7 @@ stripping), hot-key-safe top-k tie breaks, and numpy power-iteration
 parity with the exact same normalization schedule."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from spandex_spark.operators.linkgraph import (extract_anchors,
@@ -111,3 +112,77 @@ def test_extract_anchors_no_python_in_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for op in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert op not in plan
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _pr_numpy(edges, nodes, d, iters, t=None):
+    import numpy as np
+    idx = {x: i for i, x in enumerate(nodes)}
+    n = len(nodes)
+    tv = np.full(n, 1.0 / n)
+    if t is not None:
+        tv = np.zeros(n)
+        for k, v in t.items():
+            tv[idx[k]] = v
+        tv = tv / tv.sum()
+    out = {}
+    for s, dd in edges:
+        out.setdefault(s, []).append(dd)
+    r = tv.copy()
+    for _ in range(iters):
+        nr = np.zeros(n)
+        dangling = 0.0
+        for x in nodes:
+            if x in out:
+                for y in out[x]:
+                    nr[idx[y]] += r[idx[x]] / len(out[x])
+            else:
+                dangling += r[idx[x]]
+        r = tv * (1 - d + d * dangling) + d * nr
+    return {x: r[idx[x]] for x in nodes}
+
+
+def test_pagerank_uniform_unchanged_by_refactor(spark):
+    from spandex_spark.operators.linkgraph import pagerank
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    nodes = sorted({x for p in edges for x in p})
+    exp = _pr_numpy(edges, nodes, 0.85, 12)
+    got = {r.node: r.rank for r in
+           pagerank(_edges(spark, edges), iters=12).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for x in nodes:
+        assert got[x] == pytest.approx(exp[x], abs=1e-9)
+
+
+def test_trustrank_teleport_demotes_unreachable_spam(spark):
+    from spandex_spark.operators.linkgraph import pagerank
+    # spam farm (s1<->s2<->s3) disconnected from the trusted web
+    edges = [("t", "a"), ("a", "b"), ("b", "t"),
+             ("s1", "s2"), ("s2", "s3"), ("s3", "s1"),
+             ("s1", "s3"), ("s2", "s1")]
+    nodes = sorted({x for p in edges for x in p})
+    seeds = spark.createDataFrame([("t", 1.0)], "node string, weight double")
+    got = {r.node: r.rank for r in
+           pagerank(_edges(spark, edges), iters=15,
+                    teleport=seeds).collect()}
+    exp = _pr_numpy(edges, nodes, 0.85, 15, t={"t": 1.0})
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for x in nodes:
+        assert got[x] == pytest.approx(exp[x], abs=1e-9)
+    # spam farm gets EXACTLY zero trust — it cannot reach restart mass
+    for s in ("s1", "s2", "s3"):
+        assert got[s] == 0.0
+    # uniform-teleport PageRank would rank the farm ABOVE the real web
+    uni = {r.node: r.rank for r in
+           pagerank(_edges(spark, edges), iters=15).collect()}
+    assert max(uni[s] for s in ("s1", "s2", "s3")) > uni["a"]
+
+
+def test_teleport_validation(spark):
+    from spandex_spark.operators.linkgraph import pagerank
+    seeds = spark.createDataFrame([("x", 0.0)], "node string, weight double")
+    with pytest.raises(ValueError, match="teleport"):
+        pagerank(_edges(spark, [("a", "b")]), teleport=seeds).collect()
