@@ -47,7 +47,9 @@ def mine_bitext(src: DataFrame, tgt: DataFrame, *, k: int = 4,
     """(src_id, tgt_id, cosine, margin) candidate translation pairs.
     ``threshold`` filters on margin (the paper operates at ~1.06);
     ``ann`` must return (query_id, rank, neighbor_id, cosine) like the
-    `similarity` family."""
+    `similarity` family.  Ids must be non-negative and < 2^62 (the
+    internal even/odd remap doubles them; hash-derived ids should be
+    masked to 62 bits upstream)."""
     if strategy not in ("forward", "intersection"):
         raise ValueError("strategy must be 'forward' or 'intersection'")
     if k < 1:
@@ -63,12 +65,14 @@ def mine_bitext(src: DataFrame, tgt: DataFrame, *, k: int = 4,
               q_vec=src_vec, c_vec=tgt_vec)
     bwd = ann(t2, s2, k=k, q_id=tgt_id, c_id=src_id,
               q_vec=tgt_vec, c_vec=src_vec)
-    fwd = fwd.select((F.col("query_id") / 2).cast("long").alias("query_id"),
-                     ((F.col("neighbor_id") - 1) / 2).cast("long")
+    # decode with INTEGER shiftright, not `/ 2`: double division rounds
+    # ids above 2^53 to the wrong document.  (Encode overflow bounds
+    # ids to < 2^62 — the docstring contract.)
+    fwd = fwd.select(F.shiftright(F.col("query_id"), 1).alias("query_id"),
+                     F.shiftright(F.col("neighbor_id"), 1)
                      .alias("neighbor_id"), "cosine")
-    bwd = bwd.select(((F.col("query_id") - 1) / 2).cast("long")
-                     .alias("query_id"),
-                     (F.col("neighbor_id") / 2).cast("long")
+    bwd = bwd.select(F.shiftright(F.col("query_id"), 1).alias("query_id"),
+                     F.shiftright(F.col("neighbor_id"), 1)
                      .alias("neighbor_id"), "cosine")
     avg_f = fwd.groupBy(F.col("query_id").alias("_s")).agg(
         F.avg("cosine").alias("_af"))

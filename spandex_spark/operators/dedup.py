@@ -434,6 +434,11 @@ def substring_dedup(df: DataFrame, *, text_col: str = "text",
     one survivor per distinct window, the greedy keep-first rule the
     published implementations use in place of the paper's suffix-array
     sweep (which is not expressible as a data-parallel plan).
+    Canonical spans are PROTECTED: positions inside a document's own
+    first-occurrence (winner) windows are never removed by a different
+    overlapping loser span, so every duplicated window really does
+    survive somewhere — without this, abutting duplicated passages
+    cascade ('a b'/'b c' at k=2 can otherwise erase 'b c' corpus-wide).
 
     Plan (zero Python anywhere — the reconstruction uses higher-order
     array functions, not a UDF):
@@ -505,15 +510,28 @@ def substring_dedup(df: DataFrame, *, text_col: str = "text",
     per_hash = grams.groupBy("_h").agg(
         F.count("*").alias("_n"),
         F.min(F.struct("_id", "_pos")).alias("_first"))
-    losers = (grams.join(per_hash.where(F.col("_n") > 1), "_h")
-              .where(~((F.col("_id") == F.col("_first._id"))
-                       & (F.col("_pos") == F.col("_first._pos"))))
-              .groupBy("_id")
+    dup = grams.join(per_hash.where(F.col("_n") > 1), "_h")
+    is_first = ((F.col("_id") == F.col("_first._id"))
+                & (F.col("_pos") == F.col("_first._pos")))
+    # losers: duplicated-window occurrences to remove; winners: the
+    # canonical occurrences, whose token spans are PROTECTED from
+    # overlapping loser removals in the same document — otherwise a
+    # duplicated window whose canonical copy abuts a different
+    # duplicated span loses its only surviving copy (the 'a b'/'b c'
+    # cascade: doc1='a b', doc2='a b c', doc3='x b c' at k=2 would
+    # reduce doc2 to 'c' and 'b c' would survive nowhere)
+    losers = (dup.where(~is_first).groupBy("_id")
               .agg(F.collect_list("_pos").alias("_spans")))
-    rebuilt = (df.join(losers, F.col(id_col) == F.col("_id"), "left")
+    winners = (dup.where(is_first).groupBy("_id")
+               .agg(F.collect_list("_pos").alias("_keeps")))
+    rebuilt = (df.join(losers, F.col(id_col) == losers["_id"], "left")
+               .drop("_id")
+               .join(winners, F.col(id_col) == winners["_id"], "left")
                .drop("_id"))
     t = F.split(F.trim(F.col(text_col)), r"\s+")
     spans = F.col("_spans")
+    keeps = F.coalesce(F.col("_keeps"),
+                       F.array().cast("array<integer>"))
     cleaned = F.when(
         F.col(text_col).isNull(), F.lit(None).cast("string")
     ).when(
@@ -522,5 +540,7 @@ def substring_dedup(df: DataFrame, *, text_col: str = "text",
         F.array_join(
             F.filter(t, lambda tok, i:
                      ~F.exists(spans, lambda p:
-                               (i >= p) & (i < p + F.lit(k)))), " "))
-    return rebuilt.withColumn(out_col, cleaned).drop("_spans")
+                               (i >= p) & (i < p + F.lit(k)))
+                     | F.exists(keeps, lambda p:
+                                (i >= p) & (i < p + F.lit(k)))), " "))
+    return rebuilt.withColumn(out_col, cleaned).drop("_spans", "_keeps")

@@ -72,8 +72,8 @@ def _grams(toks, ngram: int):
 
 
 def _bucket(gram_col, buckets: int, seed: int):
-    h = F.md5(F.concat_ws("|", F.lit(str(seed)), gram_col))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets)
+    from spandex_spark.operators.sampling import md5_prefix_long
+    return md5_prefix_long(gram_col, seed) % buckets
 
 
 def _bucket_counts(corpus: DataFrame, text_col: str, ngram: int,

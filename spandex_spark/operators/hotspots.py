@@ -136,8 +136,7 @@ def emerging_hotspots(events: DataFrame, *, cell_size: float,
             .agg(F.count(F.lit(1)).alias("_tg"))
             .groupBy("cell_x", "cell_y")
             .agg(F.sum(F.col("_tg") * (F.col("_tg") - 1)
-                       * (2 * F.col("_tg") + 5)).alias("_tie"),
-                 F.count(F.lit(1)).alias("_groups")))
+                       * (2 * F.col("_tg") + 5)).alias("_tie")))
     ns = zs.groupBy("cell_x", "cell_y").agg(
         F.count(F.lit(1)).alias("_ns"), F.avg("_z").alias("mean_gi"))
     nn = F.col("_ns").cast("double")
@@ -146,8 +145,13 @@ def emerging_hotspots(events: DataFrame, *, cell_size: float,
         F.when(F.col("mk_s") > 0, (F.col("mk_s") - 1) / F.sqrt(var))
         .when(F.col("mk_s") < 0, (F.col("mk_s") + 1) / F.sqrt(var))
         .otherwise(F.lit(0.0)))
-    out = (ns.join(mk, ["cell_x", "cell_y"])
-           .join(ties, ["cell_x", "cell_y"])
+    # LEFT joins with zero defaults: with a single time slice the MK
+    # pair join is empty, and an inner join here would silently return
+    # ZERO rows instead of per-cell 'no trend' rows (review-found)
+    out = (ns.join(mk, ["cell_x", "cell_y"], "left")
+           .join(ties, ["cell_x", "cell_y"], "left")
+           .withColumn("mk_s", F.coalesce(F.col("mk_s"), F.lit(0.0)))
+           .withColumn("_tie", F.coalesce(F.col("_tie"), F.lit(0)))
            .withColumn("mk_z", mkz))
     trend = (F.when(F.col("mk_z") > zc, F.lit("increasing"))
              .when(F.col("mk_z") < -zc, F.lit("decreasing"))

@@ -84,12 +84,19 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     if teleport is None:
         tvec = nodes.withColumn("t", F.lit(1.0 / n))
     else:
+        # normalize over weights of nodes PRESENT IN THE GRAPH: seeds
+        # absent from the edge set would otherwise shrink Σt below 1
+        # and leak rank mass every round (Σrank is a pytested
+        # invariant) — restrict first, then normalize
         tw = (teleport.select(F.col("node"),
                               F.col("weight").cast("double").alias("_tw"))
-              .groupBy("node").agg(F.sum("_tw").alias("_tw")))
+              .groupBy("node").agg(F.sum("_tw").alias("_tw"))
+              .join(nodes, "node"))
         tot = tw.agg(F.sum("_tw")).collect()[0][0]  # collect-ok: 1-row teleport normalizer
         if not tot or tot <= 0:
-            raise ValueError("teleport weights must sum to > 0")
+            raise ValueError(
+                "teleport weights over graph nodes must sum to > 0 "
+                "(are all seeds absent from the edge set?)")
         tvec = (nodes.join(tw, "node", "left")
                 .select("node", (F.coalesce(F.col("_tw"), F.lit(0.0))
                                  / F.lit(float(tot))).alias("t")))
@@ -188,12 +195,16 @@ def extract_anchors(pages: DataFrame, *, html_col: str = "html",
     them; `anchor_stats` callers filter if they want text-only."""
     h = F.col(html_col)
     html = F.when(h.isNotNull(), h.cast("string"))
+    # href must be a whole attribute name: \s before it in both
+    # patterns, or data-href="http://tracker" would satisfy the
+    # element pattern and mis-attribute the anchor (inside the element
+    # string href is always preceded by whitespace because of <a\s)
     elems = F.regexp_extract_all(
         html,
-        F.lit(r"""(?is)(<a\s[^>]*href\s*=\s*["']https?://[^"'\s>]+["'][^>]*>.*?</a>)"""),
+        F.lit(r"""(?is)(<a\s(?:[^>]*\s)?href\s*=\s*["']https?://[^"'\s>]+["'][^>]*>.*?</a>)"""),
         1)
     href = lambda e: F.regexp_extract(  # noqa: E731
-        e, r"""(?i)href\s*=\s*["'](https?://[^"'\s>#]+)""", 1)
+        e, r"""(?i)\shref\s*=\s*["'](https?://[^"'\s>#]+)""", 1)
     text = lambda e: F.trim(F.regexp_replace(F.regexp_replace(  # noqa: E731
         F.regexp_extract(e, r"(?is)>(.*)</a>$", 1),
         r"(?s)<[^>]*>", " "), r"\s+", " "))

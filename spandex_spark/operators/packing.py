@@ -39,13 +39,12 @@ __all__ = ["pack_chunks", "pack_ffd"]
 
 
 def _bucket(id_col: str, buckets: int, seed: int):
-    # md5 over the id (sampling.py convention): bit-identical in every
-    # SQL engine, so the bucket assignment — and with it the whole
-    # concat order — is oracle-replicable row for row.
-    h = F.md5(F.concat_ws("|", F.lit(str(seed)),
-                          F.col(id_col).cast("string")))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-            % buckets).alias("_bkt")
+    # md5 over the id (sampling.md5_prefix_long — the ONE shared
+    # definition): bit-identical in every SQL engine, so the bucket
+    # assignment — and with it the whole concat order — is
+    # oracle-replicable row for row.
+    from spandex_spark.operators.sampling import md5_prefix_long
+    return (md5_prefix_long(F.col(id_col), seed) % buckets).alias("_bkt")
 
 
 def pack_chunks(df: DataFrame, *, context_len: int,

@@ -29,6 +29,17 @@ def _hash_col(id_col: str, seed: int):
                              F.col(id_col).cast("string")))
 
 
+def md5_prefix_long(col, seed: int):
+    """First 8 md5 hex chars of ``seed || value`` as a long in
+    [0, 16^8) — the module's engine-portable uniform hash in numeric
+    form.  THE shared implementation: packing/dsir bucketing and the
+    fractional-copy Bernoulli all route here, so the determinism
+    contract ("bit-identical in any SQL engine") has exactly one
+    definition to keep in sync."""
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
 def stratified_sample(df: DataFrame, *, strata_col: str, n: int,
                       id_col: str, seed: int = 42) -> DataFrame:
     """Keep the ``n`` rows per stratum with the smallest
@@ -139,18 +150,25 @@ def temperature_resample(df: DataFrame, *, source_col: str, id_col: str,
     rates = {s: min(float(max_upsample),
                     target_total * (q / z) / counts[s])
              for s, q in qs.items()}
+    # NULL source is a real group (undetected language is a standard
+    # mC4 bucket) but cannot be a map key — route it through a
+    # dedicated WHEN branch instead of crashing in create_map/sorted
+    null_rate = rates.pop(None, None)
     pairs = []
-    for s, r in sorted(rates.items()):
+    for s, r in sorted(rates.items(), key=lambda t: str(t[0])):
         pairs.append(F.lit(s))
         pairs.append(F.lit(float(r)))
-    rate = F.create_map(*pairs)[F.col(source_col)]
+    mapped = F.create_map(*pairs)[F.col(source_col)] if pairs else F.lit(None)
+    rate = (F.when(F.col(source_col).isNull(),
+                   F.lit(float(null_rate)) if null_rate is not None
+                   else F.lit(None).cast("double"))
+            .otherwise(mapped))
     whole = F.floor(rate).cast("int")
     frac = rate - whole
     # fractional copy: the sample_fraction determinism contract, but
     # comparing the NUMERIC value of the md5 hex prefix (portable in
     # any engine with a hex parse)
-    hnum = F.conv(F.substring(_hash_col(id_col, seed), 1, 8),
-                  16, 10).cast("double")
+    hnum = md5_prefix_long(F.col(id_col), seed).cast("double")
     extra = F.when(hnum < frac * F.lit(float(16 ** 8)), 1).otherwise(0)
     # guard BEFORE the explode: Spark's sequence(0, -1) yields a
     # DESCENDING [0, -1] range, not an empty one — unguarded, dropped

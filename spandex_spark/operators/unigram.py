@@ -169,13 +169,17 @@ def train_unigram(corpus: DataFrame, *, vocab_size: int,
         multi = [p for p in logp if len(p) > 1]
         if len(logp) <= floor:
             break
-        # loss of dropping p = usage * (logp(p) - resegment-without-p)
+        # loss of dropping p = usage * (logp(p) - resegment-without-p).
+        # del/restore instead of copying the dict per candidate — a
+        # full copy per piece is O(V²) driver time at a real
+        # seed_size (review-found; the bench's vocab_size=2000 never
+        # tripped it)
         losses = []
         for p in multi:
-            alt = dict(logp)
-            del alt[p]
-            _, alt_lp = _viterbi(p, alt, max_piece_len)
-            losses.append((cnt.get(p, 0) * (logp[p] - alt_lp), p))
+            saved = logp.pop(p)
+            _, alt_lp = _viterbi(p, logp, max_piece_len)
+            logp[p] = saved
+            losses.append((cnt.get(p, 0) * (saved - alt_lp), p))
         losses.sort(key=lambda t: (-t[0], t[1]))
         target_multi = max(0, floor - len(chars))
         keep_multi = max(target_multi, int(len(multi) * shrink))

@@ -186,3 +186,33 @@ def test_teleport_validation(spark):
     seeds = spark.createDataFrame([("x", 0.0)], "node string, weight double")
     with pytest.raises(ValueError, match="teleport"):
         pagerank(_edges(spark, [("a", "b")]), teleport=seeds).collect()
+
+
+def test_teleport_seed_absent_from_graph_keeps_mass(spark):
+    from spandex_spark.operators.linkgraph import pagerank
+    edges = [("a", "b"), ("b", "a")]
+    # one seed in the graph, one absent: normalization must restrict
+    # to graph nodes or rank mass leaks every round
+    seeds = spark.createDataFrame([("a", 1.0), ("ghost", 3.0)],
+                                  "node string, weight double")
+    got = {r.node: r.rank for r in
+           pagerank(_edges(spark, edges), iters=10,
+                    teleport=seeds).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    exp = _pr_numpy(edges, ["a", "b"], 0.85, 10, t={"a": 1.0})
+    for x in ("a", "b"):
+        assert got[x] == pytest.approx(exp[x], abs=1e-9)
+
+
+def test_extract_anchors_ignores_data_href(spark):
+    pages = spark.createDataFrame([
+        ("http://a.com/",
+         '<a class="x" data-href="http://tracker.example/t" '
+         'href="/relative">text</a> '
+         '<a data-href="http://t2.example/" href="http://real.example/">'
+         'ok</a>'),
+    ], "url string, html string")
+    got = {(r.dst_url, r.anchor) for r in extract_anchors(pages).collect()}
+    # first <a> has only a RELATIVE real href: excluded entirely;
+    # second <a> must attribute to the real href, not the data-href
+    assert got == {("http://real.example/", "ok")}

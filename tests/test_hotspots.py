@@ -141,3 +141,11 @@ def test_validation(spark):
                           radius_cells=0)
     with pytest.raises(ValueError):
         emerging_hotspots(df, cell_size=1.0, slice_col="t", alpha=2.0)
+
+
+def test_single_slice_returns_cells_with_no_trend(spark):
+    ev = [(cx + 0.5, 0.5, 0) for cx in range(4) for _ in range(cx + 1)]
+    got = _run(spark, ev)
+    assert len(got) == 4                    # one row per occupied cell
+    for r in got.values():
+        assert r.mk_s == 0.0 and r.mk_z == 0.0 and r.trend == "none"

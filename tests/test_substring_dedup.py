@@ -72,3 +72,15 @@ def test_no_python_in_plan(spark):
     for op in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"):
         assert op not in plan
+
+
+def test_canonical_span_protected_from_overlapping_losers(spark):
+    # 'a b' first in doc1; 'b c' first in doc2.  doc2's loser span
+    # [0,2) for 'a b' overlaps its OWN canonical window [1,3) for
+    # 'b c' — the canonical tokens must survive or 'b c' would be
+    # erased corpus-wide (the cascade case)
+    rows = [(1, "a b"), (2, "a b c"), (3, "x b c")]
+    got = _out(substring_dedup(_docs(spark, rows), k=2))
+    assert got[1] == "a b"
+    assert got[2] == "b c"      # 'a' removed; canonical 'b c' kept
+    assert got[3] == "x"        # loser of 'b c'

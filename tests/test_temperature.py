@@ -117,3 +117,17 @@ def test_validation(spark):
     with pytest.raises(ValueError):
         temperature_resample(df, source_col="source", id_col="doc_id",
                              alpha=0.5, target_total=10, max_upsample=0.5)
+
+
+def test_null_source_is_its_own_group(spark):
+    rows = ([(i, "en") for i in range(300)]
+            + [(1000 + i, None) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, source_col="source", id_col="doc_id",
+                               alpha=0.0, target_total=200)
+    per = {r.source: r.n for r in
+           out.groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    # alpha=0 equalizes: ~100 each, NULL included as a real group
+    assert abs(per.get("en", 0) - 100) < 30
+    assert abs(per.get(None, 0) - 100) < 30
