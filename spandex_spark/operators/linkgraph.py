@@ -269,8 +269,11 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     adjacency matrix; deterministic (uniform init, no sampling).
 
     Scale shape per round: two edge-sized (node, score) join+agg
-    shuffles and two 1-row norm scalars (pagerank's dangling-mass
-    precedent); state is node-sized; localCheckpoint truncation keeps
+    shuffles fused into ONE checkpointed job plus ONE 1-row norm
+    collect — normalization is pure scaling, so both L2 divisions
+    defer to the round's end bit-identically (hub from unnormalized
+    auth spans the same direction; the numpy-parity pytest pins the
+    values).  State is node-sized; localCheckpoint truncation keeps
     the plan constant across rounds.  Output: (node, hub, auth) —
     nodes with no out-edges get hub 0, no in-edges auth 0."""
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -282,26 +285,25 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     scores = nodes.select("node", F.lit(1.0).alias("hub"),
                           F.lit(1.0).alias("auth"))
     for _ in range(iters):
-        auth = (scores.join(e, scores["node"] == e["src"])
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("hub").alias("auth")))
-        an = auth.agg(F.sqrt(F.sum(F.col("auth") * F.col("auth")))
-                      ).collect()[0][0]  # collect-ok: 1-row L2 norm scalar per iteration
-        an = float(an) if an else 1.0
-        auth = auth.select("node", (F.col("auth") / F.lit(an)).alias("auth"))
-        scores = (nodes.join(auth, "node", "left")
-                  .select("node",
-                          F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"))
-                  .localCheckpoint(eager=True))
-        hub = (scores.join(e, scores["node"] == e["dst"])
-               .groupBy(F.col("src").alias("node"))
-               .agg(F.sum("auth").alias("hub")))
-        hn = hub.agg(F.sqrt(F.sum(F.col("hub") * F.col("hub")))
-                     ).collect()[0][0]  # collect-ok: 1-row L2 norm scalar per iteration
-        hn = float(hn) if hn else 1.0
-        hub = hub.select("node", (F.col("hub") / F.lit(hn)).alias("hub"))
-        scores = (scores.join(hub, "node", "left")
-                  .select("node", "auth",
-                          F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"))
-                  .localCheckpoint(eager=True))
+        auth_raw = (scores.join(e, scores["node"] == e["src"])
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("hub").alias("auth")))
+        hub_raw = (auth_raw.join(e, auth_raw["node"] == e["dst"])
+                   .groupBy(F.col("src").alias("node"))
+                   .agg(F.sum("auth").alias("hub")))
+        raw = (nodes.join(auth_raw, "node", "left")
+               .join(hub_raw, "node", "left")
+               .select("node",
+                       F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                       F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"))
+               .localCheckpoint(eager=True))
+        norms = raw.agg(
+            F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("an"),
+            F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn")
+        ).collect()[0]  # collect-ok: 1-row L2 norm scalars, one per round
+        an = float(norms["an"]) if norms["an"] else 1.0
+        hn = float(norms["hn"]) if norms["hn"] else 1.0
+        # cheap projection over the checkpointed base — no lineage growth
+        scores = raw.select("node", (F.col("hub") / F.lit(hn)).alias("hub"),
+                            (F.col("auth") / F.lit(an)).alias("auth"))
     return scores.select("node", "hub", "auth")
