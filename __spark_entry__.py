@@ -1747,7 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # emerging_hotspots IS SQL-oracle-able (binning, grid-offset
     # joins, MK pair join are plain SQL) — strong future-window
     # candidate; temperature_resample is oracle-able in engines with
-    # a hex parse (the md5-rate math is deterministic).
+    # a hex parse (the md5-rate math is deterministic); c4_clean is
+    # fully SQL-oracle-able (string_split + regexp line filter).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

@@ -75,7 +75,7 @@ from spandex_spark.operators.dedup import (  # noqa: F401
 from spandex_spark.operators.bloom import (  # noqa: F401
     bloom_params, bloom_build, bloom_probe, bloom_unseen)
 from spandex_spark.operators.textstats import (  # noqa: F401
-    tfidf_top_terms, readability, entropy_stats)
+    tfidf_top_terms, readability, entropy_stats, c4_clean)
 from spandex_spark.operators.sampling import (  # noqa: F401
     stratified_sample, sample_fraction, stratified_fraction_sample,
     temperature_resample)

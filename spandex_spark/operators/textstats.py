@@ -365,3 +365,58 @@ def entropy_stats(df: DataFrame, *, text_col: str = "text",
         out = (out.join(chars.select(id_col, "char_entropy"),
                         id_col, "left"))
     return out
+
+
+def c4_clean(df: DataFrame, *, text_col: str = "text",
+             out_col: str = "clean_text",
+             min_words_per_line: int = 5,
+             min_sentences: int = 3,
+             blocklist: list | None = None) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2 — the
+    T5 corpus recipe, the third standard web filter next to
+    `quality_score` and `gopher_rules`).  LINE rules rewrite the text;
+    PAGE rules flag the document:
+
+    line kept iff it ends in terminal punctuation (. ! ? ” "), has at
+    least ``min_words_per_line`` words, and does not contain the word
+    'javascript' (case-insensitive);
+    page passes iff the CLEANED text has >= ``min_sentences`` terminal-
+    punctuation sentences, contains no 'lorem ipsum', no '{' (code),
+    and no blocklist phrase (C4 uses the public "List of Dirty, Naughty
+    ..." list — supply it via ``blocklist``; default None skips the
+    rule rather than shipping a word list here).
+
+    Adds ``out_col`` (kept lines re-joined with '\\n'; NULL text stays
+    NULL), per-rule booleans, and ``c4_pass``.  Pure codegen, map-only,
+    zero shuffles — runs per-row over the full crawl like gopher_rules.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, r"\n", -1)
+    keep = F.filter(lines, lambda ln: (
+        F.trim(ln).rlike(r'[.!?"”]$')
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                           lambda w: w != "")) >= min_words_per_line)
+        & ~F.lower(ln).rlike(r"\bjavascript\b")))
+    cleaned = F.when(text.isNull(), F.lit(None).cast("string")) \
+        .otherwise(F.array_join(keep, "\n"))
+    low = F.lower(cleaned)
+    has_sentences = (F.size(F.split(cleaned, r"[.!?]", -1)) - 1
+                     >= min_sentences)
+    no_lorem = ~low.contains("lorem ipsum")
+    no_brace = ~cleaned.contains("{")
+    if blocklist:
+        bl = F.lit(True)
+        for w in blocklist:
+            bl = bl & ~low.rlike(r"\b" + str(w).lower() + r"\b")
+        no_block = bl
+    else:
+        no_block = F.lit(True)
+    out = (df.withColumn(out_col, cleaned)
+           .withColumn("c4_sentences", has_sentences)
+           .withColumn("c4_no_lorem", no_lorem)
+           .withColumn("c4_no_brace", no_brace)
+           .withColumn("c4_no_blockword", no_block)
+           .withColumn("c4_pass",
+                       F.coalesce(has_sentences & no_lorem & no_brace
+                                  & no_block, F.lit(False))))
+    return out
