@@ -1748,7 +1748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # joins, MK pair join are plain SQL) — strong future-window
     # candidate; temperature_resample is oracle-able in engines with
     # a hex parse (the md5-rate math is deterministic); c4_clean is
-    # fully SQL-oracle-able (string_split + regexp line filter).
+    # fully SQL-oracle-able (string_split + regexp line filter);
+    # resolve_toponyms is SQL-oracle-able too (join + windows +
+    # haversine trig all have DuckDB twins).
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

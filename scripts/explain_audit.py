@@ -479,6 +479,15 @@ CHECKS = {
         ("partial_min|partial_count|partialmerge",
          "map-side combine on the per-hash canonical-occurrence agg"),
     ],
+    "resolve_toponyms (two-pass coherence resolver)": [
+        (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+         r"FlatMapGroupsInPandas))",
+         "ZERO Python operators — candidate join, prior window, "
+         "context avg, haversine rescore all codegen"),
+        ("BroadcastHashJoin", "the gazetteer and the doc-context "
+         "table broadcast onto the candidate stream"),
+        ("windowspecdefinition", "per-(doc, mention) argmax windows"),
+    ],
     "emerging_hotspots (space-time cube Gi* + MK)": [
         (r"^(?![\s\S]*(?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
          r"FlatMapGroupsInPandas))",
@@ -1064,6 +1073,18 @@ def main():
         (F.col("id") % 8).alias("t"))
     plans["emerging_hotspots (space-time cube Gi* + MK)"] = _ehs(
         _hev, cell_size=1.0, slice_col="t")
+    from spandex_spark.operators.toponym import resolve_toponyms as _rtp
+    _tmen = spark.range(5000).select(
+        (F.col("id") % 800).alias("doc_id"),
+        F.format_string("place%d", F.col("id") % 40).alias("mention"))
+    _tgaz = spark.range(120).select(
+        F.format_string("place%d", F.col("id") % 40).alias("name"),
+        F.col("id").alias("gaz_id"),
+        (F.col("id") * 1000.0 + 500).alias("population"),
+        ((F.col("id") * 7) % 360 - 180.0).alias("lon"),
+        ((F.col("id") * 3) % 170 - 85.0).alias("lat"))
+    plans["resolve_toponyms (two-pass coherence resolver)"] = _rtp(
+        _tmen, _tgaz)
     from spandex_spark.operators.sampling import temperature_resample \
         as _trs
     _tdf = spark.range(20000).select(
