@@ -1750,7 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a hex parse (the md5-rate math is deterministic); c4_clean is
     # fully SQL-oracle-able (string_split + regexp line filter);
     # resolve_toponyms is SQL-oracle-able too (join + windows +
-    # haversine trig all have DuckDB twins).
+    # haversine trig all have DuckDB twins); parse_gpx is
+    # SQL-oracle-able (regexp extraction); align_sentences is
+    # rows-only (per-pair DP) like map_match.
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,

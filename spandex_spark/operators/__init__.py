@@ -84,6 +84,7 @@ from spandex_spark.operators.packing import (  # noqa: F401
 from spandex_spark.operators.dsir import (  # noqa: F401
     dsir_weights, dsir_sample)
 from spandex_spark.operators.bitext import mine_bitext  # noqa: F401
+from spandex_spark.operators.align import align_sentences  # noqa: F401
 from spandex_spark.operators.hotspots import emerging_hotspots  # noqa: F401
 from spandex_spark.operators.toponym import resolve_toponyms  # noqa: F401
 from spandex_spark.operators.subdivide import subdivide  # noqa: F401
