@@ -9,7 +9,7 @@ from spandex_spark.operators.scaling import scale_to_targets  # noqa: F401
 from spandex_spark.operators.validate import (  # noqa: F401
     invalid_geometry_check, duplicate_stacked_geometry_check, make_valid)
 from spandex_spark.operators.reproject import (  # noqa: F401
-    reproject, reproject_inverse, reproject_geom)
+    reproject, reproject_inverse, reproject_geom, transform)
 from spandex_spark.operators.trim import trim, erase, erase_join  # noqa: F401
 from spandex_spark.operators.split import (  # noqa: F401
     split_by_lines, polygonize_linework, node_lines)

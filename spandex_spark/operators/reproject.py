@@ -159,3 +159,38 @@ def reproject_inverse(df: DataFrame, *, from_srid: int,
             "reproject: EPSG:3857, UTM, geom.LCC_ZONES, geom.ALBERS_ZONES")
     return (df.withColumn(lon_col, out["lon"])
             .withColumn(lat_col, out["lat"]))
+
+
+def transform(df: DataFrame, *, from_srid: int, to_srid: int,
+              x_col: str = "x", y_col: str = "y",
+              out_x: str = "tx", out_y: str = "ty") -> DataFrame:
+    """Projected → projected ST_Transform — the reference's
+    ``conform_srids`` shape (spandex/spatialtoolz.py::conform_srids
+    conforms every layer to a common SRID at import time; mixed
+    state-plane sources are the UrbanSim reality).  Pure composition:
+    inverse(from_srid) through EPSG:4326 then forward(to_srid), both
+    legs the already-tested analytic Snyder series — this function adds
+    column plumbing only.
+
+    4326 endpoints degrade to the single-leg operators: from 4326 the
+    input columns are lon/lat in ``x_col``/``y_col``; to 4326 the
+    output is lon/lat in ``out_x``/``out_y``.  Round-trip exactness is
+    the two legs' pytested property (sub-mm), so chained error is
+    bounded by their sum."""
+    if from_srid == to_srid:
+        return (df.withColumn(out_x, F.col(x_col).cast("double"))
+                .withColumn(out_y, F.col(y_col).cast("double")))
+    if from_srid == 4326:
+        mid = (df.withColumn("_t_lon", F.col(x_col).cast("double"))
+               .withColumn("_t_lat", F.col(y_col).cast("double")))
+    else:
+        mid = reproject_inverse(df, from_srid=from_srid, x_col=x_col,
+                                y_col=y_col, lon_col="_t_lon",
+                                lat_col="_t_lat")
+    if to_srid == 4326:
+        out = (mid.withColumn(out_x, F.col("_t_lon"))
+               .withColumn(out_y, F.col("_t_lat")))
+    else:
+        out = reproject(mid, lon_col="_t_lon", lat_col="_t_lat",
+                        to_srid=to_srid, x_col=out_x, y_col=out_y)
+    return out.drop("_t_lon", "_t_lat")
