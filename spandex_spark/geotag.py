@@ -42,7 +42,8 @@ def geotag(pages: DataFrame, gazetteer: DataFrame | None = None,
         toks = pages.select(
             F.col(id_col),
             F.explode(F.array_distinct(F.split(
-                F.lower(F.regexp_replace(F.col(text_col), r"[^a-z0-9]+", " ")),
+                F.regexp_replace(F.lower(F.col(text_col)),
+                                 r"[^a-z0-9]+", " "),
                 " "))).alias("_tok"))
         matches = (toks.join(gaz, "_tok", "inner")
                    .groupBy(id_col)
@@ -71,3 +72,56 @@ def geotag(pages: DataFrame, gazetteer: DataFrame | None = None,
                         .when(has_gaz, F.lit("gazetteer"))
                         .otherwise(F.lit(None).cast("string"))))
     return out.drop("_glat", "_glon", "_place", "_gaz_lon", "_gaz_lat")
+
+
+def geotag_resolved(pages: DataFrame, gazetteer: DataFrame,
+                    *, text_col: str = "text", id_col: str = "url",
+                    pop_weight: float = 1.0, dist_weight: float = 1.0,
+                    scale_km: float = 2000.0,
+                    iterations: int = 1) -> DataFrame:
+    """Geotagging against an AMBIGUOUS gazetteer — the composition of
+    the tokens-strategy mention extractor with
+    `operators/toponym.py::resolve_toponyms` (see its docstring for
+    the two-pass prior+coherence semantics and weight guidance).
+
+    ``gazetteer`` carries (name, gaz_id, population, lon, lat) with
+    possibly MANY rows per name — unlike :func:`geotag`, whose
+    injective fixture gazetteer lets min_by pick a location without
+    disambiguation.  Every distinct token of a page that matches a
+    gazetteer name becomes a mention; the resolver scores candidates
+    per page; the page's location is its best-scoring resolved mention
+    (score ties: mention asc).  The byte-identity invariant holds —
+    text is only read.
+
+    Output: all input columns + lon, lat, place (resolved gazetteer
+    name), gaz_id, tag_source ('resolved' | NULL).  Pages with no
+    matching mention keep NULL location.
+    """
+    from spandex_spark.operators.toponym import resolve_toponyms
+    toks = pages.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(F.split(
+            F.regexp_replace(F.lower(F.col(text_col)),
+                             r"[^a-z0-9]+", " "),
+            " "))).alias("mention"))
+    names = F.broadcast(gazetteer.select(
+        F.lower(F.col("name")).alias("mention")).distinct())
+    mentions = toks.join(names, "mention")
+    resolved = resolve_toponyms(
+        mentions, gazetteer, doc_col="_doc", mention_col="mention",
+        pop_weight=pop_weight, dist_weight=dist_weight,
+        scale_km=scale_km, iterations=iterations)
+    from pyspark.sql import Window
+    w = Window.partitionBy("_doc").orderBy(F.col("score").desc(),
+                                           F.col("mention").asc())
+    best = (resolved.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(F.col("_doc"),
+                    F.col("mention").alias("place"),
+                    "gaz_id", "lon", "lat"))
+    out = pages.join(best, pages[id_col] == best["_doc"], "left") \
+        .drop("_doc")
+    return out.withColumn(
+        "tag_source",
+        F.when(F.col("lon").isNotNull(), F.lit("resolved"))
+        .otherwise(F.lit(None).cast("string")))
