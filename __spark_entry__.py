@@ -1752,7 +1752,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # resolve_toponyms is SQL-oracle-able too (join + windows +
     # haversine trig all have DuckDB twins); parse_gpx is
     # SQL-oracle-able (regexp extraction); align_sentences is
-    # rows-only (per-pair DP) like map_match.
+    # rows-only (per-pair DP) like map_match; transform is
+    # SQL-oracle-able through the reproject oracles' closed forms
+    # (compose the inverse/forward lattices); geotag_resolved and
+    # parse_kml can share the geotag/pip_tag closed-form oracles via
+    # round-trip fixtures (the pip_tag_shapefile pattern);
+    # curate_and_pack is rows-only (its stages are separately
+    # oracled).  All pytest-first; r6 window has 2 free slots by
+    # policy, r7 reopens 31+.  PRE-VALIDATED for those 2 slots:
+    # c4_clean and resolve_toponyms both hash-matched full DuckDB
+    # oracles under the exact driver compare at sf0.01
+    # (scripts/r6_late_candidates.py — constructed multi-line pages /
+    # ambiguous gazetteer, 500 rows each) — promotion is copy-paste.
     return {
         # r4-unchecked tail, now leading (r3-green, ≤1 round stale)
         "scale_targets": _q_scale,
