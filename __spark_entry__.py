@@ -1002,6 +1002,60 @@ def _q_geoip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "ip", "loc_id")
 
 
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics over constructed multi-line pages (the
+    fixture docs carry no newlines/terminal punctuation, so the
+    interesting input is built in-query identically in both engines,
+    rotating through the page failure modes).  Pre-validated
+    hash-exact in scripts/r6_late_candidates.py."""
+    from spandex_spark.operators.textstats import c4_clean
+    docs = _t(spark, sf_dir, "documents")
+    line3 = (F.when(F.col("doc_id") % 5 == 0,
+                    "Another complete sentence closes this clean page "
+                    "nicely.")
+             .when(F.col("doc_id") % 5 == 1,
+                   "Please enable javascript to view all the things "
+                   "here.")
+             .when(F.col("doc_id") % 5 == 2,
+                   "Some lorem ipsum filler text is sitting right here "
+                   "today.")
+             .when(F.col("doc_id") % 5 == 3,
+                   "A brace appears in this otherwise fine sentence { "
+                   "here.")
+             .otherwise("this line never terminates so it gets dropped"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("This is the first proper sentence for document "),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" with many words.\n"),
+                 F.lit("Too short.\n"), line3).alias("text"))
+    return (c4_clean(pages, min_sentences=2)
+            .select("doc_id", "clean_text", "c4_sentences", "c4_no_lorem",
+                    "c4_no_brace", "c4_no_blockword", "c4_pass"))
+
+
+def _q_resolve_toponyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toponym resolution against an ambiguous range()-built gazetteer
+    (3 candidates per name); the two-pass prior+coherence heuristic is
+    fully SQL-replicable (windows + haversine).  Pre-validated
+    hash-exact in scripts/r6_late_candidates.py."""
+    from spandex_spark.operators.toponym import resolve_toponyms
+    docs = _t(spark, sf_dir, "documents")
+    mentions = docs.select(
+        (F.col("doc_id") % 500).alias("doc_id"),
+        F.concat(F.lit("place"),
+                 (F.col("doc_id") % 40).cast("string")).alias("mention"))
+    gaz = spark.range(120).select(
+        F.concat(F.lit("place"), (F.col("id") % 40).cast("string"))
+        .alias("name"),
+        F.col("id").alias("gaz_id"),
+        ((F.col("id") * 131) % 9973).cast("double").alias("population"),
+        ((F.col("id") * 7) % 360 - 180.0).alias("lon"),
+        ((F.col("id") * 3) % 170 - 85.0).alias("lat"))
+    return (resolve_toponyms(mentions, gaz)
+            .withColumn("score", F.round("score", 9) + 0.0))
+
+
 def _q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5: EPSG:4326 → 3857 analytic reprojection."""
     from spandex_spark.operators import reproject
@@ -1831,6 +1885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "surt_key": _q_surt_key,
         "geoip_join": _q_geoip_join,
+        # post-final-wave additions, also outside the window (51+),
+        # both pre-validated hash-exact (scripts/r6_late_candidates.py)
+        "c4_clean": _q_c4_clean,
+        "resolve_toponyms": _q_resolve_toponyms,
         # r4-verified, rotating toward the tail
         "bpe_piece_count": _q_bpe_count,
         "fingerprint": _q_fingerprint,
@@ -3037,5 +3095,93 @@ def oracle_sql() -> dict[str, str]:
           FROM range(200) t(j))
         SELECT f.doc_id, f.ip, i.loc_id
         FROM facts f LEFT JOIN ivs i ON f.ip BETWEEN i.lo AND i.hi
+    """
+    d["c4_clean"] = r"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'This is the first proper sentence for document '
+                   || CAST(doc_id AS VARCHAR) || ' with many words.'
+                   || chr(10) || 'Too short.' || chr(10)
+                   || CASE doc_id % 5
+                      WHEN 0 THEN 'Another complete sentence closes this clean page nicely.'
+                      WHEN 1 THEN 'Please enable javascript to view all the things here.'
+                      WHEN 2 THEN 'Some lorem ipsum filler text is sitting right here today.'
+                      WHEN 3 THEN 'A brace appears in this otherwise fine sentence { here.'
+                      ELSE 'this line never terminates so it gets dropped'
+                      END AS text
+          FROM documents),
+        lines AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split(text, chr(10)),
+                   ln -> regexp_matches(trim(ln), '[.!?"”]$')
+                         AND len(list_filter(
+                               regexp_split_to_array(trim(ln), '\s+'),
+                               w -> w <> '')) >= 5
+                         AND NOT regexp_matches(lower(ln),
+                                                '\bjavascript\b')
+                 ) AS kept
+          FROM pages),
+        cleaned AS (
+          SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
+          FROM lines)
+        SELECT doc_id, clean_text,
+               (len(string_split_regex(clean_text, '[.!?]')) - 1 >= 2)
+                 AS c4_sentences,
+               NOT contains(lower(clean_text), 'lorem ipsum')
+                 AS c4_no_lorem,
+               NOT contains(clean_text, '{') AS c4_no_brace,
+               TRUE AS c4_no_blockword,
+               COALESCE((len(string_split_regex(clean_text, '[.!?]')) - 1
+                         >= 2)
+                        AND NOT contains(lower(clean_text), 'lorem ipsum')
+                        AND NOT contains(clean_text, '{'), FALSE)
+                 AS c4_pass
+        FROM cleaned
+    """
+    d["resolve_toponyms"] = r"""
+        WITH mentions AS (
+          SELECT DISTINCT CAST(doc_id % 500 AS BIGINT) AS doc_id,
+                 'place' || CAST(doc_id % 40 AS VARCHAR) AS mention
+          FROM documents),
+        gaz AS (
+          SELECT 'place' || CAST(g % 40 AS VARCHAR) AS name,
+                 CAST(g AS BIGINT) AS gaz_id,
+                 CAST((g * 131) % 9973 AS DOUBLE) AS population,
+                 CAST((g * 7) % 360 - 180 AS DOUBLE) AS lon,
+                 CAST((g * 3) % 170 - 85 AS DOUBLE) AS lat
+          FROM range(120) t(g)),
+        maxp AS (SELECT max(population) AS mp FROM gaz),
+        cands AS (
+          SELECT m.doc_id, m.mention, g.gaz_id, g.population,
+                 g.lon, g.lat
+          FROM mentions m JOIN gaz g ON lower(m.mention) = g.name),
+        prior AS (
+          SELECT * FROM (
+            SELECT c.*, row_number() OVER (
+              PARTITION BY doc_id, mention
+              ORDER BY population DESC, gaz_id ASC) AS rk
+            FROM cands c) WHERE rk = 1),
+        ctx AS (
+          SELECT doc_id, avg(lon) AS clon, avg(lat) AS clat
+          FROM prior GROUP BY doc_id),
+        scored AS (
+          SELECT c.doc_id, c.mention, c.gaz_id, c.population,
+                 c.lon, c.lat,
+                 1.0 * log10(c.population + 1)
+                   / log10((SELECT mp FROM maxp) + 1)
+                 - 1.0 * (2 * 6371.0088 * asin(sqrt(
+                     sin(radians(x.clat - c.lat) / 2) ^ 2
+                     + cos(radians(c.lat)) * cos(radians(x.clat))
+                       * sin(radians(x.clon - c.lon) / 2) ^ 2)))
+                   / 2000.0 AS score
+          FROM cands c JOIN ctx x USING (doc_id))
+        SELECT doc_id, mention, gaz_id, lon, lat,
+               round(score, 9) + 0.0 AS score
+        FROM (
+          SELECT s.*, row_number() OVER (
+            PARTITION BY doc_id, mention
+            ORDER BY score DESC, population DESC, gaz_id ASC) AS rk
+          FROM scored s) WHERE rk = 1
     """
     return d
