@@ -4,7 +4,7 @@ from spandex_spark.operators.knn import knn_join  # noqa: F401
 from spandex_spark.operators.zonal import (  # noqa: F401
     zonal_stats, clip_raster, downsample, raster_sample, resample_tiles,
     map_algebra, zonal_histogram, zonal_majority, raster_profile,
-    raster_pyramid)
+    raster_pyramid, reclassify)
 from spandex_spark.operators.scaling import scale_to_targets  # noqa: F401
 from spandex_spark.operators.validate import (  # noqa: F401
     invalid_geometry_check, duplicate_stacked_geometry_check, make_valid)

@@ -747,3 +747,36 @@ def raster_pyramid(tiles: DataFrame, *, levels: int,
             _make_merge(r, ry_, tw, th, lvl), merge_schema)
         out = out.unionByName(cur)
     return out
+
+
+def reclassify(tiles: DataFrame, breaks: list, classes: list, *,
+               nodata_class: float | None = None,
+               out_col: str = "values") -> DataFrame:
+    """Per-pixel reclassification — the ArcGIS Reclassify / GRASS
+    r.reclass / gdal_calc bucket ladder: pixel v maps to
+    ``classes[i]`` for ``breaks[i] <= v < breaks[i+1]`` (len(classes)
+    == len(breaks) - 1; the last interval is inclusive on the right),
+    values outside every interval — and NaN — map to ``nodata_class``
+    (NaN when None).  A unary sibling of :func:`map_algebra`: one
+    ``transform`` over the tile payload, pure JVM codegen, map-only,
+    zero shuffles."""
+    if len(classes) != len(breaks) - 1:
+        raise ValueError("need len(classes) == len(breaks) - 1")
+    if sorted(breaks) != list(breaks):
+        raise ValueError("breaks must be ascending")
+    nd = F.lit(float("nan") if nodata_class is None
+               else float(nodata_class))
+
+    def ladder(v):
+        expr = nd
+        # build from the top so earlier intervals win in the final WHEN
+        for i in range(len(classes) - 1, -1, -1):
+            lo, hi = float(breaks[i]), float(breaks[i + 1])
+            cond = ((v >= F.lit(lo)) & (v < F.lit(hi))
+                    if i < len(classes) - 1
+                    else (v >= F.lit(lo)) & (v <= F.lit(hi)))
+            expr = F.when(cond, F.lit(float(classes[i]))).otherwise(expr)
+        return F.when(F.isnan(v) | v.isNull(), nd).otherwise(expr)
+
+    return tiles.withColumn(out_col,
+                            F.transform(F.col("values"), ladder))
