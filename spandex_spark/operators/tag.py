@@ -46,6 +46,51 @@ def _geom_rings_entry(geom_row) -> tuple:
             np.asarray(geom_row["ys"], np.float64), arr)
 
 
+def _is_exact_rect(geom_row) -> bool:
+    """True iff the geometry is a single-ring axis-aligned rectangle whose
+    stored bbox equals the ring bounds EXACTLY. For such rings the ray-cast
+    kernel (geom.points_in_polygon) reduces, bit-for-bit, to the half-open
+    predicate ``minx <= px < maxx AND miny <= py < maxy`` (the documented
+    left/bottom-inclusive boundary rule): the only crossing edges are the
+    two verticals, whose x-intercepts are exactly minx/maxx (the
+    ``(py-y1)*(x2-x1)/(y2-y1)`` term is exactly 0 for a vertical edge), so
+    parity is odd iff px in [minx, maxx), gated by py in [miny, maxy).
+    The structural test — 4 vertices, every edge (incl. the closing one)
+    axis-parallel and nonzero — forces a simple rectangle traversal in
+    either orientation; bowties/zigzags fail the closing edge."""
+    offs = geom_row["ring_offsets"]
+    if offs is not None and len(offs) > 2:
+        return False
+    xs = np.asarray(geom_row["xs"], np.float64)
+    ys = np.asarray(geom_row["ys"], np.float64)
+    if xs.shape[0] != 4:
+        return False
+    dx = np.diff(np.r_[xs, xs[0]])
+    dy = np.diff(np.r_[ys, ys[0]])
+    if not bool(np.all((dx == 0.0) != (dy == 0.0))):
+        return False
+    minx, maxx = xs.min(), xs.max()
+    miny, maxy = ys.min(), ys.max()
+    if not (minx < maxx and miny < maxy):
+        return False
+    bbox = geom_row["bbox"]
+    return (bbox["minx"] == minx and bbox["maxx"] == maxx
+            and bbox["miny"] == miny and bbox["maxy"] == maxy)
+
+
+_RECT_COLS = ("_rx0", "_ry0", "_rx1", "_ry1")
+
+
+def _with_rect_cols(df: DataFrame) -> DataFrame:
+    """Attach the geometry bbox as flat columns on the covering-cell table
+    (pre-broadcast). Only consulted when the whole layer passed
+    _is_exact_rect, in which case bbox == ring bounds exactly."""
+    return (df.withColumn("_rx0", F.col("geom.bbox.minx"))
+            .withColumn("_ry0", F.col("geom.bbox.miny"))
+            .withColumn("_rx1", F.col("geom.bbox.maxx"))
+            .withColumn("_ry1", F.col("geom.bbox.maxy")))
+
+
 def _pip_closure(polys: dict):
     """PIP refine with the polygon rings captured by closure: the Arrow
     batch carries only (lon, lat, poly_id) — no geometry arrays per row."""
@@ -97,14 +142,19 @@ class PolygonIndex:
         polys = polygons.select(
             F.col(poly_id_col).alias("_pid"), "geom",
             *[F.col(c).alias(f"_attr_{c}") for c in poly_attr_cols])
-        self.cells_df = (polys.withColumn(
+        self.cells_df = (_with_rect_cols(polys.withColumn(
             "_cc", F.explode(cover_cells_classified_udf(F.col("geom"), level)))
             .withColumn("cell", F.col("_cc.cell"))
-            .withColumn("_full", F.col("_cc.full"))
+            .withColumn("_full", F.col("_cc.full")))
             .drop("geom", "_cc").persist())
         self.cells_df.count()
+        rows = polys.select("_pid", "geom").collect()  # collect-ok: polygon layer broadcast-sized by contract (rings closure)
         self.rings = {int(r["_pid"]): _geom_rings_entry(r["geom"])
-                      for r in polys.select("_pid", "geom").collect()}  # collect-ok: polygon layer broadcast-sized by contract (rings closure)
+                      for r in rows}
+        # all-rectangles layer: the refine is a pure JVM predicate — no
+        # ArrowEvalPython on the point stream at all (guide §4.1: built-ins
+        # beat any UDF; the predicate is bit-identical to the kernel)
+        self.all_rects = all(_is_exact_rect(r["geom"]) for r in rows)
 
 
 def tag_points(points: DataFrame, polygons: DataFrame, *,
@@ -153,20 +203,37 @@ def tag_points(points: DataFrame, polygons: DataFrame, *,
         if index is not None:
             rings = index.rings
             cells_df = index.cells_df
+            all_rects = index.all_rects
         else:
+            rows = polys.select("_pid", "geom").collect()  # collect-ok: polygon layer broadcast-sized by contract (rings closure)
             rings = {int(r["_pid"]): _geom_rings_entry(r["geom"])
-                     for r in polys.select("_pid", "geom").collect()}  # collect-ok: polygon layer broadcast-sized by contract (rings closure)
-            cells_df = (polys.withColumn(
+                     for r in rows}
+            all_rects = all(_is_exact_rect(r["geom"]) for r in rows)
+            cells_df = (_with_rect_cols(polys.withColumn(
                 "_cc", F.explode(cover_cells_classified_udf(F.col("geom"), level)))
                 .withColumn("cell", F.col("_cc.cell"))
-                .withColumn("_full", F.col("_cc.full"))
+                .withColumn("_full", F.col("_cc.full")))
                 .drop("geom", "_cc"))
         cand = pts.join(F.broadcast(cells_df), "cell", "inner")
-        # interior-cell shortcut: the full-aware kernel accepts FULL-cell
-        # rows without computing PIP; only the boundary fringe pays flops
-        refine = _pip_closure_fullaware(rings)
-        hits = cand.filter(refine(F.col(lon_col), F.col(lat_col),
-                                  F.col("_pid"), F.col("_full"))).drop("_full")
+        if all_rects:
+            # all-rectangles refine entirely in whole-stage codegen (the
+            # half-open predicate is the exact ray-cast result for
+            # axis-aligned rings — see _is_exact_rect); FULL cells skip
+            # even the comparisons via the leading OR
+            inside = (F.coalesce(F.col("_full"), F.lit(False))
+                      | ((F.col(lon_col) >= F.col("_rx0"))
+                         & (F.col(lon_col) < F.col("_rx1"))
+                         & (F.col(lat_col) >= F.col("_ry0"))
+                         & (F.col(lat_col) < F.col("_ry1"))))
+            hits = cand.filter(inside).drop("_full", *_RECT_COLS)
+        else:
+            # interior-cell shortcut: the full-aware kernel accepts
+            # FULL-cell rows without computing PIP; only the boundary
+            # fringe pays flops
+            refine = _pip_closure_fullaware(rings)
+            hits = cand.filter(refine(F.col(lon_col), F.col(lat_col),
+                                      F.col("_pid"), F.col("_full"))) \
+                .drop("_full", *_RECT_COLS)
     else:
         polys_cells = polys.withColumn(
             "cell", F.explode(cover_cells_udf(F.col("geom"), level)))
