@@ -78,6 +78,15 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
     else:
         raise ValueError(f"unknown metric {metric!r}")
     cand = cand.withColumn("dist_m", dist)
+    if "_dmax" in cand.columns:
+        # per-query-cell kth-distance upper bound from the cells-route
+        # prune (linear units; the planar metric ranks by SQUARED
+        # distance, so compare against D^2 there). Exact: true top-k
+        # distances are all <= D, so the filter only sheds non-winners
+        # before the top-k sort.
+        bound = (F.col("_dmax") * F.col("_dmax") if metric == "planar"
+                 else F.col("_dmax"))
+        cand = cand.filter(F.col("dist_m") <= bound).drop("_dmax")
     if k == 1:
         # k=1 fast path: min_by hash-aggregates with map-side partials (a
         # min-of-struct would fall back to SortAggregate) — the shuffle
@@ -91,8 +100,17 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
                            F.lit(1).alias("rank"),
                            F.col("_bfid").alias(feature_id_col),
                            F.col("_bdist").alias("dist_m"))
+    # Pre-partition the window exchange at the cluster's core count
+    # (defaultParallelism) instead of spark.sql.shuffle.partitions: the
+    # top-k exchange carries few bytes, so block count — M x R — not
+    # partition size is its cost; R = cores measured ~1.6x faster than
+    # R = 4x cores on this chassis (guide §2.2: fewer, larger reduce
+    # partitions; scale-adaptive, no constant baked in). The window
+    # reuses the repartition's hash partitioning — still ONE exchange.
+    nparts = queries.sparkSession.sparkContext.defaultParallelism
     w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_fid").asc())
-    out = (cand.withColumn("rank", F.row_number().over(w))
+    out = (cand.repartition(nparts, "_qid")
+           .withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k))
     return out.select(F.col("_qid").alias(query_id_col), "rank",
                       F.col("_fid").alias(feature_id_col), "dist_m")
@@ -267,7 +285,8 @@ class _SparseCells:
     lives (the round-2 dense grid capped level at 11 — ~20 km cells)."""
 
     def __init__(self, gx: np.ndarray, gy: np.ndarray, level: int,
-                 counts: np.ndarray | None = None):
+                 counts: np.ndarray | None = None,
+                 fbox: tuple | None = None):
         self.level = level
         self.n = 1 << level
         key = gy.astype(np.int64) * np.int64(self.n) + gx.astype(np.int64)
@@ -277,6 +296,11 @@ class _SparseCells:
         self.gy = gy[order].astype(np.int64)
         self.cnt = (counts[order].astype(np.int64) if counts is not None
                     else np.ones(self.keys.shape[0], np.int64))
+        # optional per-cell FEATURE bbox (minx, maxx, miny, maxy arrays):
+        # distance bounds over the actual feature spread instead of the
+        # whole cell rectangle — tightens the candidate prune
+        self.fbox = (tuple(np.asarray(a, np.float64)[order] for a in fbox)
+                     if fbox is not None else None)
 
     def indices_in_ranges(self, x_ranges: list, y0: int, y1: int) -> np.ndarray:
         """Indices (into the sorted arrays) of fine cells with gy in
@@ -415,75 +439,168 @@ def _search_radii_planar(hist: _CellHistogram, gx: np.ndarray,
     return rx, ry
 
 
-def _candidate_cells_udf(bc, k: int, metric: str):
-    """Per-query candidate cell list (array<long>): all non-empty FINE
-    feature cells within the exact per-query search box (radius logic at
-    the coarse histogram level), computed once per DISTINCT coarse query
-    cell per Arrow batch and fanned back to rows. ``bc`` is a Spark
-    Broadcast of (hist, sparse) — deserialized once per executor, not
-    pickled into each task closure."""
+def _box_haversine_bounds(qx0, qx1, qy0, qy1, cx0, cx1, cy0, cy1):
+    """(mind, maxd) great-circle meters between the query box
+    [qx0,qx1]x[qy0,qy1] (scalars, degrees) and candidate boxes (arrays).
+    EXACT interval arithmetic on the haversine identity
+    sin^2(theta/2) = sin^2(dphi/2) + cos(phi1)cos(phi2) sin^2(dlambda/2):
+    every factor is bounded monotonically over the boxes, so mind <= true
+    distance <= maxd for EVERY point pair — no slack inequalities.
+    Lon separations take the shorter way around the circle (<=180 deg)."""
+    gap_u = np.maximum(0.0, np.maximum(cx0 - qx1, qx0 - cx1))
+    gap_w = np.maximum(0.0, 360.0 - (np.maximum(cx1, qx1)
+                                     - np.minimum(cx0, qx0)))
+    dlon_min = np.minimum(gap_u, gap_w)
+    # max over pairs of the shorter-way separation: <= 180 and <= the max
+    # unwrapped separation (min(s, 360-s) peaks at 180)
+    dlon_max = np.minimum(
+        np.maximum(np.abs(cx1 - qx0), np.abs(qx1 - cx0)), 180.0)
+    dlat_min = np.maximum(0.0, np.maximum(cy0 - qy1, qy0 - cy1))
+    dlat_max = np.maximum(np.abs(cy1 - qy0), np.abs(qy1 - cy0))
+    # cos(phi) extremes per band: max at the most equatorward latitude
+    # (1 when the band crosses the equator), min at the most polar
+    cos_q_max = np.where((np.asarray(qy0) <= 0.0) & (np.asarray(qy1) >= 0.0),
+                         1.0,
+                         np.cos(np.radians(np.minimum(np.abs(qy0),
+                                                      np.abs(qy1)))))
+    cos_q_min = np.cos(np.radians(np.maximum(np.abs(qy0), np.abs(qy1))))
+    cos_c_max = np.where((cy0 <= 0.0) & (cy1 >= 0.0), 1.0,
+                         np.cos(np.radians(np.minimum(np.abs(cy0),
+                                                      np.abs(cy1)))))
+    cos_c_min = np.cos(np.radians(np.maximum(np.abs(cy0), np.abs(cy1))))
+    sin2 = lambda deg: np.sin(np.radians(deg) / 2.0) ** 2
+    h_lo = sin2(dlat_min) + cos_q_min * cos_c_min * sin2(dlon_min)
+    h_up = sin2(dlat_max) + cos_q_max * cos_c_max * sin2(dlon_max)
+    two_r = 2.0 * EARTH_RADIUS_M
+    mind = two_r * np.arcsin(np.sqrt(np.clip(h_lo, 0.0, 1.0)))
+    maxd = two_r * np.arcsin(np.sqrt(np.clip(h_up, 0.0, 1.0)))
+    return mind, maxd
+
+
+# broadcasting-safe for (children x candidates) matrices too
+_box_haversine_bounds_2d = _box_haversine_bounds
+
+
+def _candidate_lists_for_coarse(hist, sparse, ux: np.ndarray, uy: np.ndarray,
+                                qlevel: int, k: int, metric: str) -> list:
+    """Candidate FINE-cell id arrays for each DISTINCT query cell
+    (ux[j], uy[j]) at ``qlevel`` (>= hist.level; finer query cells give a
+    smaller position-uncertainty margin and hence tighter pruning). The
+    search box is derived at the coarse histogram level from the query
+    cell's PARENT (a superset for every point of the child); the
+    cell-level prune then runs against the qlevel cell box. Shared by the
+    pandas-UDF route and the driver-side pair-table route; exactness
+    lives here once."""
+    s = sparse.level - hist.level
+    shift = qlevel - hist.level
+    wrap = metric == "haversine"
+    pux, puy = ux >> shift, uy >> shift
+    pkey = puy * np.int64(hist.n) + pux
+    uniq_p, pinv = np.unique(pkey, return_inverse=True)
+    upy = (uniq_p // hist.n).astype(np.int64)
+    upx = (uniq_p % hist.n).astype(np.int64)
+    if wrap:
+        rx, ry = _search_radii(hist, upx, upy, k)
+    else:
+        rx, ry = _search_radii_planar(hist, upx, upy, k)
+    # per unique PARENT: the box's candidate indices (cached across its
+    # qlevel children)
+    parent_idx = []
+    for j in range(upx.shape[0]):
+        xr = [((a << s), ((b + 1) << s) - 1)
+              for a, b in _x_ranges(int(upx[j]), int(rx[j]), hist.n, wrap)]
+        y0 = max(0, int(upy[j] - ry[j])) << s
+        y1 = ((min(hist.n - 1, int(upy[j] + ry[j])) + 1) << s) - 1
+        parent_idx.append(sparse.indices_in_ranges(xr, y0, y1))
+    lon_ext_f = 360.0 / sparse.n
+    lat_ext_f = 180.0 / sparse.n
+    nq = 1 << qlevel
+    lon_ext_q = 360.0 / nq
+    lat_ext_q = 180.0 / nq
+    # CELL-LEVEL PRUNE (exact-safe, both metrics), vectorized per PARENT
+    # over (children x candidates) matrices: sort the covered fine cells
+    # by a WORST-case distance bound from the query cell; D = the worst
+    # case of the smallest prefix holding >= k features — the true kth
+    # distance is <= D for every query point in this cell — then keep
+    # only cells whose BEST-case distance bound can beat D. When the
+    # index carries per-cell feature bboxes the bounds wrap the actual
+    # feature spread, not the whole cell rectangle.
+    lists = [None] * ux.shape[0]
+    for j in range(upx.shape[0]):
+        idx = parent_idx[j]
+        child = np.flatnonzero(pinv == j)
+        if idx.shape[0] == 0:
+            empty = _cells.xy_to_cell(sparse.gx[idx], sparse.gy[idx],
+                                      sparse.level)
+            for i in child:
+                lists[i] = (empty, np.inf)
+            continue
+        if sparse.fbox is not None:
+            cx0 = sparse.fbox[0][idx][None, :]
+            cx1 = sparse.fbox[1][idx][None, :]
+            cy0 = sparse.fbox[2][idx][None, :]
+            cy1 = sparse.fbox[3][idx][None, :]
+        else:
+            cx0 = (sparse.gx[idx] * lon_ext_f - 180.0)[None, :]
+            cx1 = cx0 + lon_ext_f
+            cy0 = (sparse.gy[idx] * lat_ext_f - 90.0)[None, :]
+            cy1 = cy0 + lat_ext_f
+        qx0 = (ux[child] * lon_ext_q - 180.0)[:, None]
+        qx1 = qx0 + lon_ext_q
+        qy0 = (uy[child] * lat_ext_q - 90.0)[:, None]
+        qy1 = qy0 + lat_ext_q
+        if not wrap:
+            mind = np.hypot(
+                np.maximum(0.0, np.maximum(cx0 - qx1, qx0 - cx1)),
+                np.maximum(0.0, np.maximum(cy0 - qy1, qy0 - cy1)))
+            maxd = np.hypot(np.maximum(cx1 - qx0, qx1 - cx0),
+                            np.maximum(cy1 - qy0, qy1 - cy0))
+        else:
+            mind, maxd = _box_haversine_bounds_2d(qx0, qx1, qy0, qy1,
+                                                  cx0, cx1, cy0, cy1)
+        order = np.argsort(maxd, axis=1, kind="stable")
+        csum = np.cumsum(np.take_along_axis(
+            np.broadcast_to(sparse.cnt[idx], maxd.shape), order, axis=1),
+            axis=1)
+        # first position where the prefix holds >= k features (argmax on
+        # the boolean mask; if none, the whole box stays, dmax = inf)
+        hask = csum >= k
+        pos = np.argmax(hask, axis=1)
+        full_keep = ~hask[np.arange(hask.shape[0]), pos]
+        dmax_row = np.where(full_keep, np.inf, np.take_along_axis(
+            maxd, np.take_along_axis(order, pos[:, None], axis=1),
+            axis=1).ravel())
+        keep = mind <= dmax_row[:, None]
+        for ci, i in enumerate(child):
+            kidx = idx[keep[ci]]
+            lists[i] = (_cells.xy_to_cell(sparse.gx[kidx], sparse.gy[kidx],
+                                          sparse.level),
+                        float(dmax_row[ci]))
+    return lists
+
+
+def _candidate_cells_udf(bc, k: int, metric: str, qlevel: int | None = None):
+    """Per-query candidate cell list (array<long>): computed once per
+    DISTINCT qlevel query cell per Arrow batch and fanned back to rows.
+    ``bc`` is a Spark Broadcast of (hist, sparse) — deserialized once per
+    executor, not pickled into each task closure. Fallback route when the
+    driver-side pair table would be too large (see _ring_candidates)."""
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _cand(lon: pd.Series, lat: pd.Series) -> pd.Series:
         if len(lon) == 0:
             return pd.Series([], dtype=object)
         hist, sparse = bc.value
-        s = sparse.level - hist.level
+        ql = qlevel if qlevel is not None else hist.level + _QLEVEL_EXTRA
+        nq = np.int64(1 << ql)
         gx, gy = _cells.grid_coords(lon.to_numpy(np.float64),
-                                    lat.to_numpy(np.float64), hist.level)
-        key = gy * np.int64(hist.n) + gx
+                                    lat.to_numpy(np.float64), ql)
+        key = gy * nq + gx
         uniq, inverse = np.unique(key, return_inverse=True)
-        uy = (uniq // hist.n).astype(np.int64)
-        ux = (uniq % hist.n).astype(np.int64)
-        wrap = metric == "haversine"
-        if wrap:
-            rx, ry = _search_radii(hist, ux, uy, k)
-        else:
-            rx, ry = _search_radii_planar(hist, ux, uy, k)
-        lon_ext_f = 360.0 / sparse.n
-        lat_ext_f = 180.0 / sparse.n
-        lon_ext_c = 360.0 / hist.n
-        lat_ext_c = 180.0 / hist.n
-        lists: list[list[int]] = []
-        for j in range(uniq.shape[0]):
-            # coarse box -> fine index ranges (scale by 2^s); the query
-            # point sits inside its coarse cell, so the fine enumeration of
-            # the coarse box is a superset of the exact fine box
-            xr = [((a << s), ((b + 1) << s) - 1)
-                  for a, b in _x_ranges(int(ux[j]), int(rx[j]), hist.n, wrap)]
-            y0 = max(0, int(uy[j] - ry[j])) << s
-            y1 = ((min(hist.n - 1, int(uy[j] + ry[j])) + 1) << s) - 1
-            idx = sparse.indices_in_ranges(xr, y0, y1)
-            if not wrap and idx.shape[0]:
-                # planar CELL-LEVEL PRUNE (exact-safe): the coarse search
-                # box over-covers badly when cells are wide relative to
-                # feature spacing. Sort the covered fine cells by their
-                # WORST-case distance from the query cell; D = the worst
-                # case of the smallest prefix holding >= k features — the
-                # true kth distance is <= D for every query point in this
-                # cell — then keep only cells whose BEST-case distance can
-                # beat D. (Haversine keeps the full box: degree gaps do
-                # not order great-circle distances.)
-                cx0 = sparse.gx[idx] * lon_ext_f - 180.0
-                cx1 = cx0 + lon_ext_f
-                cy0 = sparse.gy[idx] * lat_ext_f - 90.0
-                cy1 = cy0 + lat_ext_f
-                qx0 = ux[j] * lon_ext_c - 180.0
-                qx1 = qx0 + lon_ext_c
-                qy0 = uy[j] * lat_ext_c - 90.0
-                qy1 = qy0 + lat_ext_c
-                mind = np.hypot(
-                    np.maximum(0.0, np.maximum(cx0 - qx1, qx0 - cx1)),
-                    np.maximum(0.0, np.maximum(cy0 - qy1, qy0 - cy1)))
-                maxd = np.hypot(np.maximum(cx1 - qx0, qx1 - cx0),
-                                np.maximum(cy1 - qy0, qy1 - cy0))
-                order = np.argsort(maxd, kind="stable")
-                csum = np.cumsum(sparse.cnt[idx][order])
-                pos = int(np.searchsorted(csum, k))
-                if pos < order.shape[0]:
-                    idx = idx[mind <= maxd[order[pos]]]
-            lists.append(_cells.xy_to_cell(sparse.gx[idx], sparse.gy[idx],
-                                           sparse.level).tolist())
+        uy = (uniq // nq).astype(np.int64)
+        ux = (uniq % nq).astype(np.int64)
+        lists = [a[0].tolist() for a in _candidate_lists_for_coarse(
+            hist, sparse, ux, uy, ql, k, metric)]
         return pd.Series([lists[i] for i in inverse])
 
     return _cand
@@ -493,21 +610,17 @@ _HIST_MAX_LEVEL = 11   # coarse radius-oracle grid: <= ~33 MB cropped dense
 _CELLS_MAX_LEVEL = 20  # fine join key: row-major key fits comfortably in i64
 
 
-def build_cell_index(spark, hist_rows, level: int):
-    """Build the (coarse dense histogram, fine sparse cell list) pair from
-    collected (cell, count) rows and ship it as ONE Spark broadcast.
-    Shared by the point kNN cells strategy and the nearest-line cells
-    strategy (operators/lines.py).
-
-    Measured broadcast size (pickled, BENCH/BASELINE.md): ~66 B per
-    OCCUPIED cell, independent of level — 0.28 MB for 1M lattice features
-    (2k cells), 62-66 MB worst-case for 1M uniformly scattered features at
-    level 11-15. Memory is O(min(#features, 4^level)): beyond ~10M
-    scattered features choose a coarser ``level`` (more candidates per
-    cell, bounded index) — the coarse histogram is capped at
-    _HIST_MAX_LEVEL regardless."""
+def _build_index(hist_rows, level: int):
+    """(coarse dense histogram, fine sparse cell list) pair from collected
+    (cell, count[, minx, maxx, miny, maxy]) rows — the local form consumed
+    by the driver-side pair-table route; build_cell_index wraps it in a
+    Spark broadcast. The optional per-cell feature bbox tightens the
+    candidate prune (distance bounds over the actual feature spread)."""
     carr = np.array([r[0] for r in hist_rows], dtype=np.int64)
     cnts = np.array([r[1] for r in hist_rows], dtype=np.int64)
+    fbox = (tuple(np.array([r[i] for r in hist_rows], dtype=np.float64)
+                  for i in range(2, 6))
+            if hist_rows and len(hist_rows[0]) >= 6 else None)
     fx, fy = (_cells.cell_xy(carr) if carr.shape[0]
               else (np.empty(0, np.int64), np.empty(0, np.int64)))
     hlevel = min(level, _HIST_MAX_LEVEL)
@@ -523,25 +636,60 @@ def build_cell_index(spark, hist_rows, level: int):
     else:
         hist = _CellHistogram(np.empty(0, np.int64), np.empty(0, np.int64),
                               np.empty(0, np.int64), hlevel)
-    sparse = _SparseCells(fx, fy, level, cnts)
-    return spark.sparkContext.broadcast((hist, sparse))
+    sparse = _SparseCells(fx, fy, level, cnts, fbox=fbox)
+    return hist, sparse
+
+
+def build_cell_index(spark, hist_rows, level: int):
+    """Build the (coarse dense histogram, fine sparse cell list) pair from
+    collected (cell, count) rows and ship it as ONE Spark broadcast.
+    Shared by the point kNN cells strategy and the nearest-line cells
+    strategy (operators/lines.py).
+
+    Measured broadcast size (pickled, BENCH/BASELINE.md): ~66 B per
+    OCCUPIED cell, independent of level — 0.28 MB for 1M lattice features
+    (2k cells), 62-66 MB worst-case for 1M uniformly scattered features at
+    level 11-15. Memory is O(min(#features, 4^level)): beyond ~10M
+    scattered features choose a coarser ``level`` (more candidates per
+    cell, bounded index) — the coarse histogram is capped at
+    _HIST_MAX_LEVEL regardless."""
+    return spark.sparkContext.broadcast(_build_index(hist_rows, level))
+
+
+_MAX_PAIR_ROWS = 4_000_000    # driver pair-table cap (~64 MB framed)
+_MAX_COARSE_ENUM = 262_144    # bbox-enumeration cap (cells; 512x512 box)
+_QLEVEL_EXTRA = 3             # query-side grouping: hist.level + 3 (8x8
+                              # children per coarse cell) tightens the
+                              # position-uncertainty margin of the prune
 
 
 def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
                      max_rings: int, metric: str = "haversine") -> DataFrame:
-    """Cells-strategy candidate pairs in exactly TWO Spark jobs:
+    """Cells-strategy candidate pairs in exactly THREE (small) Spark jobs:
 
     job 1  feature cell histogram at the FINE level (groupBy(cell).count()
            → driver; one row per non-empty cell);
-    job 2  queries emit their candidate cells from the broadcast index
-           (one pandas UDF, computed per distinct coarse query cell),
-           explode, hash-join the feature side on the fine cell. The
-           caller's window top-k runs in the same job.
+    job 2  query lon/lat EXTENT (1-row min/max aggregate — the coarse
+           cells are enumerated from the bbox on the driver; a superset
+           of the occupied cells is exact since pair rows for empty
+           cells never match);
+    job 3  queries fan out to candidate fine cells via a BROADCAST
+           (coarse cell → fine cell) pair table computed once on the
+           driver — pure JVM codegen, no Python on the query stream —
+           then hash-join the feature side on the fine cell. The caller's
+           window top-k runs in the same job.
+
+    The pair-table route replaces the per-batch pandas UDF (r6: the UDF's
+    ArrowEvalPython was the only Python stage of the strategy — guide
+    §4.1); the per-coarse-cell enumeration is the SAME code either way
+    (_candidate_lists_for_coarse), so candidate sets are identical. When
+    the pair table would exceed _MAX_PAIR_ROWS (huge occupied extents at
+    fine levels), the UDF route is used instead and job 2 is skipped.
 
     The radius search runs on a cropped dense histogram at
     min(level, 11); candidate enumeration runs on a SORTED SPARSE list of
     the fine cells, so ``level`` may go to 15+ (urban-skew resolution)
-    without a 4^level grid. Both structures ship as ONE Spark broadcast.
+    without a 4^level grid.
 
     Exact for both metrics: haversine boxes are latitude-aware and wrap at
     the antimeridian; planar boxes are Chebyshev in degree space, unwrapped
@@ -552,11 +700,72 @@ def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
         raise ValueError(f"cells strategy supports level <= {_CELLS_MAX_LEVEL}")
     spark = q.sparkSession
     fc = f.withColumn("_cell", _cell_of_jvm(F.col("_flon"), F.col("_flat"), level))
-    rows = fc.groupBy("_cell").count().collect()  # collect-ok: O(occupied cells) histogram -> broadcast index
-    bc = build_cell_index(spark, rows, level)
-    cand_cells = _candidate_cells_udf(bc, k, metric)
-    qc = (q.withColumn("_cell", F.explode(cand_cells(F.col("_qlon"),
-                                                     F.col("_qlat")))))
+    # The two index-building jobs are independent — overlap them from a
+    # 2-thread pool so the second job back-fills executors freed by the
+    # first's tail (guide §2.6). Query cells come by EXTENT, not by a
+    # distinct scan: any SUPERSET of the occupied query cells is exact
+    # (pair rows for empty cells never match), and a min/max aggregate is
+    # one cheap partial-agg shuffle where a distinct through an upstream
+    # round-robin repartition measured ~7x slower (its second exchange;
+    # see OPTIMIZATION_r06.md).
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_rows = pool.submit(
+            lambda: fc.groupBy("_cell").agg(
+                F.count(F.lit(1)), F.min("_flon"), F.max("_flon"),
+                F.min("_flat"), F.max("_flat")).collect())  # collect-ok: O(occupied cells) histogram (+feature bbox per cell) -> index
+        f_ext = pool.submit(
+            lambda: q.agg(F.min("_qlon"), F.max("_qlon"),
+                          F.min("_qlat"), F.max("_qlat")).collect()[0])  # collect-ok: 1-row extent aggregate
+        rows = f_rows.result()
+        ext = f_ext.result()
+    hist, sparse = _build_index(rows, level)
+    qlevel = hist.level + _QLEVEL_EXTRA
+    n_box = 0
+    if ext[0] is not None:
+        # walk qlevel down until the bbox enumeration fits the cap
+        while True:
+            gx0, gy0 = _cells.grid_coords(np.array([ext[0]]),
+                                          np.array([ext[2]]), qlevel)
+            gx1, gy1 = _cells.grid_coords(np.array([ext[1]]),
+                                          np.array([ext[3]]), qlevel)
+            n_box = int(gx1[0] - gx0[0] + 1) * int(gy1[0] - gy0[0] + 1)
+            if n_box <= _MAX_COARSE_ENUM or qlevel <= hist.level:
+                break
+            qlevel -= 1
+    if 0 < n_box <= _MAX_COARSE_ENUM:
+        ux, uy = np.meshgrid(np.arange(gx0[0], gx1[0] + 1, dtype=np.int64),
+                             np.arange(gy0[0], gy1[0] + 1, dtype=np.int64))
+        ux, uy = ux.ravel(), uy.ravel()
+        qcells = _cells.xy_to_cell(ux, uy, qlevel).tolist()
+        lists = _candidate_lists_for_coarse(hist, sparse, ux, uy, qlevel,
+                                            k, metric)
+        n_pairs = int(sum(a.shape[0] for a, _ in lists))
+    elif n_box == 0:
+        qcells, lists, n_pairs = [], [], 0
+    else:
+        # huge query extent at a fine histogram level: fall back to the
+        # per-row distinct inside the pandas UDF route
+        qcells, lists, n_pairs = [], [], _MAX_PAIR_ROWS + 1
+    if n_pairs <= _MAX_PAIR_ROWS:
+        # each pair row also carries D = the per-query-cell kth-distance
+        # UPPER bound from the prune: knn_join filters dist <= D in
+        # codegen BEFORE the top-k window, so non-winners never enter the
+        # sort/exchange (exact: every true top-k distance is <= D)
+        pair_rows = [(int(c), int(cand), dmax)
+                     for c, (arr, dmax) in zip(qcells, lists)
+                     for cand in arr]
+        pairs_df = spark.createDataFrame(
+            pair_rows, "_qcell long, _cell long, _dmax double")
+        qcell_expr = _cell_of_jvm(F.col("_qlon"), F.col("_qlat"), qlevel)
+        qc = (q.withColumn("_qcell", qcell_expr)
+              .join(F.broadcast(pairs_df), "_qcell", "inner")
+              .drop("_qcell"))
+    else:
+        bc = spark.sparkContext.broadcast((hist, sparse))
+        cand_cells = _candidate_cells_udf(bc, k, metric, qlevel=qlevel)
+        qc = (q.withColumn("_cell", F.explode(cand_cells(F.col("_qlon"),
+                                                         F.col("_qlat")))))
     return qc.join(fc, "_cell", "inner").drop("_cell")
 
 
