@@ -96,6 +96,13 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                 sigs[ne_idx, i] = np.minimum.reduceat(v, offsets).astype(np.int64)
         return pd.Series(list(sigs))
 
+    # spread a single-split input before the heavy kernel: a sub-core
+    # partition count serializes the whole signature pass (bench: the 5k-doc
+    # corpus is ONE parquet row group). Inputs already wider than the
+    # cluster are left untouched — no shuffle at real scale.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
     hashed = df.select(
         id_col, F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"))
@@ -119,31 +126,37 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                   F.col("_band"),
                   F.slice("signature", F.col("_band") * rows_per_band + 1,
                           rows_per_band).cast("string"))))
-    # cap runaway buckets (boilerplate mega-clusters); persist — the banded
-    # signature table feeds BOTH sides of the self-join, and recomputing it
-    # means re-shingling the corpus twice
-    w = Window.partitionBy("_band", "_bhash").orderBy(id_col)
-    capped = (banded.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= max_bucket)
-              .persist())
-    lhs = capped.select(F.col("_band"), F.col("_bhash"),
-                        F.col(id_col).alias("id_a"),
-                        F.col("signature").alias("_sig_a"))
-    rhs = capped.select(F.col("_band"), F.col("_bhash"),
-                        F.col(id_col).alias("id_b"),
-                        F.col("signature").alias("_sig_b"))
-    agree = F.zip_with("_sig_a", "_sig_b",
+    # ONE bucket exchange (r6): aggregate each (band, bucket) to a sorted
+    # member array — the partial/final hash aggregation replaces the old
+    # window-cap + persist + self-join chain (3 exchanges + a cache) —
+    # then cap runaway buckets (boilerplate mega-clusters) by taking the
+    # first max_bucket members ordered by id (exactly the old window cap),
+    # and emit i<j pairs by a double posexplode, all in the same stage.
+    from spandex_spark.functions.partitioning import pre_group_repartition
+    buckets = (pre_group_repartition(banded, "_band", "_bhash")
+               .groupBy("_band", "_bhash")
+               .agg(F.slice(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("_id"),
+                            F.col("signature").alias("_sig")))),
+                   1, max_bucket).alias("_members")))
+    pairs = (buckets
+             .select(F.posexplode("_members").alias("_i", "_a"), "_members")
+             .select("_i", "_a", F.posexplode("_members").alias("_j", "_b"))
+             .filter(F.col("_j") > F.col("_i"))
+             # strict id order exactly as the old id_a < id_b self-join
+             # filter: equal-id rows (duplicate doc ids) never pair
+             .filter(F.col("_a._id") < F.col("_b._id")))
+    agree = F.zip_with(F.col("_a._sig"), F.col("_b._sig"),
                        lambda x, y: (x == y).cast("int"))
     # est_jaccard is computed BEFORE the pair dedup (it is identical for
     # every band-collision of a pair), so the dedup exchange carries
     # (id_a, id_b, double) — not two 128-long signatures per row
-    return (lhs.join(rhs, ["_band", "_bhash"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn(
-                "est_jaccard",
-                F.aggregate(agree, F.lit(0), lambda acc, v: acc + v)
-                / F.lit(float(num_hashes)))
-            .select("id_a", "id_b", "est_jaccard")
+    from spandex_spark.functions.partitioning import pre_group_repartition
+    scored = pairs.select(
+        F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"),
+        (F.aggregate(agree, F.lit(0), lambda acc, v: acc + v)
+         / F.lit(float(num_hashes))).alias("est_jaccard"))
+    return (pre_group_repartition(scored, "id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
 
 

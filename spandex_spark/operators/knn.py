@@ -100,16 +100,14 @@ def knn_join(queries: DataFrame, features: DataFrame, *, k: int,
                            F.lit(1).alias("rank"),
                            F.col("_bfid").alias(feature_id_col),
                            F.col("_bdist").alias("dist_m"))
-    # Pre-partition the window exchange at the cluster's core count
-    # (defaultParallelism) instead of spark.sql.shuffle.partitions: the
+    # Pre-partition the window exchange at the cluster's core count: the
     # top-k exchange carries few bytes, so block count — M x R — not
-    # partition size is its cost; R = cores measured ~1.6x faster than
-    # R = 4x cores on this chassis (guide §2.2: fewer, larger reduce
+    # partition size is its cost (guide §2.2: fewer, larger reduce
     # partitions; scale-adaptive, no constant baked in). The window
     # reuses the repartition's hash partitioning — still ONE exchange.
-    nparts = queries.sparkSession.sparkContext.defaultParallelism
+    from spandex_spark.functions.partitioning import pre_group_repartition
     w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_fid").asc())
-    out = (cand.repartition(nparts, "_qid")
+    out = (pre_group_repartition(cand, "_qid")
            .withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k))
     return out.select(F.col("_qid").alias(query_id_col), "rank",

@@ -86,10 +86,13 @@ def ann_bruteforce(queries: DataFrame, corpus: DataFrame, *, k: int,
                                 "neighbor_id": rows_n[keep],
                                 "cosine": rows_c[keep]})
 
+    from spandex_spark.functions.partitioning import pre_group_repartition
     local = corpus.mapInPandas(scan, schema=_CAND_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (local.withColumn("rank", F.row_number().over(w))
+    # block-count-shaped exchange: see functions/partitioning.py
+    return (pre_group_repartition(local, "query_id")
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "cosine"))
 

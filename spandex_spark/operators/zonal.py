@@ -29,8 +29,6 @@ from pyspark.sql.functions import pandas_udf
 
 from spandex_spark import geom as _geom
 from spandex_spark import cells as _cells
-from spandex_spark.functions.spatial import cover_cells_udf
-
 def _with_res_y(tiles: DataFrame) -> DataFrame:
     """Tile tables may carry an anisotropic y resolution (``res_y``,
     emitted by sources/geotiff.py for sy != sx rasters); square tables
@@ -60,20 +58,33 @@ def _tiles_with_candidate_zones(tiles: DataFrame, zones: DataFrame,
     zonal_histogram: cell-cover both sides, join candidate
     (tile, zone) PAIRS on cell ids only (pixel arrays stay out of that
     shuffle), then join each tile's candidate-zone ring list in exactly
-    once."""
-    zc = zones.select(F.col(zone_id_col).alias("_zid"),
-                      F.col("geom")["xs"].alias("_zxs"),
-                      F.col("geom")["ys"].alias("_zys"),
-                      F.col("geom")["ring_offsets"].alias("_zoff"),
-                      F.explode(cover_cells_udf(F.col("geom"), level)).alias("cell"))
+    once.
+
+    r6: both covers are BBOX covers in pure JVM codegen
+    (explode_bbox_cells) instead of pandas UDFs — the zone side's bbox
+    cover is a SUPERSET of the exact polygon cover, which only adds
+    candidate pairs whose pixel mask comes back empty (the kernel's
+    bbox+PIP tests decide membership), so every aggregate is unchanged
+    while the last Python stage outside the pixel kernel disappears
+    (guide §4.1)."""
+    from spandex_spark.functions.cells_sql import explode_bbox_cells
+    zsel = zones.select(F.col(zone_id_col).alias("_zid"),
+                        F.col("geom")["xs"].alias("_zxs"),
+                        F.col("geom")["ys"].alias("_zys"),
+                        F.col("geom")["ring_offsets"].alias("_zoff"),
+                        F.col("geom")["bbox"].alias("_zbox"))
+    zc = explode_bbox_cells(zsel, F.col("_zbox")["minx"],
+                            F.col("_zbox")["miny"], F.col("_zbox")["maxx"],
+                            F.col("_zbox")["maxy"], level).drop("_zbox")
     if broadcast_zones:
         zc = F.broadcast(zc)
 
-    tile_cells = tiles.select(
-        "tile_id",
-        F.explode(_tile_cells_udf(F.col("x0"), F.col("y0"), F.col("res"),
-                                  F.col("res_y"), F.col("nx"), F.col("ny"),
-                                  F.lit(level))).alias("cell"))
+    tsel = tiles.select("tile_id", "x0", "y0", "res", "res_y", "nx", "ny")
+    tile_cells = explode_bbox_cells(
+        tsel, F.col("x0"), F.col("y0"),
+        F.col("x0") + F.col("res") * F.col("nx"),
+        F.col("y0") + F.col("res_y") * F.col("ny"), level) \
+        .select("tile_id", "cell")
 
     pairs = (tile_cells.join(zc, "cell", "inner")
              .dropDuplicates(["tile_id", "_zid"]))
@@ -98,10 +109,40 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
         raise ValueError(f"unknown weight {weight!r}")
     weighted = weight == "sph_area"
     tiles = _with_res_y(tiles)
-    tj = _tiles_with_candidate_zones(tiles, zones, zone_id_col, level,
-                                     broadcast_zones)
+    if broadcast_zones:
+        # r6: the zone layer is broadcast-sized by contract on this route,
+        # so candidate selection happens INSIDE the pixel kernel against a
+        # rings broadcast (vectorized bbox overlap per tile) — the whole
+        # pair machinery (cover joins, pair dedup, collect_list, join
+        # back) and its 3-4 exchanges disappear from the plan; the only
+        # exchange left is the final per-zone aggregation. Partial rows
+        # are identical either way: the kernel skips empty masks, and the
+        # bbox-overlap candidates are a superset of every nonempty mask.
+        zrows = zones.select(F.col(zone_id_col).alias("_zid"),
+                             "geom").collect()  # collect-ok: zone layer broadcast-sized by contract (rings closure)
+        zentries = []
+        for r in zrows:
+            g = r["geom"]
+            xs = np.asarray(g["xs"], np.float64)
+            ys = np.asarray(g["ys"], np.float64)
+            zo = g["ring_offsets"]
+            zo = (np.asarray(zo, np.int64)
+                  if zo is not None and len(zo) > 2 else None)
+            zentries.append((int(r["_zid"]), xs, ys, zo))
+        zbox = (np.array([e[1].min() for e in zentries]),
+                np.array([e[1].max() for e in zentries]),
+                np.array([e[2].min() for e in zentries]),
+                np.array([e[2].max() for e in zentries]))
+        bc = tiles.sparkSession.sparkContext.broadcast((zentries, zbox))
+        tj = tiles
+    else:
+        bc = None
+        tj = _tiles_with_candidate_zones(tiles, zones, zone_id_col, level,
+                                         broadcast_zones)
 
     def compute_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if bc is not None:
+            zent, (zx0, zx1, zy0, zy1) = bc.value
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
@@ -123,12 +164,22 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                     w_full = np.repeat(wrow, nx)
                 else:
                     w_full = None
-                for z in row["_zones"]:
-                    xs = np.asarray(z["_zxs"], np.float64)
-                    ys = np.asarray(z["_zys"], np.float64)
-                    zo = z["_zoff"]
-                    zo = (np.asarray(zo, np.int64)
-                          if zo is not None and len(zo) > 2 else None)
+                if bc is not None:
+                    tx1 = float(row["x0"]) + res * nx
+                    ty1 = float(row["y0"]) + ry * ny
+                    cand = np.flatnonzero(
+                        (zx0 <= tx1) & (zx1 >= float(row["x0"]))
+                        & (zy0 <= ty1) & (zy1 >= float(row["y0"])))
+                    zone_iter = (zent[i] for i in cand)
+                else:
+                    zone_iter = (
+                        (int(z["_zid"]), np.asarray(z["_zxs"], np.float64),
+                         np.asarray(z["_zys"], np.float64),
+                         (np.asarray(z["_zoff"], np.int64)
+                          if z["_zoff"] is not None and len(z["_zoff"]) > 2
+                          else None))
+                        for z in row["_zones"])
+                for zid, xs, ys, zo in zone_iter:
                     # bbox pre-filter before the exact PIP (bbox over the
                     # ring concatenation == bbox over all rings)
                     box = ((lon >= xs.min()) & (lon <= xs.max())
@@ -144,7 +195,7 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame, *,
                         wa, ws = float(wsub.sum()), float((wsub * v).sum())
                     else:
                         wa = ws = 0.0
-                    rows.append((int(z["_zid"]), int(v.shape[0]), float(v.sum()),
+                    rows.append((zid, int(v.shape[0]), float(v.sum()),
                                  float((v * v).sum()), float(v.min()),
                                  float(v.max()), wa, ws))
             yield pd.DataFrame(rows, columns=["zone_id", "cnt", "s", "s2",
