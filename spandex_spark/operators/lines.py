@@ -359,9 +359,12 @@ def _nearest_line_cells(points: DataFrame, lines: DataFrame, *, k: int,
                           F.col("_bd").alias("dist_deg"))
         return _unpersist_with(out, segs)
     from pyspark.sql import Window
+    from spandex_spark.functions.partitioning import pre_group_repartition
     w = Window.partitionBy("_pid").orderBy(F.col("_dl").asc(),
                                            F.col("_lid").asc())
-    ranked = per_line.withColumn("rank", F.row_number().over(w))
+    # block-count-shaped top-k exchange: see functions/partitioning.py
+    ranked = pre_group_repartition(per_line, "_pid") \
+        .withColumn("rank", F.row_number().over(w))
     out = (ranked.filter(F.col("rank") <= k)
            .select(F.col("_pid").alias(point_id_col), "rank",
                    F.col("_lid").alias(line_id_col),

@@ -147,9 +147,11 @@ def ann_lsh(queries: DataFrame, corpus: DataFrame, *, k: int, dim: int,
             .withColumn("cosine", _cosine_pairs_udf(F.col("_qv"), F.col("_cv")))
             .select("query_id", "neighbor_id", "cosine")
             .dropDuplicates(["query_id", "neighbor_id"]))
+    from spandex_spark.functions.partitioning import pre_group_repartition
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (pre_group_repartition(cand, "query_id")
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
@@ -242,9 +244,11 @@ def ann_ivf(queries: DataFrame, corpus: DataFrame, *, k: int,
             .withColumn("cosine", _cosine_pairs_udf(F.col("_qv"), F.col("_cv")))
             .select("query_id", "neighbor_id", "cosine")
             .dropDuplicates(["query_id", "neighbor_id"]))
+    from spandex_spark.functions.partitioning import pre_group_repartition
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (pre_group_repartition(cand, "query_id")
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
@@ -458,10 +462,12 @@ def ann_pq(queries: DataFrame, codes: DataFrame, books: np.ndarray, *,
                                 "neighbor_id": rn[keep],
                                 "dist2_adc": rd[keep]})
 
+    from spandex_spark.functions.partitioning import pre_group_repartition
     local = codes.mapInPandas(scan, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("dist2_adc").asc(),
                                                F.col("neighbor_id").asc())
-    return (local.withColumn("rank", F.row_number().over(w))
+    return (pre_group_repartition(local, "query_id")
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "dist2_adc"))
 
@@ -628,10 +634,12 @@ def ann_ivfpq(queries: DataFrame, encoded: DataFrame,
                 yield pdf_out[pdf_out["query_id"]
                               != pdf_out["neighbor_id"]]
 
+    from spandex_spark.functions.partitioning import pre_group_repartition
     local = (encoded.filter(F.col("cell").isin(probed_cells))
              .mapInPandas(scan, schema=out_schema))
     w = Window.partitionBy("query_id").orderBy(F.col("dist2_adc").asc(),
                                                F.col("neighbor_id").asc())
-    return (local.withColumn("rank", F.row_number().over(w))
+    return (pre_group_repartition(local, "query_id")
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "dist2_adc"))
