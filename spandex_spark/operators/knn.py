@@ -697,7 +697,7 @@ def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
     if level > _CELLS_MAX_LEVEL:
         raise ValueError(f"cells strategy supports level <= {_CELLS_MAX_LEVEL}")
     spark = q.sparkSession
-    fc = f.withColumn("_cell", _cell_of_jvm(F.col("_flon"), F.col("_flat"), level))
+    fc = f.withColumn("_cell", _cell_of_jvm("_flon", "_flat", level))
     # The two index-building jobs are independent — overlap them from a
     # 2-thread pool so the second job back-fills executors freed by the
     # first's tail (guide §2.6). Query cells come by EXTENT, not by a
@@ -755,7 +755,7 @@ def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
                      for cand in arr]
         pairs_df = spark.createDataFrame(
             pair_rows, "_qcell long, _cell long, _dmax double")
-        qcell_expr = _cell_of_jvm(F.col("_qlon"), F.col("_qlat"), qlevel)
+        qcell_expr = _cell_of_jvm("_qlon", "_qlat", qlevel)
         qc = (q.withColumn("_qcell", qcell_expr)
               .join(F.broadcast(pairs_df), "_qcell", "inner")
               .drop("_qcell"))

@@ -161,11 +161,11 @@ def proportion_overlap(targets: DataFrame, overlays: DataFrame, *,
 
     if pair_dedup == "refpoint":
         tgt_cells = explode_bbox_cells(
-            tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-            F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+            tgt, "_tgeom.bbox.minx", "_tgeom.bbox.miny",
+            "_tgeom.bbox.maxx", "_tgeom.bbox.maxy", level)
         ovl_cells = explode_bbox_cells(
-            ovl, F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
-            F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"), level)
+            ovl, "_ogeom.bbox.minx", "_ogeom.bbox.miny",
+            "_ogeom.bbox.maxx", "_ogeom.bbox.maxy", level)
     elif pair_dedup == "shuffle":
         tgt_cells = tgt.withColumn(
             "cell", F.explode(cover_cells_udf(F.col("_tgeom"), level)))
@@ -179,8 +179,8 @@ def proportion_overlap(targets: DataFrame, overlays: DataFrame, *,
     pairs = tgt_cells.join(ovl_cells, "cell", "inner")
     if pair_dedup == "refpoint":
         from spandex_spark.functions.cells_sql import cell_of_expr
-        ref_x = F.greatest(F.col("_tgeom.bbox.minx"), F.col("_ogeom.bbox.minx"))
-        ref_y = F.greatest(F.col("_tgeom.bbox.miny"), F.col("_ogeom.bbox.miny"))
+        ref_x = "greatest(_tgeom.bbox.minx, _ogeom.bbox.minx)"
+        ref_y = "greatest(_tgeom.bbox.miny, _ogeom.bbox.miny)"
         pairs = pairs.filter(cell_of_expr(ref_x, ref_y, level) == F.col("cell"))
     else:
         pairs = pairs.dropDuplicates(["_tid", "_oid"])

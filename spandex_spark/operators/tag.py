@@ -187,7 +187,7 @@ def tag_points(points: DataFrame, polygons: DataFrame, *,
             *[F.col(c).alias(f"_attr_{c}") for c in poly_attr_cols])
 
     pts = points.withColumn(
-        "cell", cell_of_expr(F.col(lon_col), F.col(lat_col), level))
+        "cell", cell_of_expr(f"`{lon_col}`", f"`{lat_col}`", level))
     if repartition_by_cell:
         # spread the stream across the cluster keyed by a coarse cell prefix
         # (north star: AQE-aware repartitioning by cell prefix) — one narrow

@@ -73,17 +73,14 @@ def _tiles_with_candidate_zones(tiles: DataFrame, zones: DataFrame,
                         F.col("geom")["ys"].alias("_zys"),
                         F.col("geom")["ring_offsets"].alias("_zoff"),
                         F.col("geom")["bbox"].alias("_zbox"))
-    zc = explode_bbox_cells(zsel, F.col("_zbox")["minx"],
-                            F.col("_zbox")["miny"], F.col("_zbox")["maxx"],
-                            F.col("_zbox")["maxy"], level).drop("_zbox")
+    zc = explode_bbox_cells(zsel, "_zbox.minx", "_zbox.miny",
+                            "_zbox.maxx", "_zbox.maxy", level).drop("_zbox")
     if broadcast_zones:
         zc = F.broadcast(zc)
 
     tsel = tiles.select("tile_id", "x0", "y0", "res", "res_y", "nx", "ny")
     tile_cells = explode_bbox_cells(
-        tsel, F.col("x0"), F.col("y0"),
-        F.col("x0") + F.col("res") * F.col("nx"),
-        F.col("y0") + F.col("res_y") * F.col("ny"), level) \
+        tsel, "x0", "y0", "(x0 + res * nx)", "(y0 + res_y * ny)", level) \
         .select("tile_id", "cell")
 
     pairs = (tile_cells.join(zc, "cell", "inner")

@@ -61,6 +61,11 @@ def get_spark(
         # Iceberg-mandated physical type) give manifest min/max bounds so
         # IcebergishTable temporal between= pruning can engage
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # per-Column-op Python call-site capture (Spark 4 DataFrame query
+        # context) costs 2+ py4j round trips per operator — measured ~20%
+        # of expression-heavy query CONSTRUCTION time; error messages
+        # lose the Python line pointer, nothing else changes
+        .config("spark.sql.dataFrameQueryContext.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPANDEX_ARROW_BATCH", "20000"))
