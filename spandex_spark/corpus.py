@@ -113,14 +113,29 @@ def curate_and_pack(documents: DataFrame, *, context_len: int,
         if not source_col or not target_total:
             raise ValueError("temperature mixing needs source_col "
                              "and target_total")
+        # the composite pack id below is integer arithmetic: a string id
+        # (url-keyed corpora) would turn it NULL, silently emptying the
+        # pack join (ADVICE r5) — fail loudly instead
+        id_type = dict(surv.dtypes).get(id_col, "")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"temperature mixing needs an integer {id_col!r} for the "
+                f"composite pack id (got {id_type!r}); hash string ids to "
+                "a long upstream (e.g. xxhash64)")
+        max_up = 8.0  # pinned: temperature_resample's max_upsample
+        headroom = 64
+        if int(max_up) + 2 > headroom:
+            raise ValueError("composite pack id headroom exceeded: raise "
+                             "headroom alongside max_upsample")
         surv = temperature_resample(surv, source_col=source_col,
                                     id_col=id_col,
                                     alpha=float(temperature_alpha),
                                     target_total=int(target_total),
-                                    seed=seed)
-        # duplicated rows must pack as distinct units: composite id
-        surv = (surv.withColumn("_pkid",
-                                F.col(id_col) * 64 + F.col("copy")))
+                                    seed=seed, max_upsample=max_up)
+        # duplicated rows must pack as distinct units: composite id; the
+        # copy cap is pinned above so the headroom provably fits
+        surv = (surv.withColumn(
+            "_pkid", F.col(id_col).cast("long") * headroom + F.col("copy")))
     else:
         surv = surv.withColumn("copy", F.lit(0)) \
                    .withColumn("_pkid", F.col(id_col))

@@ -93,7 +93,12 @@ def align_sentences(pairs: DataFrame, *, pair_id_col: str = "pair_id",
     """One row per alignment bead:
     (pair_id, bead, src_sentences, tgt_sentences, cost).  Empty or
     NULL documents on either side align everything to 0-1/1-0 beads;
-    a pair with both sides empty emits nothing."""
+    a pair with both sides empty emits nothing.
+
+    CONTRACT: ``pair_id_col`` values must be unique — duplicate pair_id
+    rows land in one group and each restarts bead numbering at 0,
+    emitting colliding (pair_id, bead) keys. Deduplicate or re-key
+    upstream (ADVICE r5)."""
     base = pairs.select(
         F.col(pair_id_col).alias("_pid"),
         split_sentences(F.coalesce(F.col(src_col), F.lit("")))

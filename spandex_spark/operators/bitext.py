@@ -59,8 +59,11 @@ def mine_bitext(src: DataFrame, tgt: DataFrame, *, k: int = 4,
     # DIFFERENT tables whose id spaces may collide, and (i, i) is
     # typically the true pair.  Remap to disjoint even/odd spaces so
     # any injected ann works unchanged, and map back after retrieval.
-    s2 = src.withColumn(src_id, F.col(src_id) * 2)
-    t2 = tgt.withColumn(tgt_id, F.col(tgt_id) * 2 + 1)
+    # cast to long BEFORE doubling: an IntegerType id >= 2^30 would wrap
+    # under non-ANSI int32 multiplication and decode to the wrong
+    # document (ADVICE r5)
+    s2 = src.withColumn(src_id, F.col(src_id).cast("long") * 2)
+    t2 = tgt.withColumn(tgt_id, F.col(tgt_id).cast("long") * 2 + 1)
     fwd = ann(s2, t2, k=k, q_id=src_id, c_id=tgt_id,
               q_vec=src_vec, c_vec=tgt_vec)
     bwd = ann(t2, s2, k=k, q_id=tgt_id, c_id=src_id,

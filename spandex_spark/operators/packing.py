@@ -84,11 +84,16 @@ def pack_chunks(df: DataFrame, *, context_len: int,
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     # global offset of the doc's first token in the concatenated stream
     g0 = (omap[F.col("_bkt")] + F.col("_end_in_bkt") - F.col("_n"))
-    spans = cum.select(
-        "_id", "_n", g0.alias("_g0"),
-        F.explode(F.sequence(F.floor(g0 / L),
-                             F.floor((g0 + F.col("_n") - 1) / L))
-                  ).alias("pack_id"))
+    # INTEGER division (long `div`), not floor over a double quotient:
+    # past 2^53 total tokens the double rounds onto the wrong pack and
+    # breaks the exactly-once slice invariant (ADVICE r5). g0 >= 0, so
+    # `div` (truncate) == floor.
+    spans = cum.select("_id", "_n", g0.alias("_g0")).select(
+        "_id", "_n", "_g0",
+        F.explode(F.sequence(
+            F.expr(f"_g0 div {int(context_len)}"),
+            F.expr(f"(_g0 + _n - 1) div {int(context_len)}"))
+        ).alias("pack_id"))
     return spans.select(
         F.col("pack_id").cast("long"),
         F.col("_id").alias(id_col),

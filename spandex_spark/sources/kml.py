@@ -67,9 +67,18 @@ def _pm_geom(xml: str) -> dict | None:
         outer = _OUTER.search(p)
         if not outer:
             continue
-        rings.append(_norm_ring(*_coords(outer.group(1)), want_ccw=True))
+        # skip rings with empty <coordinates> (mirrors the line/point
+        # filtering below): a zero-length ring next to a real polygon in
+        # the same Placemark would emit degenerate repeated ring_offsets
+        # (ADVICE r5)
+        oxy = _coords(outer.group(1))
+        if not oxy[0].size:
+            continue
+        rings.append(_norm_ring(*oxy, want_ccw=True))
         for inner in _INNER.findall(p):
-            rings.append(_norm_ring(*_coords(inner), want_ccw=False))
+            ixy = _coords(inner)
+            if ixy[0].size:
+                rings.append(_norm_ring(*ixy, want_ccw=False))
     # mixed-type MultiGeometry: polygons dominate, else lines, else
     # points (the engine struct holds one kind; documented reduction)
     if rings:
