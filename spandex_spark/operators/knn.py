@@ -569,11 +569,10 @@ def _candidate_lists_for_coarse(hist, sparse, ux: np.ndarray, uy: np.ndarray,
             maxd, np.take_along_axis(order, pos[:, None], axis=1),
             axis=1).ravel())
         keep = mind <= dmax_row[:, None]
+        cells_of_parent = _cells.xy_to_cell(sparse.gx[idx], sparse.gy[idx],
+                                            sparse.level)
         for ci, i in enumerate(child):
-            kidx = idx[keep[ci]]
-            lists[i] = (_cells.xy_to_cell(sparse.gx[kidx], sparse.gy[kidx],
-                                          sparse.level),
-                        float(dmax_row[ci]))
+            lists[i] = (cells_of_parent[keep[ci]], float(dmax_row[ci]))
     return lists
 
 
