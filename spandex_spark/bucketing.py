@@ -73,7 +73,7 @@ def write_points_bucketed(points: DataFrame, name: str, *, level: int,
     stream. One codegen expression, one write-side shuffle — the LAST
     cell shuffle this stream ever pays."""
     pts = points.withColumn(
-        "cell", cell_of_expr(F.col(lon_col), F.col(lat_col), level))
+        "cell", cell_of_expr(f"`{lon_col}`", f"`{lat_col}`", level))
     write_bucketed(pts, name, n_buckets=n_buckets, path=path)
 
 

@@ -260,16 +260,16 @@ def intersection_join(targets: DataFrame, overlays: DataFrame, *,
     ovl = overlays.select(F.col(overlay_id_col).alias("_oid"),
                           F.col("geom").alias("_ogeom"))
     tgt_cells = explode_bbox_cells(
-        tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-        F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+        tgt, "_tgeom.bbox.minx", "_tgeom.bbox.miny",
+        "_tgeom.bbox.maxx", "_tgeom.bbox.maxy", level)
     ovl_cells = explode_bbox_cells(
-        ovl, F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
-        F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"), level)
+        ovl, "_ogeom.bbox.minx", "_ogeom.bbox.miny",
+        "_ogeom.bbox.maxx", "_ogeom.bbox.maxy", level)
     if broadcast_overlays:
         ovl_cells = F.broadcast(ovl_cells)
     pairs = tgt_cells.join(ovl_cells, "cell", "inner")
-    ref_x = F.greatest(F.col("_tgeom.bbox.minx"), F.col("_ogeom.bbox.minx"))
-    ref_y = F.greatest(F.col("_tgeom.bbox.miny"), F.col("_ogeom.bbox.miny"))
+    ref_x = "greatest(_tgeom.bbox.minx, _ogeom.bbox.minx)"
+    ref_y = "greatest(_tgeom.bbox.miny, _ogeom.bbox.miny)"
     pairs = pairs.filter(cell_of_expr(ref_x, ref_y, level) == F.col("cell"))
 
     a, b = F.col("_tgeom"), F.col("_ogeom")

@@ -53,11 +53,11 @@ def spatial_predicate_join(targets: DataFrame, others: DataFrame, *,
     oth = others.select(F.col(other_id_col).alias("_oid"),
                         F.col("geom").alias("_ogeom"))
     tgt_cells = explode_bbox_cells(
-        tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-        F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+        tgt, "_tgeom.bbox.minx", "_tgeom.bbox.miny",
+        "_tgeom.bbox.maxx", "_tgeom.bbox.maxy", level)
     oth_cells = explode_bbox_cells(
-        oth, F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
-        F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"), level)
+        oth, "_ogeom.bbox.minx", "_ogeom.bbox.miny",
+        "_ogeom.bbox.maxx", "_ogeom.bbox.maxy", level)
     if broadcast_others:
         oth_cells = F.broadcast(oth_cells)
     pairs = tgt_cells.join(oth_cells, "cell", "inner")
@@ -65,8 +65,8 @@ def spatial_predicate_join(targets: DataFrame, others: DataFrame, *,
                & (F.col("_tgeom.bbox.maxx") >= F.col("_ogeom.bbox.minx"))
                & (F.col("_tgeom.bbox.miny") <= F.col("_ogeom.bbox.maxy"))
                & (F.col("_tgeom.bbox.maxy") >= F.col("_ogeom.bbox.miny")))
-    ref_x = F.greatest(F.col("_tgeom.bbox.minx"), F.col("_ogeom.bbox.minx"))
-    ref_y = F.greatest(F.col("_tgeom.bbox.miny"), F.col("_ogeom.bbox.miny"))
+    ref_x = "greatest(_tgeom.bbox.minx, _ogeom.bbox.minx)"
+    ref_y = "greatest(_tgeom.bbox.miny, _ogeom.bbox.miny)"
     pairs = pairs.filter(overlap) \
         .filter(cell_of_expr(ref_x, ref_y, level) == F.col("cell"))
     # containment needs the candidate's bbox inside the container's —

@@ -99,13 +99,13 @@ def snap_to_layer(targets: DataFrame, reference: DataFrame, *,
                          F.col("geom").alias("_tgeom"))
     ref = reference.select(F.col("geom").alias("_rgeom"))
     tgt_cells = explode_bbox_cells(
-        tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-        F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+        tgt, "_tgeom.bbox.minx", "_tgeom.bbox.miny",
+        "_tgeom.bbox.maxx", "_tgeom.bbox.maxy", level)
     ref_cells = explode_bbox_cells(
-        ref, F.col("_rgeom.bbox.minx") - tol,
-        F.col("_rgeom.bbox.miny") - tol,
-        F.col("_rgeom.bbox.maxx") + tol,
-        F.col("_rgeom.bbox.maxy") + tol, level)
+        ref, f"(_rgeom.bbox.minx - {tol!r}D)",
+        f"(_rgeom.bbox.miny - {tol!r}D)",
+        f"(_rgeom.bbox.maxx + {tol!r}D)",
+        f"(_rgeom.bbox.maxy + {tol!r}D)", level)
     if broadcast_reference:
         ref_cells = F.broadcast(ref_cells)
     overlap = ((F.col("_tgeom.bbox.minx") <= F.col("_rgeom.bbox.maxx") + tol)
@@ -117,9 +117,9 @@ def snap_to_layer(targets: DataFrame, reference: DataFrame, *,
     pairs = (tgt_cells.join(ref_cells, "cell", "inner")
              .filter(overlap)
              .filter(cell_of_expr(
-                 F.greatest(F.col("_tgeom.bbox.minx"), ref_x0),
-                 F.greatest(F.col("_tgeom.bbox.miny"), ref_y0), level)
-                 == F.col("cell")))
+                 f"greatest(_tgeom.bbox.minx, _rgeom.bbox.minx - {tol!r}D)",
+                 f"greatest(_tgeom.bbox.miny, _rgeom.bbox.miny - {tol!r}D)",
+                 level) == F.col("cell")))
 
     id_type = targets.schema[target_id_col].dataType
     from pyspark.sql import types as T

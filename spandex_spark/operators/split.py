@@ -150,19 +150,19 @@ def split_by_lines(targets: DataFrame, blades: DataFrame, *,
                          F.col("geom").alias("_tgeom"))
     bld = blades.select(F.col("geom").alias("_bgeom"))
     tgt_cells = explode_bbox_cells(
-        tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-        F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+        tgt, "_tgeom.bbox.minx", "_tgeom.bbox.miny",
+        "_tgeom.bbox.maxx", "_tgeom.bbox.maxy", level)
     bld_cells = explode_bbox_cells(
-        bld, F.col("_bgeom.bbox.minx"), F.col("_bgeom.bbox.miny"),
-        F.col("_bgeom.bbox.maxx"), F.col("_bgeom.bbox.maxy"), level)
+        bld, "_bgeom.bbox.minx", "_bgeom.bbox.miny",
+        "_bgeom.bbox.maxx", "_bgeom.bbox.maxy", level)
     if broadcast_blades:
         bld_cells = F.broadcast(bld_cells)
     overlap = ((F.col("_tgeom.bbox.minx") <= F.col("_bgeom.bbox.maxx"))
                & (F.col("_tgeom.bbox.maxx") >= F.col("_bgeom.bbox.minx"))
                & (F.col("_tgeom.bbox.miny") <= F.col("_bgeom.bbox.maxy"))
                & (F.col("_tgeom.bbox.maxy") >= F.col("_bgeom.bbox.miny")))
-    ref_x = F.greatest(F.col("_tgeom.bbox.minx"), F.col("_bgeom.bbox.minx"))
-    ref_y = F.greatest(F.col("_tgeom.bbox.miny"), F.col("_bgeom.bbox.miny"))
+    ref_x = "greatest(_tgeom.bbox.minx, _bgeom.bbox.minx)"
+    ref_y = "greatest(_tgeom.bbox.miny, _bgeom.bbox.miny)"
     pairs = (tgt_cells.join(bld_cells, "cell", "inner")
              .filter(overlap)
              .filter(cell_of_expr(ref_x, ref_y, level) == F.col("cell")))

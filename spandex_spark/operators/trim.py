@@ -193,18 +193,18 @@ def erase_join(targets: DataFrame, masks: DataFrame, *,
                          F.col("geom").alias("_tgeom"))
     msk = masks.select(F.col("geom").alias("_ogeom"))
     tgt_cells = explode_bbox_cells(
-        tgt, F.col("_tgeom.bbox.minx"), F.col("_tgeom.bbox.miny"),
-        F.col("_tgeom.bbox.maxx"), F.col("_tgeom.bbox.maxy"), level)
+        tgt, "_tgeom.bbox.minx", "_tgeom.bbox.miny",
+        "_tgeom.bbox.maxx", "_tgeom.bbox.maxy", level)
     msk_cells = explode_bbox_cells(
-        msk, F.col("_ogeom.bbox.minx"), F.col("_ogeom.bbox.miny"),
-        F.col("_ogeom.bbox.maxx"), F.col("_ogeom.bbox.maxy"), level)
+        msk, "_ogeom.bbox.minx", "_ogeom.bbox.miny",
+        "_ogeom.bbox.maxx", "_ogeom.bbox.maxy", level)
     if broadcast_masks:
         msk_cells = F.broadcast(msk_cells)
     pairs = tgt_cells.join(msk_cells, "cell", "inner")
     # bbox-disjoint pairs never reach the kernel; refpoint dedup keeps
     # each surviving (target, mask) pair exactly once
-    ref_x = F.greatest(F.col("_tgeom.bbox.minx"), F.col("_ogeom.bbox.minx"))
-    ref_y = F.greatest(F.col("_tgeom.bbox.miny"), F.col("_ogeom.bbox.miny"))
+    ref_x = "greatest(_tgeom.bbox.minx, _ogeom.bbox.minx)"
+    ref_y = "greatest(_tgeom.bbox.miny, _ogeom.bbox.miny)"
     overlap = ((F.col("_tgeom.bbox.minx") <= F.col("_ogeom.bbox.maxx"))
                & (F.col("_tgeom.bbox.maxx") >= F.col("_ogeom.bbox.minx"))
                & (F.col("_tgeom.bbox.miny") <= F.col("_ogeom.bbox.maxy"))

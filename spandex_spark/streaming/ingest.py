@@ -44,7 +44,7 @@ def stream_geotag_pages(spark: SparkSession, input_dir: str, output_dir: str,
     tagged = geotag(pages, gazetteer)
     tagged = tagged.withColumn(
         "cell", F.when(F.col("lon").isNotNull(),
-                       cell_of_expr(F.col("lon"), F.col("lat"), level)))
+                       cell_of_expr("lon", "lat", level)))
     writer = (tagged.writeStream
               .format("parquet")
               .option("path", output_dir)
@@ -154,7 +154,7 @@ def stream_append_table(spark: SparkSession, input_dir: str,
     tagged = geotag(pages, gazetteer)
     tagged = tagged.withColumn(
         "cell", F.when(F.col("lon").isNotNull(),
-                       cell_of_expr(F.col("lon"), F.col("lat"), level)))
+                       cell_of_expr("lon", "lat", level)))
     table = IcebergishTable(table_root)
     committed = set()
 
