@@ -99,9 +99,11 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
     # spread a single-split input before the heavy kernel: a sub-core
     # partition count serializes the whole signature pass (bench: the 5k-doc
     # corpus is ONE parquet row group). Inputs already wider than the
-    # cluster are left untouched — no shuffle at real scale.
+    # cluster are left untouched — no shuffle at real scale. (Streaming
+    # frames have no RDD partition count; they are micro-batch-sized by
+    # the source and skip the probe.)
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if not df.isStreaming and df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
     words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
     hashed = df.select(

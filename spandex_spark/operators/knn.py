@@ -748,12 +748,18 @@ def _ring_candidates(q: DataFrame, f: DataFrame, *, k: int, level: int,
         # each pair row also carries D = the per-query-cell kth-distance
         # UPPER bound from the prune: knn_join filters dist <= D in
         # codegen BEFORE the top-k window, so non-winners never enter the
-        # sort/exchange (exact: every true top-k distance is <= D)
-        pair_rows = [(int(c), int(cand), dmax)
-                     for c, (arr, dmax) in zip(qcells, lists)
-                     for cand in arr]
-        pairs_df = spark.createDataFrame(
-            pair_rows, "_qcell long, _cell long, _dmax double")
+        # sort/exchange (exact: every true top-k distance is <= D).
+        # Built as numpy arrays → pandas → Arrow: ~2x faster to ship than
+        # a list of Python tuples (row-pickle path).
+        counts = np.array([a.shape[0] for a, _ in lists], dtype=np.int64)
+        pdf = pd.DataFrame({
+            "_qcell": np.repeat(np.asarray(qcells, np.int64), counts),
+            "_cell": (np.concatenate([a for a, _ in lists])
+                      if counts.sum() else np.empty(0, np.int64)),
+            "_dmax": np.repeat(np.array([d for _, d in lists], np.float64),
+                               counts),
+        })
+        pairs_df = spark.createDataFrame(pdf, "_qcell long, _cell long, _dmax double")
         qcell_expr = _cell_of_jvm("_qlon", "_qlat", qlevel)
         qc = (q.withColumn("_qcell", qcell_expr)
               .join(F.broadcast(pairs_df), "_qcell", "inner")
