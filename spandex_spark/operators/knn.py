@@ -653,7 +653,9 @@ def build_cell_index(spark, hist_rows, level: int):
     return spark.sparkContext.broadcast(_build_index(hist_rows, level))
 
 
-_MAX_PAIR_ROWS = 4_000_000    # driver pair-table cap (~64 MB framed)
+_MAX_PAIR_ROWS = 1_000_000    # driver pair-table cap: the table ships as
+                              # a LocalRelation inside task binaries
+                              # (~24 B/row), so keep it tens of MB at most
 _MAX_COARSE_ENUM = 262_144    # bbox-enumeration cap (cells; 512x512 box)
 _QLEVEL_EXTRA = 3             # query-side grouping: hist.level + 3 (8x8
                               # children per coarse cell) tightens the
